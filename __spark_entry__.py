@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query routes through the streamjoin_spark engine's builder API (the
+batch twin of each operator — SURVEY.md §2), so a hash-match against the
+DuckDB oracle verifies the engine itself, not hand-written Spark.
 """
 
 from __future__ import annotations
@@ -12,27 +10,555 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamjoin_spark import Stream
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
 
 
+def _prep(spark: SparkSession) -> None:
+    # Oracle comparison requires identical timestamp semantics (DuckDB is
+    # UTC-naive) and benefits from AQE; both are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+        # read nanos as long and convert (lossless here: sub-µs parts are 0).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer division: ns magnitudes overflow double precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _s(spark, sf_dir, name, pks, renames=None, seq=None) -> Stream:
+    df = _t(spark, sf_dir, name)
+    for old, new in (renames or {}).items():
+        df = df.withColumnRenamed(old, new)
+    s = Stream.fromDataFrame(df, name).primaryKeys(*pks)
+    if seq:
+        s = s.sequenceBy(*seq)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-stage join chain + aggregation (the reference's deepest
+    tested topology, RunTests.py:29-54) on sf0.001."""
+    _prep(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    )
+    return (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .join(l, "inner")
+        .onKeys("o_orderkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .toDF()
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per implemented operator (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+def q_join_inner(spark, sf_dir):
+    """J1: incremental equi-join's batch twin — inner join on keys with
+    duplicate-key drop."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    return (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .select(
+            c["c_custkey"], c["c_name"], c["c_mktsegment"],
+            o["o_orderkey"], o["o_totalprice"], o["o_orderstatus"],
+        )
+        .toDF()
+    )
+
+
+def q_join_left(spark, sf_dir):
+    """J1 left variant: unmatched customers kept with null order columns."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    return (
+        c.join(o, "left")
+        .onKeys("c_custkey")
+        .select(c["c_custkey"], c["c_name"], o["o_orderkey"], o["o_totalprice"])
+        .toDF()
+    )
+
+
+def q_join_right(spark, sf_dir):
+    """J1 right variant."""
+    _prep(spark)
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    return (
+        o.join(c, "right")
+        .onKeys("c_custkey")
+        .select(c["c_custkey"], c["c_name"], o["o_orderkey"], o["o_totalprice"])
+        .toDF()
+    )
+
+
+def q_join_theta(spark, sf_dir):
+    """J2: theta join from the expression AST (equality + inequality),
+    mirroring the reference's JoinTestComplex1 condition shape."""
+    _prep(spark)
+    p = _s(spark, sf_dir, "part", ["p_partkey"])
+    l = _s(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return (
+        p.join(l, "inner")
+        .on((p["p_partkey"] == l["l_partkey"]) & (p["p_size"] < 10))
+        .select(p["p_partkey"], p["p_size"], l["l_orderkey"], l["l_quantity"])
+        .toDF()
+    )
+
+
+def q_join_chain3(spark, sf_dir):
+    """J9: three-way join chain (stage→stream composition) + aggregation."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    )
+    return (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .join(l, "inner")
+        .onKeys("o_orderkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .toDF()
+    )
+
+
+def q_select_transform(spark, sf_dir):
+    """P1-P3: projection with stream-scoped aliases and a source-level
+    ``.to()`` transform (computed year column)."""
+    _prep(spark)
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"]).to(
+        lambda df: df.withColumn("o_year", F.year("o_orderdate"))
+    )
+    c = _s(spark, sf_dir, "customer", ["c_custkey"], renames={"c_custkey": "o_custkey"})
+    return (
+        o.join(c, "inner")
+        .onKeys("o_custkey")
+        .select(
+            o["o_orderkey"],
+            o["o_year"],
+            o["o_totalprice"].alias("price"),
+            c["c_name"].alias("customer_name"),
+        )
+        .toDF()
+    )
+
+
+def q_drop_column(spark, sf_dir):
+    """P5: side-aware drop on join output."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    n = _s(spark, sf_dir, "nation", ["c_nationkey"], renames={"n_nationkey": "c_nationkey"})
+    return (
+        c.join(n, "inner")
+        .onKeys("c_nationkey")
+        .drop(c["c_acctbal"])
+        .drop(n["n_regionkey"])
+        .toDF()
+    )
+
+
+def q_union(spark, sf_dir):
+    """U1: union of a join pipeline's output with another DataFrame."""
+    _prep(spark)
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"])
+    o2 = _s(spark, sf_dir, "orders", ["o_orderkey"])
+    low = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") < 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return (
+        o.join(o2, "inner")
+        .onKeys("o_orderkey")
+        .select(o["o_orderkey"], o["o_totalprice"])
+        .to(lambda df: df.where(F.col("o_totalprice") >= 1000))
+        .union(low)
+        .toDF()
+    )
+
+
+def q_agg_sum_count(spark, sf_dir):
+    """A1: additive grouped aggregation (sum/count)."""
+    _prep(spark)
+    l = _s(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .toDF()
+    )
+
+
+def q_agg_avg_min_max(spark, sf_dir):
+    """A2: non-additive aggregates (avg/min/max) — built-in combine recipes
+    where the reference requires hand-written .reduce()."""
+    _prep(spark)
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"])
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .toDF()
+    )
+
+
+def q_join_then_agg(spark, sf_dir):
+    """A3 chain: join → groupBy staging composition."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    return (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .toDF()
+    )
+
+
+def q_agg_then_join(spark, sf_dir):
+    """A3 chain: groupBy → join (aggregate becomes a keyed stream)."""
+    _prep(spark)
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    totals = o.groupBy("c_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("cust_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tstream = totals.stage("cust_totals")
+    return (
+        tstream.join(c, "inner")
+        .onKeys("c_custkey")
+        .select(c["c_custkey"], c["c_name"], tstream["cust_total"], tstream["n_orders"])
+        .toDF()
+    )
+
+
+def q_dedup_latest_per_key(spark, sf_dir):
+    """J6/W1: latest change per key via row_number window — the engine's
+    per-key change dedup exposed as an operator (events: latest event per
+    user)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import latest_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, keys=["user_id"], order_by=["ts", "event_id"]
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def q_anti_join(spark, sf_dir):
+    """J7: anti-join (customers with no orders)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import anti_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return anti_join(c, o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: wide grouped aggregation over lineitem (bench anchor)."""
+    _prep(spark)
+    l = _s(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).to(
+        lambda df: df.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .toDF()
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective 3-way join + agg (bench anchor)."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"]).to(
+        lambda df: df.where(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"}).to(
+        lambda df: df.where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    )
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    ).to(lambda df: df.where(F.col("l_shipdate") > F.lit("1995-03-15")))
+    return (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .join(l, "inner")
+        .onKeys("o_orderkey")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .toDF()
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way join chain through region/nation (bench anchor;
+    small dims broadcast)."""
+    _prep(spark)
+    r = _s(spark, sf_dir, "region", ["r_regionkey"]).to(
+        lambda df: df.where(F.col("r_name") == "ASIA")
+    )
+    n = _s(spark, sf_dir, "nation", ["n_nationkey"], renames={"n_regionkey": "r_regionkey"})
+    c = _s(spark, sf_dir, "customer", ["c_custkey"], renames={"c_nationkey": "n_nationkey"})
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    )
+    return (
+        r.join(n, "inner")
+        .onKeys("r_regionkey")
+        .join(c, "inner")
+        .onKeys("n_nationkey")
+        .join(o, "inner")
+        .onKeys("c_custkey")
+        .join(l, "inner")
+        .onKeys("o_orderkey")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .toDF()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "join_right": q_join_right,
+        "join_theta": q_join_theta,
+        "join_chain3": q_join_chain3,
+        "select_transform": q_select_transform,
+        "drop_column": q_drop_column,
+        "union_all": q_union,
+        "agg_sum_count": q_agg_sum_count,
+        "agg_avg_min_max": q_agg_avg_min_max,
+        "join_then_agg": q_join_then_agg,
+        "agg_then_join": q_agg_then_join,
+        "dedup_latest_per_key": q_dedup_latest_per_key,
+        "anti_join": q_anti_join,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "join_inner": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   o.o_orderkey, o.o_totalprice, o.o_orderstatus
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "join_left": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "join_right": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "join_theta": """
+            SELECT p.p_partkey, p.p_size, l.l_orderkey, l.l_quantity
+            FROM part p JOIN lineitem l
+              ON p.p_partkey = l.l_partkey AND p.p_size < 10
+        """,
+        "join_chain3": """
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY c.c_mktsegment, o.o_orderpriority
+        """,
+        "select_transform": """
+            SELECT o.o_orderkey,
+                   EXTRACT(year FROM o.o_orderdate)::INT AS o_year,
+                   o.o_totalprice AS price,
+                   c.c_name AS customer_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "drop_column": """
+            SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment, n.n_name
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "union_all": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 1000
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000
+        """,
+        "agg_sum_count": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_avg_min_max": """
+            SELECT o_orderpriority,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "join_then_agg": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "agg_then_join": """
+            SELECT c.c_custkey, c.c_name, t.cust_total, t.n_orders
+            FROM (
+                SELECT o_custkey AS c_custkey,
+                       ROUND(SUM(o_totalprice), 2) AS cust_total,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            ) t JOIN customer c ON t.c_custkey = c.c_custkey
+        """,
+        "dedup_latest_per_key": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+            )
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+    }

@@ -1,0 +1,323 @@
+"""Join pipeline builder.
+
+Capability parity with the reference join chain (elzyme/joins.py):
+
+- ``.onKeys(*keys)`` — AND-folded key equality, duplicate key column of the
+  non-preserved side dropped (reference: elzyme/joins.py:183-201).
+- ``.on(expr)`` — arbitrary theta condition built from stream-scoped column
+  refs (reference Expression AST: elzyme/joins.py:203-269; ours lowers
+  directly to ``pyspark.sql.Column``).
+- ``.select`` / ``.drop`` / ``.to`` / ``.union`` — projection layer
+  (reference Selector: elzyme/joins.py:62-143, 929-934, 861-865).
+- chaining ``.join(...)`` / ``.groupBy(...)`` — multi-stage pipelines; key
+  metadata (nullable on the outer side) composes across stages (reference:
+  elzyme/joins.py:603-617, 804-859).
+
+Execution modes:
+
+- **batch** (``toDF``): the whole pipeline lowers to one declarative
+  DataFrame plan — Catalyst handles pushdown / join strategy / AQE. This is
+  the oracle-verified twin.
+- **incremental** (``writeTo``): each stage becomes a Structured Streaming
+  query doing the three-leg delta join against version-pinned snapshots,
+  merging into a ChangeTable (see streamjoin_spark/streaming/incremental.py).
+
+Only inner/left/right joins are user-facing, matching the reference
+(elzyme/joins.py:322-326 raises otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..columns import Binding, ColumnRef, Expr, StarRef
+from ..streams import METADATA_COLUMNS, Stream
+
+SUPPORTED_JOINS = ("inner", "left", "right")
+
+
+class KeyInfo:
+    """A merge key with nullability — keys from the non-preserved side of an
+    outer join can be null in the result (reference tracks this as
+    nonNull/nullable PK sets composed across stages, elzyme/joins.py:603-617)."""
+
+    def __init__(self, name: str, nullable: bool = False):
+        self.name = name
+        self.nullable = nullable
+
+    def __repr__(self) -> str:
+        return f"KeyInfo({self.name!r}{', nullable' if self.nullable else ''})"
+
+
+def compose_keys(
+    left_keys: Sequence[KeyInfo], right_keys: Sequence[KeyInfo], how: str,
+    dropped: set[str] | None = None,
+) -> list[KeyInfo]:
+    """Merge-key composition across a join (reference: elzyme/joins.py:603-617,
+    804-810): both sides' keys survive; the non-preserved outer side's keys
+    become nullable; keys deduplicated by name (onKeys drops one copy)."""
+    dropped = dropped or set()
+    out: list[KeyInfo] = []
+    seen: set[str] = set()
+    for k in left_keys:
+        nullable = k.nullable or how == "right"
+        if k.name not in seen:
+            out.append(KeyInfo(k.name, nullable))
+            seen.add(k.name)
+    for k in right_keys:
+        nullable = k.nullable or how == "left"
+        if k.name in dropped:
+            continue
+        if k.name not in seen:
+            out.append(KeyInfo(k.name, nullable))
+            seen.add(k.name)
+    return out
+
+
+class JoinBuilder:
+    """Fluent join-pipeline builder over two Streams (reference
+    ``StreamToStreamJoin`` → ``StreamToStreamJoinWithCondition`` chain,
+    elzyme/joins.py:145-201)."""
+
+    def __init__(self, left: Stream, right: Stream, how: str = "inner"):
+        if how not in SUPPORTED_JOINS:
+            raise ValueError(
+                f"unsupported join type {how!r}; supported: {SUPPORTED_JOINS} "
+                "(parity with reference elzyme/joins.py:322-326)"
+            )
+        self.left = left
+        self.right = right
+        self.how = how
+        self._on_keys: tuple[str, ...] = ()
+        self._condition: Expr | None = None
+        self._selects: list[Any] | None = None
+        self._drops: list[ColumnRef] = []
+        self._maps: list[Callable] = []
+        self._unions: list[DataFrame] = []
+
+    # ------------------------------------------------------------------
+    # condition
+    # ------------------------------------------------------------------
+    def onKeys(self, *keys: str) -> "JoinBuilder":
+        self._on_keys = tuple(keys)
+        return self
+
+    def on(self, condition: Expr) -> "JoinBuilder":
+        self._condition = condition
+        return self
+
+    # ------------------------------------------------------------------
+    # projection layer
+    # ------------------------------------------------------------------
+    def select(self, *cols: Any) -> "JoinBuilder":
+        self._selects = list(cols)
+        return self
+
+    def drop(self, ref: ColumnRef) -> "JoinBuilder":
+        """Side-aware drop (reference: elzyme/joins.py:929-934)."""
+        self._drops.append(ref)
+        return self
+
+    def to(self, func: Callable[[DataFrame], DataFrame]) -> "JoinBuilder":
+        """Arbitrary transform over the join output (reference ``.to()``,
+        elzyme/joins.py:524-525)."""
+        self._maps.append(func)
+        return self
+
+    def union(self, other: DataFrame) -> "JoinBuilder":
+        """Union another DataFrame onto the join output (reference:
+        elzyme/joins.py:861-865)."""
+        self._unions.append(other)
+        return self
+
+    # ------------------------------------------------------------------
+    # plan construction (shared by batch twin and incremental legs)
+    # ------------------------------------------------------------------
+    def _join_condition(self, binding: Binding, lq: str, rq: str) -> Column:
+        if self._condition is not None:
+            return self._condition.column(binding)
+        if not self._on_keys:
+            raise ValueError("join needs .onKeys(...) or .on(...)")
+        cond = None
+        for k in self._on_keys:
+            c = F.col(f"{lq}.`{k}`") == F.col(f"{rq}.`{k}`")
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    def _preserved_side(self) -> str:
+        return "right" if self.how == "right" else "left"
+
+    def _dropped_key_names(self) -> set[str]:
+        # onKeys keeps the preserved side's key column only (reference
+        # auto-drops the duplicate, elzyme/joins.py:183-201).
+        return set(self._on_keys)
+
+    def _output_columns(
+        self,
+        binding: Binding,
+        lq: str,
+        rq: str,
+        lcols: list[str],
+        rcols: list[str],
+    ) -> list[Column]:
+        """Resolve the projection: explicit selects, or both-side '*' with
+        duplicate-key dedup (reference Selector.select, elzyme/joins.py:62-143)."""
+        preserved = self._preserved_side()
+        drop_left: set[str] = set()
+        drop_right: set[str] = set()
+        if self._on_keys:
+            if preserved == "left":
+                drop_right |= self._dropped_key_names()
+            else:
+                drop_left |= self._dropped_key_names()
+        for ref in self._drops:
+            if ref.stream is self.left:
+                drop_left.add(ref.name)
+            elif ref.stream is self.right:
+                drop_right.add(ref.name)
+            else:
+                raise ValueError(f"drop ref {ref!r} does not belong to either side")
+
+        selects = self._selects
+        if selects is None:
+            selects = [StarRef(self.left), StarRef(self.right)]
+
+        cols: list[Column] = []
+        names_emitted: set[str] = set()
+
+        def emit(qualifier: str, name: str, out_name: str | None = None):
+            out = out_name or name
+            if out in names_emitted:
+                return
+            names_emitted.add(out)
+            cols.append(F.col(f"{qualifier}.`{name}`").alias(out))
+
+        def star(stream, qualifier: str, dropped: set[str], names: list[str]):
+            for name in names:
+                if name not in METADATA_COLUMNS and name not in dropped:
+                    emit(qualifier, name)
+
+        for item in selects:
+            if isinstance(item, StarRef):
+                if item.stream is self.left:
+                    star(self.left, lq, drop_left, lcols)
+                else:
+                    star(self.right, rq, drop_right, rcols)
+            elif isinstance(item, ColumnRef):
+                q = lq if item.stream is self.left else rq
+                emit(q, item.name, item.output_name)
+            elif isinstance(item, Expr):
+                out_name = item.output_name
+                col = item.column(binding)
+                if out_name and out_name in names_emitted:
+                    continue
+                if out_name:
+                    names_emitted.add(out_name)
+                cols.append(col)
+            elif isinstance(item, str):
+                if item == "*":
+                    star(self.left, lq, drop_left, lcols)
+                    star(self.right, rq, drop_right, rcols)
+                else:
+                    # bare string resolves against whichever side has it,
+                    # preferring the preserved side (reference resolves mixed
+                    # string selects the same way, elzyme/joins.py:72-101).
+                    order = (
+                        [(lq, lcols), (rq, rcols)]
+                        if preserved == "left"
+                        else [(rq, rcols), (lq, lcols)]
+                    )
+                    for q, names in order:
+                        if item in names:
+                            emit(q, item)
+                            break
+                    else:
+                        raise ValueError(f"column {item!r} not found on either side")
+            elif isinstance(item, Column):
+                cols.append(item)
+            else:
+                raise TypeError(f"unsupported select item: {item!r}")
+        return cols
+
+    _ALIAS_COUNTER = 0
+
+    def _execute(self, ldf: DataFrame, rdf: DataFrame) -> DataFrame:
+        """Join two bound DataFrames with alias-qualified resolution (safe for
+        self-joins: both sides may share one logical plan)."""
+        JoinBuilder._ALIAS_COUNTER += 1
+        lq = f"sjl{JoinBuilder._ALIAS_COUNTER}"
+        rq = f"sjr{JoinBuilder._ALIAS_COUNTER}"
+        lcols, rcols = ldf.columns, rdf.columns
+        ldf_a, rdf_a = ldf.alias(lq), rdf.alias(rq)
+        binding = Binding.of((self.left, lq), (self.right, rq))
+        cond = self._join_condition(binding, lq, rq)
+        joined = ldf_a.join(rdf_a, cond, self.how)
+        out_cols = self._output_columns(binding, lq, rq, lcols, rcols)
+        out = joined.select(*out_cols)
+        for fn in self._maps:
+            out = fn(out)
+        for u in self._unions:
+            out = out.unionByName(u)
+        return out
+
+    # ------------------------------------------------------------------
+    # batch twin
+    # ------------------------------------------------------------------
+    def toDF(self) -> DataFrame:
+        """Execute the whole pipeline as one declarative batch plan."""
+        return self._execute(self.left.static(), self.right.static())
+
+    # ------------------------------------------------------------------
+    # key metadata for chaining / merge
+    # ------------------------------------------------------------------
+    def composed_keys(self) -> list[KeyInfo]:
+        lkeys = [KeyInfo(k) for k in self.left.primary_keys]
+        rkeys = [KeyInfo(k) for k in self.right.primary_keys]
+        return compose_keys(lkeys, rkeys, self.how, self._dropped_key_names())
+
+    def sequence_columns(self) -> tuple[str, ...]:
+        # Sequence columns survive if they are still present in the output;
+        # preserved side wins (reference carries surviving sequence columns
+        # into the staged stream, elzyme/joins.py:838-858).
+        preserved = self.left if self._preserved_side() == "left" else self.right
+        return preserved.sequence_columns
+
+    # ------------------------------------------------------------------
+    # chaining (reference staging pattern, elzyme/joins.py:812-859)
+    # ------------------------------------------------------------------
+    def stage(self, name: str | None = None) -> Stream:
+        """Materialize this stage as a Stream for chaining. In batch mode the
+        'staging table' is just the lazily-composed DataFrame — Catalyst
+        fuses the stages into one plan (no materialization barrier). The
+        incremental path materializes a real ChangeTable instead."""
+        df = self.toDF()
+        staged = Stream.fromDataFrame(df, name or f"stage_{self.left.name}_{self.right.name}")
+        staged.primaryKeys(*[k.name for k in self.composed_keys()])
+        staged.sequenceBy(*[s for s in self.sequence_columns() if s in df.columns])
+        return staged
+
+    def join(self, right: Stream, how: str = "inner") -> "JoinBuilder":
+        return JoinBuilder(self.stage(), right, how)
+
+    def groupBy(self, *cols: str):
+        from .aggs import GroupBy
+
+        return GroupBy(self.stage(), cols)
+
+    # ------------------------------------------------------------------
+    # incremental sink (Structured Streaming path)
+    # ------------------------------------------------------------------
+    def writeToPath(self, path: str, partition_by: Sequence[str] = ()):
+        from ..streaming.incremental import IncrementalJoinWriter
+
+        return IncrementalJoinWriter(self, path, partition_by=tuple(partition_by))
+
+    def foreachBatch(self, func: Callable[[DataFrame, int], None]):
+        """User-supplied sink over each joined, deduped microbatch
+        (reference: elzyme/joins.py:536-554)."""
+        from ..streaming.incremental import IncrementalJoinWriter
+
+        return IncrementalJoinWriter(self, None, foreach_batch=func)

@@ -1,0 +1,218 @@
+"""``Stream`` — the engine's source abstraction.
+
+Reference model (elzyme/streams.py:96-240): a Stream couples
+(1) a change-feed reader (Delta CDF readStream, deletes filtered),
+(2) a versioned static snapshot reader,
+(3) primary keys and optional sequence columns.
+
+This engine keeps the same model but is storage-agnostic:
+
+- backed by a :class:`~streamjoin_spark.changelog.ChangeTable` (our
+  versioned-parquet changelog, the open-source stand-in for Delta CDF), it
+  exposes a *real* change stream via the Structured Streaming file source
+  plus version-pinned snapshots — the full incremental path;
+- backed by a plain DataFrame / parquet path, it is a static source whose
+  pipelines execute in batch mode — the twin used for oracle-verified
+  correctness (every streaming operator has a batch twin, SURVEY.md §7).
+
+Keys and sequence columns are metadata carried on the Stream, exactly as in
+the reference (``primaryKeys`` required for MERGE targets, ``sequenceBy``
+optional ordering — reference: elzyme/streams.py:215-227).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .columns import ColumnRef, StarRef
+
+if TYPE_CHECKING:
+    from .changelog import ChangeTable
+
+# Change-feed metadata columns (same names as Delta CDF so the model is
+# drop-in compatible; reference hides them from user selects,
+# elzyme/streams.py:108,197-198).
+CHANGE_TYPE = "_change_type"
+COMMIT_VERSION = "_commit_version"
+METADATA_COLUMNS = [CHANGE_TYPE, COMMIT_VERSION]
+
+INSERT = "insert"
+UPDATE_PRE = "update_preimage"
+UPDATE_POST = "update_postimage"
+DELETE = "delete"
+
+
+class Stream:
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        static_fn: Callable[[int | None], DataFrame],
+        stream_fn: Callable[[], DataFrame] | None = None,
+        change_table: "ChangeTable | None" = None,
+        transforms: tuple[Callable[[DataFrame], DataFrame], ...] = (),
+    ):
+        self.spark = spark
+        self.name = name
+        self._static_fn = static_fn
+        self._stream_fn = stream_fn
+        self.change_table = change_table
+        self._transforms = transforms
+        self._primary_keys: tuple[str, ...] = ()
+        self._sequence_by: tuple[str, ...] = ()
+        self._partition_by: tuple[str, ...] = ()
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+    @staticmethod
+    def fromDataFrame(df: DataFrame, name: str = "df") -> "Stream":
+        """Static source from an in-memory DataFrame (batch twin)."""
+        return Stream(df.sparkSession, name, lambda version, d=df: d)
+
+    @staticmethod
+    def fromPath(
+        spark: SparkSession, path: str, fmt: str = "parquet", name: str | None = None
+    ) -> "Stream":
+        """Static source from a file path (reference ``Stream.fromPath``,
+        elzyme/streams.py:126-134; ours reads parquet/orc/json/csv instead of
+        Delta)."""
+        name = name or path.rstrip("/").split("/")[-1].split(".")[0]
+        return Stream(spark, name, lambda version: spark.read.format(fmt).load(path))
+
+    @staticmethod
+    def fromChangeTable(ct: "ChangeTable", name: str | None = None) -> "Stream":
+        """Incremental source over our changelog substrate — change feed via
+        the Structured Streaming file source, snapshots pinned by version
+        (reference CDF source: elzyme/streams.py:126-144)."""
+        return Stream(
+            ct.spark,
+            name or ct.name,
+            static_fn=lambda version: ct.snapshot(version),
+            stream_fn=ct.read_change_stream,
+            change_table=ct,
+        )
+
+    # ------------------------------------------------------------------
+    # metadata builders (fluent, reference elzyme/streams.py:215-233)
+    # ------------------------------------------------------------------
+    def primaryKeys(self, *keys: str) -> "Stream":
+        self._primary_keys = tuple(keys)
+        return self
+
+    def sequenceBy(self, *cols: str) -> "Stream":
+        self._sequence_by = tuple(cols)
+        return self
+
+    def partitionBy(self, *cols: str) -> "Stream":
+        self._partition_by = tuple(cols)
+        return self
+
+    def to(self, func: Callable[[DataFrame], DataFrame]) -> "Stream":
+        """Rewrite both the static and streaming reader with an arbitrary
+        DataFrame transform (rename, withColumn, filter — reference
+        ``Stream.to``, elzyme/streams.py:235-240)."""
+        clone = Stream(
+            self.spark,
+            self.name,
+            self._static_fn,
+            self._stream_fn,
+            self.change_table,
+            self._transforms + (func,),
+        )
+        clone._primary_keys = self._primary_keys
+        clone._sequence_by = self._sequence_by
+        clone._partition_by = self._partition_by
+        return clone
+
+    # ------------------------------------------------------------------
+    # accessors
+    # ------------------------------------------------------------------
+    @property
+    def primary_keys(self) -> tuple[str, ...]:
+        return self._primary_keys
+
+    @property
+    def sequence_columns(self) -> tuple[str, ...]:
+        return self._sequence_by
+
+    @property
+    def partition_columns(self) -> tuple[str, ...]:
+        return self._partition_by
+
+    def _apply_transforms(self, df: DataFrame) -> DataFrame:
+        for fn in self._transforms:
+            df = fn(df)
+        return df
+
+    def static(self, version: int | None = None) -> DataFrame:
+        """Static snapshot, optionally pinned at a commit version (reference
+        ``Stream.static`` / ``readAtVersion``, elzyme/streams.py:118-124,
+        203-208)."""
+        return self._apply_transforms(self._static_fn(version))
+
+    def stream(self) -> DataFrame:
+        """The change-feed readStream (deletes ride along as ``_change_type =
+        'delete'`` rows — unlike the reference, which silently drops deletes
+        at the source (elzyme/streams.py:132,142), we propagate them and let
+        the sink decide; see SURVEY.md §4 'known semantic edge cases')."""
+        if self._stream_fn is None:
+            raise ValueError(f"stream {self.name!r} is static-only (no change feed)")
+        return self._apply_transforms(self._stream_fn())
+
+    def latest_version(self) -> int:
+        """Current committed version (reference ``getLatestVersion``,
+        elzyme/streams.py:210-213)."""
+        if self.change_table is None:
+            return 0
+        return self.change_table.version()
+
+    def columns(self) -> list[str]:
+        """User-visible columns — change-feed metadata hidden (reference
+        ``excludedColumns``, elzyme/streams.py:108,197-198)."""
+        return [c for c in self.static().columns if c not in METADATA_COLUMNS]
+
+    # ------------------------------------------------------------------
+    # column references
+    # ------------------------------------------------------------------
+    def __getitem__(self, name: str):
+        if name == "*":
+            return StarRef(self)
+        return ColumnRef(self, name)
+
+    # ------------------------------------------------------------------
+    # pipeline entry points
+    # ------------------------------------------------------------------
+    def join(self, right: "Stream", how: str = "inner"):
+        """Start a join pipeline (reference ``Stream.join``,
+        elzyme/streams.py:229-230). Supported: inner/left/right, as in the
+        reference (elzyme/joins.py:322-326)."""
+        from .operators.joins import JoinBuilder
+
+        return JoinBuilder(self, right, how)
+
+    def groupBy(self, *cols: str):
+        """Start an aggregation pipeline (reference ``Stream.groupBy``,
+        elzyme/streams.py:232-233)."""
+        from .operators.aggs import GroupBy
+
+        return GroupBy(self, cols)
+
+    def __repr__(self) -> str:
+        return f"Stream({self.name!r}, pk={self._primary_keys}, seq={self._sequence_by})"
+
+
+class PruneColumn:
+    """Marker for dynamic merge pruning: at merge time, collect the batch's
+    distinct values of this column and restrict the MERGE scan with an
+    IN-list (reference ``prune``, elzyme/streams.py:86-94 and
+    elzyme/joins.py:619-632)."""
+
+    def __init__(self, ref: ColumnRef):
+        self.ref = ref
+
+
+def prune(ref: ColumnRef) -> PruneColumn:
+    return PruneColumn(ref)

@@ -1,0 +1,109 @@
+"""ChangeTable substrate: commits, snapshots, change feed, merge semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamjoin_spark.changelog import ChangeTable
+from streamjoin_spark.streams import CHANGE_TYPE, COMMIT_VERSION, DELETE, INSERT, UPDATE_POST, UPDATE_PRE
+
+
+@pytest.fixture()
+def ct(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "b", 20.0, 1)],
+        "id long, name string, amount double, seq int",
+    )
+    table = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], sequence_by=["seq"]
+    )
+    table.merge(df)
+    return table
+
+
+def test_create_and_version(ct):
+    assert ct.version() == 1
+    assert ct.primary_keys == ("id",)
+
+
+def test_first_merge_all_inserts(ct):
+    feed = ct.read_change_feed()
+    assert feed.where(F.col(CHANGE_TYPE) == INSERT).count() == 2
+    assert feed.count() == 2
+
+
+def test_merge_update_and_insert(ct, spark):
+    batch = spark.createDataFrame(
+        [(2, "b2", 25.0, 2), (3, "c", 30.0, 1)],
+        "id long, name string, amount double, seq int",
+    )
+    v = ct.merge(batch)
+    assert v == 2
+    snap = {r["id"]: r for r in ct.snapshot().collect()}
+    assert snap[2]["name"] == "b2" and snap[3]["name"] == "c" and len(snap) == 3
+    feed = ct.read_change_feed(starting_version=2)
+    by_type = {r[0]: r[1] for r in feed.groupBy(CHANGE_TYPE).count().collect()}
+    assert by_type == {INSERT: 1, UPDATE_PRE: 1, UPDATE_POST: 1}
+
+
+def test_merge_stale_row_ignored(ct, spark):
+    stale = spark.createDataFrame(
+        [(1, "a_old", 5.0, 0)], "id long, name string, amount double, seq int"
+    )
+    ct.merge(stale)
+    snap = {r["id"]: r for r in ct.snapshot().collect()}
+    assert snap[1]["name"] == "a"  # seq 0 < existing seq 1 → not applied
+
+
+def test_merge_batch_dedup_latest_wins(ct, spark):
+    batch = spark.createDataFrame(
+        [(5, "x1", 1.0, 1), (5, "x2", 2.0, 3), (5, "x0", 0.0, 2)],
+        "id long, name string, amount double, seq int",
+    )
+    ct.merge(batch)
+    snap = {r["id"]: r for r in ct.snapshot().collect()}
+    assert snap[5]["name"] == "x2"
+
+
+def test_snapshot_version_pinning(ct, spark):
+    v1 = ct.version()
+    ct.merge(
+        spark.createDataFrame(
+            [(9, "z", 0.0, 1)], "id long, name string, amount double, seq int"
+        )
+    )
+    assert ct.snapshot(v1).count() == 2
+    assert ct.snapshot().count() == 3
+
+
+def test_delete_where(ct):
+    ct.delete_where(F.col("id") == 1)
+    assert ct.snapshot().count() == 1
+    feed = ct.read_change_feed(starting_version=ct.version())
+    rows = feed.collect()
+    assert len(rows) == 1 and rows[0][CHANGE_TYPE] == DELETE
+
+
+def test_append_fast_path(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1.0)], "event_id long, value double")
+    t = ChangeTable.create(spark, str(tmp_path / "e"), df.schema, ["event_id"])
+    t.append(df)
+    t.append(spark.createDataFrame([(2, 2.0)], "event_id long, value double"))
+    assert t.snapshot().count() == 2
+    assert t.read_change_feed().where(F.col(CHANGE_TYPE) == INSERT).count() == 2
+
+
+def test_change_stream_microbatches(ct, spark, tmp_path):
+    """The changes/ dir drives a real Structured Streaming query."""
+    out = []
+    q = (
+        ct.read_change_stream()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_smoke")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM cdc_smoke").collect()[0][0]
+    assert got == ct.read_change_feed(0).count()

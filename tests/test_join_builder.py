@@ -1,0 +1,143 @@
+"""Batch-twin tests for the join builder against plain DataFrame oracles."""
+
+import pyspark.sql.functions as F
+
+from streamjoin_spark import Stream
+
+from .conftest import load
+
+
+def same(a, b):
+    """Bidirectional multiset equality, order-insensitive — the reference's
+    oracle protocol (compare_dataframes, tests/SetupInputStream.py:214-227)."""
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_inner_join_on_keys(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    o = Stream.fromDataFrame(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders"
+    ).primaryKeys("o_orderkey")
+
+    got = c.join(o, "inner").onKeys("c_custkey").toDF()
+    exp = cust.join(orders, cust.c_custkey == orders.o_custkey, "inner").drop("o_custkey")
+    assert set(got.columns) == set(exp.columns)
+    same(got.select(*sorted(got.columns)), exp.select(*sorted(got.columns)))
+
+
+def test_left_join_keeps_unmatched(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    o = Stream.fromDataFrame(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders"
+    ).primaryKeys("o_orderkey")
+
+    got = c.join(o, "left").onKeys("c_custkey").toDF()
+    exp = cust.join(orders, cust.c_custkey == orders.o_custkey, "left").drop("o_custkey")
+    same(got.select(*sorted(got.columns)), exp.select(*sorted(got.columns)))
+    assert got.count() >= cust.count()
+
+
+def test_theta_join_expression(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    p = Stream.fromDataFrame(part, "part").primaryKeys("p_partkey")
+    l = Stream.fromDataFrame(li, "lineitem").primaryKeys("l_orderkey", "l_linenumber")
+
+    got = (
+        p.join(l, "inner")
+        .on((p["p_partkey"] == l["l_partkey"]) & (p["p_size"] < 10))
+        .select(p["p_partkey"], p["p_size"], l["l_quantity"])
+        .toDF()
+    )
+    exp = part.join(li, (part.p_partkey == li.l_partkey) & (part.p_size < 10)).select(
+        "p_partkey", "p_size", "l_quantity"
+    )
+    same(got, exp)
+
+
+def test_select_star_dedups_key(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    n = Stream.fromDataFrame(
+        nation.withColumnRenamed("n_nationkey", "c_nationkey"), "nation"
+    ).primaryKeys("c_nationkey")
+    got = c.join(n, "inner").onKeys("c_nationkey").toDF()
+    # joined key appears exactly once
+    assert got.columns.count("c_nationkey") == 1
+
+
+def test_chain_three_way(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    o = Stream.fromDataFrame(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders"
+    ).primaryKeys("o_orderkey")
+    l = Stream.fromDataFrame(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem"
+    ).primaryKeys("o_orderkey", "l_linenumber")
+
+    got = c.join(o, "inner").onKeys("c_custkey").join(l, "inner").onKeys("o_orderkey").toDF()
+    exp = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .drop("o_custkey", "l_orderkey")
+    )
+    assert got.count() == exp.count()
+
+
+def test_groupby_agg_batch(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    l = Stream.fromDataFrame(li, "lineitem")
+    got = (
+        l.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .toDF()
+    )
+    exp = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+    same(got, exp)
+
+
+def test_join_then_groupby_chain(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    o = Stream.fromDataFrame(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders"
+    ).primaryKeys("o_orderkey")
+    got = (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total"))
+        .toDF()
+    )
+    exp = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    same(got, exp)
+
+
+def test_union_and_transform(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    o1 = Stream.fromDataFrame(orders, "orders").primaryKeys("o_orderkey")
+    o2 = Stream.fromDataFrame(orders, "orders2").primaryKeys("o_orderkey")
+    extra = orders.limit(5).select("o_orderkey", "o_totalprice")
+    got = (
+        o1.join(o2, "inner")
+        .onKeys("o_orderkey")
+        .select(o1["o_orderkey"], o1["o_totalprice"])
+        .union(extra)
+        .toDF()
+    )
+    assert got.count() == orders.count() + 5
