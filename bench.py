@@ -1,0 +1,89 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Usage: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "join_inner",
+    "join_chain3",
+    "agg_sum_count",
+    "dedup_latest_per_key",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("streamjoin-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any queries not in the headline list so the bench tracks
+    # coverage growth round over round
+    names += [n for n in qs if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        # warm the input cache path once (file listing, schema inference)
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record failure, keep benching
+            timings[name] = -1.0
+            print(f"# bench failure {name}: {e}", file=sys.stderr)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -313,6 +313,89 @@ class ChangeTable:
         applied.unpersist()
         return v
 
+    def replace_keys(
+        self, scope_keys: DataFrame, key_cols: Sequence[str], new_rows: DataFrame
+    ) -> int:
+        """Replace every row whose ``key_cols`` tuple appears in ``scope_keys``
+        with the rows of ``new_rows``, emitting a minimal change feed
+        (insert / update pre+post / delete) computed by diffing old vs new
+        within the scope.
+
+        This is the engine's upsert primitive for incremental view
+        maintenance by *affected-slice recomputation*: the caller recomputes
+        the correct result for a small, delta-derived key scope and this
+        method reconciles the target — handling superseded outer-join null
+        rows, FK moves, and deletes uniformly, where the reference needs the
+        combinatorial outer-merge resolution (elzyme/joins.py:584-744).
+
+        Scale: ``scope_keys`` is delta-derived and broadcast; the snapshot
+        side never shuffles. The snapshot rewrite is the same copy-on-write
+        cost as a Delta MERGE.
+        """
+        v = self.version() + 1
+        cur = self.snapshot(v - 1)
+        key_cols = list(key_cols)
+        scope = F.broadcast(scope_keys.select(*key_cols).dropDuplicates(key_cols))
+
+        def scope_cond(a: str, b: str):
+            cond = None
+            for k in key_cols:
+                c = F.col(f"{a}.`{k}`").eqNullSafe(F.col(f"{b}.`{k}`"))
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        C, K, N, O = "cur", "scope", "new", "old"
+        survivors = cur.alias(C).join(
+            scope.alias(K), scope_cond(C, K), "left_anti"
+        ).select(*self._data_cols())
+        old_scope = cur.alias(C).join(
+            scope.alias(K), scope_cond(C, K), "left_semi"
+        ).select(*self._data_cols()).persist()
+        new_rows = new_rows.select(*self._data_cols()).persist()
+
+        new_snapshot = survivors.unionByName(new_rows)
+
+        pk_cond = self._pk_cond(N, O)
+        inserts = new_rows.alias(N).join(
+            old_scope.alias(O), pk_cond, "left_anti"
+        ).select(*self._data_cols())
+        deletes = old_scope.alias(O).join(
+            new_rows.alias(N), self._pk_cond(O, N), "left_anti"
+        ).select(*self._data_cols())
+        data_struct = lambda q: F.struct(*[F.col(f"{q}.`{c}`") for c in self._data_cols()])
+        changed_pairs = (
+            new_rows.alias(N)
+            .join(old_scope.alias(O), pk_cond, "inner")
+            .where(~data_struct(N).eqNullSafe(data_struct(O)))
+            .persist()
+        )
+        pre = changed_pairs.select(*[F.col(f"{O}.`{c}`").alias(c) for c in self._data_cols()])
+        post = changed_pairs.select(*[F.col(f"{N}.`{c}`").alias(c) for c in self._data_cols()])
+
+        tag = lambda df, t: (
+            df.withColumn(CHANGE_TYPE, F.lit(t)).withColumn(
+                COMMIT_VERSION, F.lit(v).cast("long")
+            )
+        )
+        changes = (
+            tag(inserts, INSERT)
+            .unionByName(tag(pre, UPDATE_PRE))
+            .unionByName(tag(post, UPDATE_POST))
+            .unionByName(tag(deletes, DELETE))
+        ).persist()
+        try:
+            # no-op batches must not commit: an empty commit would produce new
+            # change files, re-trigger downstream stages, and loop forever.
+            if changes.isEmpty():
+                return v - 1
+            self._write_commit(new_snapshot, changes, v)
+            return v
+        finally:
+            old_scope.unpersist()
+            new_rows.unpersist()
+            changed_pairs.unpersist()
+            changes.unpersist()
+
     def delete_where(self, condition) -> int:
         """Delete rows matching a condition, emitting ``delete`` change rows.
         The reference silently drops deletes at the source (elzyme/

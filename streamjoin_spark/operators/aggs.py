@@ -120,10 +120,9 @@ class GroupByWithAggs:
     # reference: elzyme/aggs.py:112-136)
     # ------------------------------------------------------------------
     def stage(self, name: str | None = None) -> Stream:
-        df = self.toDF()
-        staged = Stream.fromDataFrame(df, name or f"agg_{self.source.name}")
-        staged.primaryKeys(*self.group_cols)
-        return staged
+        from .joins import StagedStream
+
+        return StagedStream(self, name or f"agg_{self.source.name}")
 
     def join(self, right: Stream, how: str = "inner"):
         from .joins import JoinBuilder

@@ -288,16 +288,14 @@ class JoinBuilder:
     # ------------------------------------------------------------------
     # chaining (reference staging pattern, elzyme/joins.py:812-859)
     # ------------------------------------------------------------------
-    def stage(self, name: str | None = None) -> Stream:
-        """Materialize this stage as a Stream for chaining. In batch mode the
+    def stage(self, name: str | None = None) -> "StagedStream":
+        """Expose this stage as a Stream for chaining. In batch mode the
         'staging table' is just the lazily-composed DataFrame — Catalyst
         fuses the stages into one plan (no materialization barrier). The
-        incremental path materializes a real ChangeTable instead."""
-        df = self.toDF()
-        staged = Stream.fromDataFrame(df, name or f"stage_{self.left.name}_{self.right.name}")
-        staged.primaryKeys(*[k.name for k in self.composed_keys()])
-        staged.sequenceBy(*[s for s in self.sequence_columns() if s in df.columns])
-        return staged
+        incremental path materializes the stage as a real ChangeTable and
+        re-streams its change feed (reference staging tables,
+        elzyme/joins.py:812-859)."""
+        return StagedStream(self, name)
 
     def join(self, right: Stream, how: str = "inner") -> "JoinBuilder":
         return JoinBuilder(self.stage(), right, how)
@@ -321,3 +319,25 @@ class JoinBuilder:
         from ..streaming.incremental import IncrementalJoinWriter
 
         return IncrementalJoinWriter(self, None, foreach_batch=func)
+
+
+class StagedStream(Stream):
+    """A pipeline stage exposed as a Stream for chaining.
+
+    Batch mode: ``static()`` lazily composes the parent pipeline's DataFrame
+    (Catalyst fuses the whole chain into one plan). Incremental mode: the
+    incremental writer materializes the parent into a staging ChangeTable
+    and rebinds this stream to its change feed (reference:
+    elzyme/joins.py:812-859 — staging Delta table + CDF re-stream)."""
+
+    def __init__(self, parent, name: str | None = None):
+        # parent: JoinBuilder or GroupByWithAggs
+        left = getattr(parent, "left", None) or getattr(parent, "source")
+        spark = left.spark
+        super().__init__(spark, name or f"staged_{left.name}", lambda v: parent.toDF())
+        self.parent = parent
+        if hasattr(parent, "composed_keys"):
+            self.primaryKeys(*[k.name for k in parent.composed_keys()])
+            self.sequenceBy(*parent.sequence_columns())
+        else:  # aggregation stage: group keys become the PKs (elzyme/aggs.py:33-42)
+            self.primaryKeys(*parent.group_cols)
