@@ -410,6 +410,121 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup groups (md5 of normalized text)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs at J >= 0.3."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(12) + LSH banding (4 bands x 3) candidate pairs."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=12, band_size=3, shingle_n=3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact tier, cos >= 0.4)."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (hyperplane signs, 4 planes)."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
+    )
+
+
+def q_text_profile(spark, sf_dir):
+    """Per-document text profile: tokens, ratios, quality, fingerprint,
+    language guess."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import profile
+
+    return profile(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality_by_source(spark, sf_dir):
+    """Corpus rollup: mean quality + token volume per source."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    p = profile(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return p.groupBy("source").agg(
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode stubbed deterministically; plumbing is production-shaped)."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return image_features(docs, decode="fake")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plan: one row per sampled frame timestamp (declarative
+    explode — parallelism across frames, not videos)."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import frame_sample_plan
+
+    fake_videos = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / 50.0).alias("duration_s")
+    ).where(F.col("doc_id") < 50)
+    return frame_sample_plan(fake_videos, every_n_seconds=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -429,6 +544,225 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_profile": q_text_profile,
+        "text_quality_by_source": q_text_quality_by_source,
+        "multimodal_image_features": q_multimodal_image_features,
+        "frame_sample": q_frame_sample,
+    }
+
+
+
+
+# ---------------------------------------------------------------------------
+# generated oracle SQL for the corpus operators (constants shared with the
+# Spark implementations so both sides are bit-identical)
+# ---------------------------------------------------------------------------
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_SHINGLE_CTE = """
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM (SELECT doc_id, {toks} AS w FROM documents)
+            WHERE len(w) >= 3
+        )
+    )
+""".format(toks=_TOKS)
+
+_VEC_CTE = """
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v)
+"""
+
+_COS = ("ROUND(list_sum(list_transform(generate_series(1, len({a}.e)), "
+        "i -> {a}.e[i] * {b}.e[i])) / ({a}.nrm * {b}.nrm), 6)")
+
+
+def _simhash_sql() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(md5(w), {b + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    bits = ", ".join(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(32))
+    return f"""
+        SELECT doc_id, concat({bits}) AS simhash FROM (
+            SELECT doc_id, {sums}
+            FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+            WHERE w <> '' GROUP BY doc_id)
+    """
+
+
+def _lang_case_sql() -> str:
+    from streamjoin_spark.operators.text import LANG_STOPWORDS
+
+    def score(words):
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        return (f"(len(list_filter({_TOKS}, t -> list_contains({lst}, t)))"
+                f" / greatest(len({_TOKS}), 1))")
+
+    langs = list(LANG_STOPWORDS)
+    whens = []
+    for idx, lang in enumerate(langs):
+        s = score(LANG_STOPWORDS[lang])
+        conds = [f"{s} > 0.05"]
+        for p in langs[:idx]:
+            conds.append(f"{s} > {score(LANG_STOPWORDS[p])}")
+        for q in langs[idx + 1:]:
+            conds.append(f"{s} >= {score(LANG_STOPWORDS[q])}")
+        whens.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def _profile_sql() -> str:
+    from streamjoin_spark.functions import STOPWORDS_EN
+
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    n_tokens = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END"
+    punct = ("(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+             " / greatest(length(text), 1))")
+    swr = (f"(len(list_filter({_TOKS}, t -> list_contains({sw}, t)))"
+           f" / greatest(len({_TOKS}), 1))")
+    mwl = (f"(list_sum(list_transform({_TOKS}, t -> length(t)))"
+           f" / greatest(len({_TOKS}), 1))")
+    quality = (f"ROUND((least(({n_tokens}) / 64.0, 1.0)"
+               f" + (1.0 - least({punct} * 4, 1.0))"
+               f" + least({swr} * 4, 1.0)) / 3, 4)")
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+        SELECT doc_id,
+               {n_tokens} AS n_tokens,
+               ROUND({punct}, 6) AS punct_ratio,
+               ROUND({swr}, 6) AS stopword_ratio,
+               ROUND({mwl}, 6) AS mean_word_len,
+               {quality} AS quality,
+               {fp} AS fingerprint,
+               {_lang_case_sql()} AS lang_guess
+        FROM documents
+    """
+
+
+def _bucket_sql(n_planes: int, dim: int) -> str:
+    from streamjoin_spark.operators.similarity import hyperplanes
+
+    cases = []
+    for plane in hyperplanes(dim, n_planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        cases.append(
+            "CASE WHEN list_sum(list_transform(generate_series(1, len(e)), "
+            f"i -> e[i] * ({lit})[i])) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(cases) + ")"
+
+
+def _corpus_oracles() -> dict[str, str]:
+    cos_qc = _COS.format(a="q", b="c")
+    cos_ab = _COS.format(a="a", b="b")
+    return {
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b,
+                       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+            ) WHERE jaccard >= 0.3
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLE_CTE},
+            sigs AS (SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+                     FROM sh CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
+            bands AS (SELECT doc_id, i // 3 AS band,
+                             md5(string_agg(h, ',' ORDER BY i)) AS bh
+                      FROM sigs GROUP BY doc_id, i // 3)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "embedding_neardup": f"""
+            WITH {_VEC_CTE}
+            SELECT doc_a, doc_b, cosine_sim FROM (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                       {cos_ab} AS cosine_sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            ) WHERE cosine_sim >= 0.4
+        """,
+        "ann_cosine_topk": f"""
+            WITH {_VEC_CTE},
+            q AS (SELECT * FROM n WHERE vec_id < 10),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {cos_qc} AS cosine_sim
+                FROM q JOIN n c ON c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, cosine_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH {_VEC_CTE},
+            b AS (SELECT vec_id, e, nrm, {_bucket_sql(4, 64)} AS bucket FROM n),
+            q AS (SELECT * FROM b WHERE vec_id < 10),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {cos_qc} AS cosine_sim
+                FROM q JOIN b c
+                  ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, cosine_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5
+        """,
+        "text_profile": _profile_sql(),
+        "text_quality_by_source": f"""
+            WITH p AS ({_profile_sql()})
+            SELECT d.source,
+                   ROUND(AVG(p.quality), 4) AS avg_quality,
+                   SUM(p.n_tokens) AS total_tokens,
+                   COUNT(*) AS n_docs
+            FROM p JOIN documents d USING (doc_id)
+            GROUP BY d.source
+        """,
+        "multimodal_image_features": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   CAST(1 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 4096) AS INT) AS width,
+                   CAST(1 + (('0x' || substr(md5(text), 16, 15))::BIGINT % 4096) AS INT) AS height,
+                   (('0x' || substr(md5(text), 18, 15))::BIGINT % 256000) / 1000.0 AS mean_luma
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id, frame_idx, CAST(frame_idx AS DOUBLE) AS frame_ts_s
+            FROM (
+                SELECT doc_id,
+                       unnest(generate_series(0,
+                           greatest(CAST(floor(n_chars / 50.0) AS INT), 0))) AS frame_idx
+                FROM documents WHERE doc_id < 50)
+        """,
     }
 
 
@@ -561,4 +895,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
         """,
+        **_corpus_oracles(),
     }

@@ -89,3 +89,211 @@ def duplicate_groups(
 ) -> DataFrame:
     """Exact-dup groups with >1 member (the actionable subset)."""
     return exact_dedup(df, text_col, id_col).where(F.col("n_copies") > 1)
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash-LSH and n-gram Jaccard)
+# ---------------------------------------------------------------------------
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — the set representation of each doc.
+
+    Built-ins only (sequence/slice/array_join run in whole-stage codegen);
+    docs with fewer than n tokens are filtered *before* sequence() so the
+    bounds are always valid under ANSI mode. DuckDB twin:
+    ``list_transform(generate_series(1, len(w)-n+1), i ->
+    array_to_string(w[i:i+n-1], ' '))``.
+    """
+    from ..functions import tokens
+
+    out = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
+    out = out.where(F.size("__w") >= n)
+    shingles = F.expr(
+        f"transform(sequence(1, size(__w) - {n - 1}), i -> array_join(slice(__w, i, {n}), ' '))"
+    )
+    return (
+        out.select("__id", F.explode(shingles).alias("shingle"))
+        .dropDuplicates(["__id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode shingles → self-join on
+    shingle → |A∩B| per pair → J = inter / (|A|+|B|−inter) ≥ threshold.
+
+    Scale: the self-join shuffles on the shingle hash (uniform); extremely
+    common shingles create skew — at 100 TB, drop the top-0.01% most frequent
+    shingles first (they carry no near-dup signal), which also bounds the
+    candidate-pair blowup. Output columns: doc_a, doc_b, jaccard.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.__id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.__id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of
+    md5(i || '|' || shingle). Using the lexicographic min of the md5 *hex
+    string* keeps the signature bit-identical in any engine with md5 —
+    the uniformity MinHash needs doesn't care that the order is lexicographic.
+
+    One explode + one groupBy with ``num_hashes`` min() aggregates — a single
+    shuffle on doc id, map-side partial mins keep it small.
+    """
+    sh = _shingle_frame(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: signature split into
+    ``num_hashes / band_size`` bands, each band hashed; docs sharing any
+    (band, hash) bucket become a candidate pair.
+
+    Scale: the bucket join shuffles on (band, band_hash) — uniformly
+    distributed by construction; candidate output is the sparse survivor
+    set, never the O(n²) cross product. Output: doc_a, doc_b (distinct).
+    """
+    assert num_hashes % band_size == 0
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[f"h{b * band_size + j}" for j in range(band_size)])
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*band_structs)).alias("x")
+    ).select("__id", "x.band", "x.bh")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 32
+_HIGH_NIBBLE = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document from token md5s: bit b is the sign of the
+    token-frequency-weighted sum of (±1) where +1 ⇔ the high bit of hex
+    nibble b of md5(token) is set. Emitted as a '0'/'1' string so hamming
+    distance is a per-character comparison in any engine.
+
+    One explode + one groupBy(doc) with 32 conditional-sum aggregates —
+    single shuffle, map-side combine.
+    """
+    from ..functions import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).where(F.col("w") != "")
+    h = F.md5(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1).isin(_HIGH_NIBBLE), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("__id").agg(*bit_sums)
+    bits = F.concat(
+        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(SIMHASH_BITS)]
+    )
+    return agg.select(F.col("__id").alias(id_col), bits.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    This all-pairs formulation is the correctness oracle; the scale path
+    blocks by bit-prefix (split the 32 bits into max_hamming+1 segments —
+    two docs within the radius must agree exactly on at least one segment,
+    pigeonhole) and joins per segment, same physics as MinHash banding.
+    """
+    sh = simhash(df, text_col, id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), i + 1, 1)
+            != F.substring(F.col("b.simhash"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond the reference surface (SURVEY.md §2 lists no vector ops) — these are
+the ANN building blocks a training-data pipeline needs. Two tiers:
+
+- ``cosine_topk`` — exact brute-force top-k: the correctness baseline and
+  the right answer when the query set is small (queries are broadcast; the
+  corpus is scanned once, never shuffled).
+- ``lsh_bucket_topk`` — random-hyperplane LSH: corpus and queries are
+  bucketed by the sign pattern of dot products with fixed hyperplanes, and
+  only same-bucket pairs are scored. At 100 TB the bucket id becomes the
+  shuffle/partition key, turning an O(N·Q) scan into per-bucket work;
+  recall is tuned by ``n_planes`` (fewer planes → bigger buckets → higher
+  recall, more compute).
+
+All math is built-in Column expressions (zip_with/aggregate/transform) —
+JVM-side, no Python in the hot path. Hyperplanes are deterministic
+md5-seeded constants so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict left fold — the summation order is deterministic,
+    so cross-engine float drift stays at rounding level."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for each query vector.
+
+    Queries are broadcast (the small side by assumption); ranking uses the
+    *rounded* similarity with the neighbor id as tiebreak, so results are
+    stable across engines and runs. Output: query_id, neighbor_id, cosine_sim.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, seeded by md5
+    of (plane, component) — reproducible everywhere, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_id(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """LSH bucket = concatenated sign bits of ⟨v, plane_p⟩."""
+    v = _as_double(vec)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket pairs. Output schema matches
+    ``cosine_topk`` so the two tiers are drop-in interchangeable."""
+    planes = hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket_id(F.col(vec_col), planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket_id(F.col(vec_col), planes).alias("__bucket"),
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, "__bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b).
+
+    ``exact=True`` scores all pairs (oracle tier); default buckets by LSH
+    first so only same-bucket pairs are scored (scale tier)."""
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        pairs = a.crossJoin(b)
+    else:
+        planes = hyperplanes(dim, n_planes)
+        a = a.withColumn("__bucket", bucket_id(F.col("__va"), planes))
+        b = b.withColumn("__bucket", bucket_id(F.col("__vb"), planes))
+        pairs = a.join(b, "__bucket")
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,282 @@
+"""Incremental IVM runtime: differential convergence tests.
+
+Strategy mirrors the reference's oracle (`compare_dataframes`,
+reference tests/SetupInputStream.py:214-227): drive CDC commits into source
+ChangeTables, drain the incremental pipeline, and assert the target snapshot
+is multiset-equal to the batch twin recomputed on the final snapshots —
+including under updates, deletes, FK moves and outer-join null transitions.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamjoin_spark import Stream
+from streamjoin_spark.changelog import ChangeTable
+from streamjoin_spark.streams import CHANGE_TYPE, DELETE
+
+
+def assert_same(a, b):
+    """Order-insensitive multiset equality (the reference oracle's
+    bidirectional exceptAll)."""
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    d1 = a.select(*cols).exceptAll(b.select(*cols))
+    d2 = b.select(*cols).exceptAll(a.select(*cols))
+    assert d1.count() == 0 and d2.count() == 0, (
+        f"mismatch:\n only-incremental={d1.collect()[:5]}\n only-batch={d2.collect()[:5]}"
+    )
+
+
+CUST = "id long, name string, seg string"
+ORD = "oid long, cid long, price double"
+
+
+@pytest.fixture()
+def cust_ct(spark, tmp_path):
+    return ChangeTable.create(
+        spark, str(tmp_path / "cust"), spark.createDataFrame([], CUST).schema, ["id"]
+    )
+
+
+@pytest.fixture()
+def ord_ct(spark, tmp_path):
+    return ChangeTable.create(
+        spark, str(tmp_path / "ord"), spark.createDataFrame([], ORD).schema, ["oid"]
+    )
+
+
+def c_rows(spark, rows):
+    return spark.createDataFrame(rows, CUST)
+
+
+def o_rows(spark, rows):
+    return spark.createDataFrame(rows, ORD)
+
+
+def batch_join(cust_ct, ord_ct, how):
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    b = c.join(o, how).on(c["id"] == o["cid"]) if how != "right" else o.join(
+        c, "right"
+    ).on(o["cid"] == c["id"])
+    return b.toDF()
+
+
+def make_writer(cust_ct, ord_ct, how, path):
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    if how == "right":
+        return o.join(c, "right").on(o["cid"] == c["id"]).writeToPath(str(path))
+    return c.join(o, how).on(c["id"] == o["cid"]).writeToPath(str(path))
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right"])
+def test_join_converges_under_cdc(spark, tmp_path, cust_ct, ord_ct, how):
+    w = make_writer(cust_ct, ord_ct, how, tmp_path / f"out_{how}")
+
+    # commit 1: base data (c3 has no orders; o4 is an orphan order)
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B"), (3, "cyd", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0), (12, 99, 1.0)]))
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, how))
+
+    # commit 2: update + late order for c3 (null-extension flips to match)
+    cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
+    ord_ct.merge(o_rows(spark, [(13, 3, 9.0)]))
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, how))
+
+    # commit 3: FK move (order 10 re-parents 1→2) + delete order 11
+    ord_ct.merge(o_rows(spark, [(10, 2, 5.5)]))
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, how))
+
+    # commit 4: delete customer 2 (cascades through join)
+    cust_ct.delete_where(F.col("id") == 2)
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, how))
+
+    # idempotence: nothing new → no commits
+    assert w.run() == 0
+
+
+def test_join_delete_emits_change_feed(spark, tmp_path, cust_ct, ord_ct):
+    w = make_writer(cust_ct, ord_ct, "inner", tmp_path / "out")
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0)]))
+    w.run()
+    ord_ct.delete_where(F.col("oid") == 10)
+    w.run()
+    feed = w.target.read_change_feed()
+    assert feed.where(F.col(CHANGE_TYPE) == DELETE).count() == 1
+    assert w.toDF().count() == 0
+
+
+def test_agg_converges_including_max_retraction(spark, tmp_path, ord_ct):
+    """Dirty-group re-aggregation is correct where the reference's additive
+    delta is documented-wrong: retracting the max (SURVEY.md §4)."""
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        o.groupBy("cid")
+        .agg(
+            F.sum("price").alias("total"),
+            F.max("price").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .writeToPath(str(tmp_path / "agg"))
+    )
+
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 9.0), (12, 2, 3.0)]))
+    w.run()
+
+    def oracle():
+        return (
+            ord_ct.snapshot()
+            .groupBy("cid")
+            .agg(
+                F.sum("price").alias("total"),
+                F.max("price").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    assert_same(w.toDF(), oracle())
+
+    # retract the max: update 11 down, then delete it entirely
+    ord_ct.merge(o_rows(spark, [(11, 1, 4.0)]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().where("cid = 1").collect()[0]["mx"] == 5.0
+
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+    # group move: order 12 changes cid 2→1; group 2 must vanish
+    ord_ct.merge(o_rows(spark, [(12, 1, 3.0)]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().where("cid = 2").count() == 0
+
+
+def test_chained_join_then_agg_incremental(spark, tmp_path, cust_ct, ord_ct):
+    """Two-stage pipeline: join stage materializes into a staging ChangeTable
+    whose change feed drives the agg stage (reference topology,
+    elzyme/joins.py:812-859)."""
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .groupBy("seg")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "seg_totals"))
+    )
+
+    def oracle():
+        C, O = cust_ct.snapshot().alias("c"), ord_ct.snapshot().alias("o")
+        return (
+            C.join(O, F.col("c.id") == F.col("o.cid"))
+            .groupBy("seg")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0), (12, 1, 2.0)]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+    # customer 1 switches segment A→B: join stage emits update, agg stage
+    # must move 7.0 of revenue between groups and delete group A
+    cust_ct.merge(c_rows(spark, [(1, "ann", "B")]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().where("seg = 'A'").count() == 0
+
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+
+def test_three_stage_chain_incremental(spark, tmp_path, cust_ct, ord_ct):
+    """join → join → agg, three stages deep (the reference's deepest tested
+    topology, RunTests.py:29-54)."""
+    item_schema = "iid long, oid long, qty long"
+    item_ct = ChangeTable.create(
+        spark, str(tmp_path / "item"), spark.createDataFrame([], item_schema).schema, ["iid"]
+    )
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    i = Stream.fromChangeTable(item_ct, "i").primaryKeys("iid")
+    w = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .join(i, "left")
+        .onKeys("oid")
+        .groupBy("seg")
+        .agg(F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "deep"))
+    )
+
+    def oracle():
+        C = cust_ct.snapshot().alias("c")
+        O = ord_ct.snapshot().alias("o")
+        I = item_ct.snapshot().alias("i")
+        return (
+            C.join(O, F.col("c.id") == F.col("o.cid"))
+            .join(I, F.col("o.oid") == F.col("i.oid"), "left")
+            .groupBy("seg")
+            .agg(F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    item_ct.merge(spark.createDataFrame([(100, 10, 3), (101, 10, 4)], item_schema))
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+    item_ct.merge(spark.createDataFrame([(102, 11, 9), (100, 11, 1)], item_schema))
+    ord_ct.merge(o_rows(spark, [(10, 2, 5.0)]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+    item_ct.delete_where(F.col("iid") == 101)
+    cust_ct.delete_where(F.col("id") == 1)
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+
+def test_restart_resumes_from_progress(spark, tmp_path, cust_ct, ord_ct):
+    """A fresh writer over the same path picks up the persisted watermarks
+    (exactly-once across restarts; reference gets this from the streaming
+    checkpoint)."""
+    path = tmp_path / "restartable"
+    w1 = make_writer(cust_ct, ord_ct, "inner", path)
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0)]))
+    w1.run()
+    v_after = w1.target.version()
+
+    # new writer object, same path — must not reprocess old versions
+    w2 = make_writer(cust_ct, ord_ct, "inner", path)
+    assert w2.run() == 0
+    assert w2.target.version() == v_after
+
+    ord_ct.merge(o_rows(spark, [(11, 1, 6.0)]))
+    w2.run()
+    assert_same(w2.toDF(), batch_join(cust_ct, ord_ct, "inner"))
+
+
+def test_streaming_start_drains(spark, tmp_path, cust_ct, ord_ct):
+    """Structured Streaming mode: a real query over the root change feeds
+    drives the same incremental core."""
+    w = make_writer(cust_ct, ord_ct, "inner", tmp_path / "streamed")
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    w.trigger(availableNow=True).start()
+    try:
+        w.awaitAllProcessed()
+    finally:
+        w.stop()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
