@@ -449,12 +449,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact tier, cos >= 0.4)."""
+    """Embedding-cosine near-dup pairs — LSH-bucketed scale tier (4
+    hyperplanes, cos >= 0.35); the exact tier is covered by unit tests."""
     _prep(spark)
     from streamjoin_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4, dim=64
     )
 
 
@@ -702,12 +703,14 @@ def _corpus_oracles() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_sql(),
         "embedding_neardup": f"""
-            WITH {_VEC_CTE}
+            WITH {_VEC_CTE},
+            bk AS (SELECT vec_id, e, nrm, {_bucket_sql(4, 64)} AS bucket FROM n)
             SELECT doc_a, doc_b, cosine_sim FROM (
                 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                        {cos_ab} AS cosine_sim
-                FROM n a JOIN n b ON a.vec_id < b.vec_id
-            ) WHERE cosine_sim >= 0.4
+                FROM bk a JOIN bk b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cosine_sim >= 0.35
         """,
         "ann_cosine_topk": f"""
             WITH {_VEC_CTE},

@@ -60,9 +60,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — record failure, keep benching
             timings[name] = -1.0
-            print(f"# bench failure {name}: {e}", file=sys.stderr)
+            print(f"# bench failure {name}: {e}", file=sys.stderr, flush=True)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)

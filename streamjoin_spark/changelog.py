@@ -12,26 +12,31 @@ a constructor change, not a redesign.
 Layout::
 
     <path>/
-      _changelog_meta.json      # version, keys, sequence, schema
+      _changelog_meta.json      # version, keys, sequence, schema, n_buckets
+      manifests/v{N}.json       # snapshot N = {part_id: [data dirs]}
+      data/c{N}/__part={p}/     # immutable parquet file-sets, one per commit
       changes/                  # append-only: one parquet file-set per commit
-      snapshots/v=N/            # full table state per committed version
 
-Design notes for 100 TB:
+Copy-on-write physics (the 100 TB story):
 
+- Rows are hash-assigned to ``n_buckets`` parts on the partition columns
+  (``partition_by`` if set, else the primary keys). A snapshot version is a
+  *manifest*: part id → list of immutable data dirs, exactly Delta's
+  file-level metadata in miniature.
+- **Appends are O(batch)**: the new file-set is added to each touched
+  part's dir list; nothing is read or rewritten.
+- **Merges/replaces are O(affected parts)**: only parts containing matched
+  keys are consolidated into a new dir; all other parts carry their dir
+  lists forward untouched — the same bounded rewrite as a partition-pruned
+  Delta MERGE (reference pruning: elzyme/joins.py:619-632, 676-682).
 - ``changes/`` is append-only and consumed by the Structured Streaming
-  **file source**, giving real microbatch semantics (new commit ⇒ new files
-  ⇒ new microbatch) with no custom receiver.
-- ``snapshots/`` is copy-on-write like Delta; at production scale the
-  rewrite is bounded by partition pruning (``partition_by``) — merges only
-  rewrite partitions present in the batch, the direct analog of the
-  reference's merge-pruning conjuncts (elzyme/joins.py:676-682).
-- MERGE is emulated with the classic anti-join + union + window plan; all
-  legs are declarative DataFrame ops, the staged batch is broadcast when
-  small, and the shuffle key is the primary key — identical physics to a
-  Delta MERGE minus file-skipping.
+  file source, giving real microbatch semantics (new commit ⇒ new files ⇒
+  new microbatch) with no custom receiver.
+- Old versions stay readable (version-pinned snapshot reads) because data
+  dirs are immutable; ``compact()`` is the OPTIMIZE analog.
 - Single-writer per table (matches the reference's one-query-per-stage
-  topology, elzyme/joins.py:812-859). Commits are ordered; the metadata file
-  is written last and atomically (write-temp + rename).
+  topology, elzyme/joins.py:812-859). Commits are ordered; the metadata
+  file is written last and atomically (write-temp + rename).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ from pyspark.sql import types as T
 from .streams import CHANGE_TYPE, COMMIT_VERSION, DELETE, INSERT, UPDATE_POST, UPDATE_PRE
 
 META_FILE = "_changelog_meta.json"
+PART = "__part"
 
 
 class ChangeTable:
@@ -91,6 +97,10 @@ class ChangeTable:
     def partition_by(self) -> tuple[str, ...]:
         return tuple(self._meta.get("partition_by", ()))
 
+    @property
+    def n_buckets(self) -> int:
+        return int(self._meta.get("n_buckets", 32))
+
     def version(self) -> int:
         # re-read: another process (a chained upstream query) may have
         # committed since we cached (reference getLatestVersion probes the
@@ -124,9 +134,12 @@ class ChangeTable:
         partition_by: Sequence[str] = (),
         name: str | None = None,
         overwrite: bool = False,
+        n_buckets: int = 32,
     ) -> "ChangeTable":
         """Create an empty change table (reference CREATE TABLE with CDF
-        enabled, elzyme/joins.py:642-654)."""
+        enabled, elzyme/joins.py:642-654). ``n_buckets`` sizes the
+        copy-on-write granularity: at production scale set it so one bucket
+        ≈ a few GB (e.g. 8192 buckets for a 10 TB table)."""
         if isinstance(schema, DataFrame):
             schema = schema.schema
         if not primary_keys:
@@ -138,16 +151,17 @@ class ChangeTable:
                 return ChangeTable(spark, path)
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "changes"), exist_ok=True)
-        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
-        # v0 snapshot: empty
-        empty = spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(os.path.join(path, "snapshots", "v=0"))
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        with open(os.path.join(path, "manifests", "v0.json"), "w") as f:
+            json.dump({}, f)
         meta = {
             "name": name or os.path.basename(path),
             "version": 0,
             "primary_keys": list(primary_keys),
             "sequence_by": list(sequence_by),
             "partition_by": list(partition_by),
+            "n_buckets": n_buckets,
             "schema": schema.jsonValue(),
         }
         fd, tmp = tempfile.mkstemp(dir=path, suffix=".json.tmp")
@@ -157,15 +171,49 @@ class ChangeTable:
         return ChangeTable(spark, path)
 
     # ------------------------------------------------------------------
+    # manifest / partition helpers
+    # ------------------------------------------------------------------
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.path, "manifests", f"v{v}.json")
+
+    def _manifest(self, v: int) -> dict[str, list[str]]:
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _part_expr(self):
+        cols = self.partition_by or self.primary_keys
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.n_buckets))
+
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(PART, self._part_expr())
+
+    def _collect_parts(self, df: DataFrame) -> list[int]:
+        """Distinct part ids of a frame — bounded by n_buckets, so the
+        collect is a driver-safe tiny aggregate."""
+        rows = self._with_part(df).select(PART).distinct().collect()
+        return sorted(r[0] for r in rows)
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema())
+        paths = [os.path.join(self.path, d) for d in dirs]
+        return self.spark.read.schema(self.schema()).parquet(*paths)
+
+    def _read_parts(self, manifest: dict, part_ids: Sequence[int]) -> DataFrame:
+        """Pruned read: only the data dirs of the given parts."""
+        want = {str(p) for p in part_ids}
+        dirs = [d for p, ds in manifest.items() if p in want for d in ds]
+        return self._read_dirs(dirs)
+
+    # ------------------------------------------------------------------
     # readers
     # ------------------------------------------------------------------
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Version-pinned static read (reference ``versionAsOf`` reads,
         elzyme/streams.py:118-124)."""
         v = self.version() if version is None else version
-        return self.spark.read.schema(self.schema()).parquet(
-            os.path.join(self.path, "snapshots", f"v={v}")
-        )
+        manifest = self._manifest(v)
+        return self._read_dirs([d for ds in manifest.values() for d in ds])
 
     def read_change_feed(self, starting_version: int = 1) -> DataFrame:
         """Batch read of the change feed from a version onward."""
@@ -218,16 +266,67 @@ class ChangeTable:
     def _data_cols(self) -> list[str]:
         return [f.name for f in self.schema().fields]
 
+    # ------------------------------------------------------------------
+    # commit machinery
+    # ------------------------------------------------------------------
     def _write_commit(
-        self, new_snapshot: DataFrame, changes: DataFrame, new_version: int
+        self,
+        new_version: int,
+        changes: DataFrame,
+        rewritten: DataFrame | None = None,
+        rewritten_parts: Sequence[int] = (),
+        appended: DataFrame | None = None,
     ) -> None:
-        snap_dir = os.path.join(self.path, "snapshots", f"v={new_version}")
-        # materialize snapshot before changes so readers pinned at
-        # new_version always find it
-        writer = new_snapshot.select(*self._data_cols()).write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(snap_dir)
+        """Commit protocol:
+
+        1. write the consolidated content of ``rewritten_parts`` (if any) and
+           any pure-append content to ``data/c{v}``, partitioned by part id;
+        2. write the change rows (append-only feed);
+        3. write manifest v: rewritten parts point only at the new dir,
+           appended parts gain the new dir, all others carry forward;
+        4. atomically bump the version in the metadata file (readers never
+           see a partial commit).
+        """
+        v = new_version
+        commit_rel = os.path.join("data", f"c{v}")
+        commit_abs = os.path.join(self.path, commit_rel)
+        wrote_any = False
+        if rewritten is not None:
+            (
+                self._with_part(rewritten.select(*self._data_cols()))
+                .write.mode("overwrite")
+                .partitionBy(PART)
+                .parquet(commit_abs)
+            )
+            wrote_any = True
+        if appended is not None:
+            (
+                self._with_part(appended.select(*self._data_cols()))
+                .write.mode("append")
+                .partitionBy(PART)
+                .parquet(commit_abs)
+            )
+            wrote_any = True
+
+        manifest = dict(self._manifest(v - 1))
+        if wrote_any:
+            on_disk = {
+                d.split("=", 1)[1]
+                for d in os.listdir(commit_abs)
+                if d.startswith(f"{PART}=")
+            }
+        else:
+            on_disk = set()
+        for p in rewritten_parts:
+            manifest.pop(str(p), None)  # consolidated: old dirs superseded
+        for p in on_disk:
+            entry = os.path.join(commit_rel, f"{PART}={p}")
+            manifest.setdefault(p, [])
+            manifest[p].append(entry)
+
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(manifest, f)
+
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         (
             changes.select(*change_cols)
@@ -235,22 +334,24 @@ class ChangeTable:
             .parquet(os.path.join(self.path, "changes"))
         )
         meta = dict(self._meta)
-        meta["version"] = new_version
+        meta["version"] = v
         self._write_meta(meta)
+
+    def _tag(self, df: DataFrame, change_type: str, v: int) -> DataFrame:
+        return df.withColumn(CHANGE_TYPE, F.lit(change_type)).withColumn(
+            COMMIT_VERSION, F.lit(v).cast("long")
+        )
 
     # ------------------------------------------------------------------
     # writers
     # ------------------------------------------------------------------
     def append(self, df: DataFrame) -> int:
-        """Insert-only commit (no key collision handling) — the fast path for
-        immutable event streams."""
+        """Insert-only commit — O(batch): new file-sets are added to the
+        touched parts' manifests, nothing is read or rewritten. The fast
+        path for immutable event streams."""
         v = self.version() + 1
-        cur = self.snapshot(v - 1)
         batch = df.select(*self._data_cols())
-        changes = batch.withColumn(CHANGE_TYPE, F.lit(INSERT)).withColumn(
-            COMMIT_VERSION, F.lit(v).cast("long")
-        )
-        self._write_commit(cur.unionByName(batch), changes, v)
+        self._write_commit(v, self._tag(batch, INSERT, v), appended=batch)
         return v
 
     def merge(self, batch: DataFrame) -> int:
@@ -259,16 +360,28 @@ class ChangeTable:
         elzyme/joins.py:563-570, 656-754; sequence condition ``u.seq <=
         staged.seq`` at joins.py:704-706).
 
-        Emulation plan (all declarative): dedup batch per PK → left-join
-        against the current snapshot to classify insert vs update and drop
-        stale rows → new snapshot = (current anti-join applied-keys) ∪
-        applied rows → changes = inserts ∪ preimages ∪ postimages.
+        Only parts containing staged keys (by the staged rows' values *and*
+        by the current rows matching those PKs — partition values may change
+        on update) are consolidated; every other part carries forward.
         """
         v = self.version() + 1
-        cur = self.snapshot(v - 1)
-        staged = self._dedup_batch(batch).select(*self._data_cols())
+        manifest = self._manifest(v - 1)
+        staged = self._dedup_batch(batch).select(*self._data_cols()).persist()
 
+        # locate affected parts: staged rows' own parts + parts of current
+        # rows with the same PKs (found via a pruned-by-nothing key probe —
+        # at scale this is the same "find matching files" scan Delta MERGE
+        # does, with the staged side broadcast)
+        cur_all = self.snapshot(v - 1)
         S, C = "staged", "cur"
+        cur_matching = cur_all.alias(C).join(
+            F.broadcast(staged.alias(S)), self._pk_cond(C, S), "left_semi"
+        ).select(*self._data_cols())
+        parts = sorted(
+            set(self._collect_parts(staged)) | set(self._collect_parts(cur_matching))
+        )
+        cur = self._read_parts(manifest, parts)
+
         sdf, cdf = staged.alias(S), cur.alias(C)
         pk_cond = self._pk_cond(S, C)
         joined = sdf.join(cdf, pk_cond, "left")
@@ -297,20 +410,16 @@ class ChangeTable:
         survivors = cur.alias(C).join(
             applied_keys, self._pk_cond(C, "k"), "left_anti"
         ).select(*self._data_cols())
-        new_snapshot = survivors.unionByName(applied.drop("__matched"))
+        new_content = survivors.unionByName(applied.drop("__matched"))
 
-        tag = lambda df, t: (
-            df.withColumn(CHANGE_TYPE, F.lit(t)).withColumn(
-                COMMIT_VERSION, F.lit(v).cast("long")
-            )
-        )
         changes = (
-            tag(inserts, INSERT)
-            .unionByName(tag(preimages, UPDATE_PRE))
-            .unionByName(tag(postimages, UPDATE_POST))
+            self._tag(inserts, INSERT, v)
+            .unionByName(self._tag(preimages, UPDATE_PRE, v))
+            .unionByName(self._tag(postimages, UPDATE_POST, v))
         )
-        self._write_commit(new_snapshot, changes, v)
+        self._write_commit(v, changes, rewritten=new_content, rewritten_parts=parts)
         applied.unpersist()
+        staged.unpersist()
         return v
 
     def replace_keys(
@@ -328,12 +437,13 @@ class ChangeTable:
         rows, FK moves, and deletes uniformly, where the reference needs the
         combinatorial outer-merge resolution (elzyme/joins.py:584-744).
 
-        Scale: ``scope_keys`` is delta-derived and broadcast; the snapshot
-        side never shuffles. The snapshot rewrite is the same copy-on-write
-        cost as a Delta MERGE.
+        Scale: ``scope_keys`` is delta-derived and broadcast; locating
+        affected rows is one snapshot scan (never shuffled); the rewrite is
+        bounded to the parts holding affected rows.
         """
         v = self.version() + 1
-        cur = self.snapshot(v - 1)
+        manifest = self._manifest(v - 1)
+        cur_all = self.snapshot(v - 1)
         key_cols = list(key_cols)
         scope = F.broadcast(scope_keys.select(*key_cols).dropDuplicates(key_cols))
 
@@ -345,15 +455,19 @@ class ChangeTable:
             return cond
 
         C, K, N, O = "cur", "scope", "new", "old"
-        survivors = cur.alias(C).join(
-            scope.alias(K), scope_cond(C, K), "left_anti"
-        ).select(*self._data_cols())
-        old_scope = cur.alias(C).join(
+        old_scope = cur_all.alias(C).join(
             scope.alias(K), scope_cond(C, K), "left_semi"
         ).select(*self._data_cols()).persist()
         new_rows = new_rows.select(*self._data_cols()).persist()
 
-        new_snapshot = survivors.unionByName(new_rows)
+        parts = sorted(
+            set(self._collect_parts(old_scope)) | set(self._collect_parts(new_rows))
+        )
+        cur_parts = self._read_parts(manifest, parts)
+        survivors = cur_parts.alias(C).join(
+            scope.alias(K), scope_cond(C, K), "left_anti"
+        ).select(*self._data_cols())
+        new_content = survivors.unionByName(new_rows)
 
         pk_cond = self._pk_cond(N, O)
         inserts = new_rows.alias(N).join(
@@ -372,23 +486,18 @@ class ChangeTable:
         pre = changed_pairs.select(*[F.col(f"{O}.`{c}`").alias(c) for c in self._data_cols()])
         post = changed_pairs.select(*[F.col(f"{N}.`{c}`").alias(c) for c in self._data_cols()])
 
-        tag = lambda df, t: (
-            df.withColumn(CHANGE_TYPE, F.lit(t)).withColumn(
-                COMMIT_VERSION, F.lit(v).cast("long")
-            )
-        )
         changes = (
-            tag(inserts, INSERT)
-            .unionByName(tag(pre, UPDATE_PRE))
-            .unionByName(tag(post, UPDATE_POST))
-            .unionByName(tag(deletes, DELETE))
+            self._tag(inserts, INSERT, v)
+            .unionByName(self._tag(pre, UPDATE_PRE, v))
+            .unionByName(self._tag(post, UPDATE_POST, v))
+            .unionByName(self._tag(deletes, DELETE, v))
         ).persist()
         try:
             # no-op batches must not commit: an empty commit would produce new
             # change files, re-trigger downstream stages, and loop forever.
             if changes.isEmpty():
                 return v - 1
-            self._write_commit(new_snapshot, changes, v)
+            self._write_commit(v, changes, rewritten=new_content, rewritten_parts=parts)
             return v
         finally:
             old_scope.unpersist()
@@ -402,11 +511,24 @@ class ChangeTable:
         streams.py:132,142); we make delete propagation explicit and let
         downstream consumers opt in."""
         v = self.version() + 1
-        cur = self.snapshot(v - 1)
-        doomed = cur.where(condition)
-        remaining = cur.where(~condition | condition.isNull())
-        changes = doomed.withColumn(CHANGE_TYPE, F.lit(DELETE)).withColumn(
-            COMMIT_VERSION, F.lit(v).cast("long")
+        manifest = self._manifest(v - 1)
+        cur_all = self.snapshot(v - 1)
+        doomed = cur_all.where(condition).persist()
+        parts = self._collect_parts(doomed)
+        remaining = self._read_parts(manifest, parts).where(
+            ~condition | condition.isNull()
         )
-        self._write_commit(remaining, changes, v)
+        changes = self._tag(doomed, DELETE, v)
+        self._write_commit(v, changes, rewritten=remaining, rewritten_parts=parts)
+        doomed.unpersist()
+        return v
+
+    def compact(self) -> int:
+        """Consolidate every part to a single file-set (the OPTIMIZE analog:
+        bounds manifest growth after many appends). Emits no change rows."""
+        v = self.version() + 1
+        cur = self.snapshot(v - 1)
+        all_parts = [int(p) for p in self._manifest(v - 1)]
+        empty_changes = self.spark.createDataFrame([], self.change_schema())
+        self._write_commit(v, empty_changes, rewritten=cur, rewritten_parts=all_parts)
         return v

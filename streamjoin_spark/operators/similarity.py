@@ -162,7 +162,10 @@ def embedding_neardup_pairs(
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
     if exact:
-        pairs = a.crossJoin(b)
+        # the cross product is broadcast-nested-loop; spread the stream side
+        # across cores or the whole O(n²) scoring runs in one task
+        par = df.sparkSession.sparkContext.defaultParallelism
+        pairs = a.repartition(par).crossJoin(F.broadcast(b))
     else:
         planes = hyperplanes(dim, n_planes)
         a = a.withColumn("__bucket", bucket_id(F.col("__va"), planes))

@@ -98,7 +98,7 @@ class _Progress:
 class _JoinStage:
     """One incremental join stage: two ChangeTable-backed inputs → one target."""
 
-    def __init__(self, builder, target: ChangeTable, progress: _Progress):
+    def __init__(self, builder, target: ChangeTable | None, progress: _Progress):
         from ..operators.joins import JoinBuilder  # cycle guard
 
         assert isinstance(builder, JoinBuilder)
@@ -118,20 +118,23 @@ class _JoinStage:
                 f"incremental join requires primaryKeys() on the preserved side "
                 f"({self.preserved.name!r})"
             )
-        missing = [k for k in self.p_pks if k not in target._data_cols()]
-        if missing:
-            raise ValueError(
-                f"incremental join output must retain the preserved side's "
-                f"primary keys; missing {missing} — add them to .select()"
-            )
+        if target is not None:
+            missing = [k for k in self.p_pks if k not in target._data_cols()]
+            if missing:
+                raise ValueError(
+                    f"incremental join output must retain the preserved side's "
+                    f"primary keys; missing {missing} — add them to .select()"
+                )
 
-    def process(self) -> bool:
+    def compute_slice(self):
+        """(affected_keys, recomputed_slice, new_versions) for everything
+        outstanding, or None if no input moved."""
         b = self.builder
         lct, rct = b.left.change_table, b.right.change_table
         lv0, rv0 = self.progress.versions
         lv1, rv1 = lct.version(), rct.version()
         if (lv1, rv1) == (lv0, rv0):
-            return False
+            return None
 
         dP_ct, dO_ct = (lct, rct) if self.preserved is b.left else (rct, lct)
         pv0, ov0 = (lv0, rv0) if self.preserved is b.left else (rv0, lv0)
@@ -168,11 +171,41 @@ class _JoinStage:
         p_slice = _semi_filter(p_snap, affected, self.p_pks)
         ldf, rdf = (p_slice, o_snap) if self.preserved is b.left else (o_snap, p_slice)
         new_slice = b._execute(ldf, rdf)
+        return affected, new_slice, [lv1, rv1]
 
+    def process(self) -> bool:
+        out = self.compute_slice()
+        if out is None:
+            return False
+        affected, new_slice, versions = out
         changed = self.target.replace_keys(affected, self.p_pks, new_slice)
-        self.progress.versions = [lv1, rv1]
+        self.progress.versions = versions
         self.progress.save()
-        return changed > 0 or (lv1, rv1) != (lv0, rv0)
+        return True
+
+
+class _ForeachStage(_JoinStage):
+    """User-sink terminal stage (reference ``.foreachBatch``, elzyme/joins.py:
+    536-554): hands the user each recomputed affected slice — the *current
+    correct rows* for the keys this batch touched — instead of merging into
+    a managed target. The user owns idempotence, exactly as in the
+    reference."""
+
+    def __init__(self, builder, func, progress: _Progress):
+        super().__init__(builder, None, progress)
+        self.func = func
+        self._batch_id = 0
+
+    def process(self) -> bool:
+        out = self.compute_slice()
+        if out is None:
+            return False
+        affected, new_slice, versions = out
+        self.func(new_slice, self._batch_id)
+        self._batch_id += 1
+        self.progress.versions = versions
+        self.progress.save()
+        return True
 
 
 class _AggStage:
@@ -240,7 +273,13 @@ class IncrementalPipeline:
         return commits
 
 
-def _build_pipeline(operator, path: str, spark: SparkSession) -> IncrementalPipeline:
+def _build_pipeline(
+    operator,
+    path: str,
+    spark: SparkSession,
+    partition_by: Sequence[str] = (),
+    foreach_batch=None,
+) -> IncrementalPipeline:
     """Recursively materialize staged inputs bottom-up, then create the final
     target. Staging tables live under ``<path>__stages/``."""
     from ..operators.joins import JoinBuilder, StagedStream
@@ -251,7 +290,7 @@ def _build_pipeline(operator, path: str, spark: SparkSession) -> IncrementalPipe
 
     def bind_input(stream: Stream, stage_dir: str) -> None:
         if isinstance(stream, StagedStream) and stream.change_table is None:
-            build(stream.parent, stage_dir)
+            build(stream.parent, stage_dir, False)
             ct = stages[-1].target
             stream.change_table = ct
             stream._static_fn = ct.snapshot
@@ -266,23 +305,35 @@ def _build_pipeline(operator, path: str, spark: SparkSession) -> IncrementalPipe
             if stream.change_table not in roots:
                 roots.append(stream.change_table)
 
-    def build(op, target_path: str) -> None:
+    def build(op, target_path: str, final: bool) -> None:
+        # the user's partitionBy applies to the final target only — the
+        # copy-on-write pruning analog of the reference's merge-condition
+        # partition conjuncts (elzyme/joins.py:676-682)
+        parts = tuple(partition_by) if final else ()
         if isinstance(op, JoinBuilder):
             bind_input(op.left, f"{target_path}__stages/left")
             bind_input(op.right, f"{target_path}__stages/right")
+            if final and foreach_batch is not None:
+                stages.append(_ForeachStage(op, foreach_batch, _Progress(None, 2)))
+                return
             schema = op.toDF().schema
             pks = [k.name for k in op.composed_keys()]
-            target = ChangeTable.create(spark, target_path, schema, pks)
+            target = ChangeTable.create(
+                spark, target_path, schema, pks, partition_by=parts
+            )
             stages.append(_JoinStage(op, target, _Progress(target_path, 2)))
         elif isinstance(op, GroupByWithAggs):
             bind_input(op.source, f"{target_path}__stages/src")
             schema = op.toDF().schema
-            target = ChangeTable.create(spark, target_path, schema, list(op.group_cols))
+            target = ChangeTable.create(
+                spark, target_path, schema, list(op.group_cols),
+                partition_by=parts or tuple(op._partition_by),
+            )
             stages.append(_AggStage(op, target, _Progress(target_path, 1)))
         else:
             raise TypeError(f"cannot run {type(op).__name__} incrementally")
 
-    build(operator, path.rstrip("/"))
+    build(operator, path.rstrip("/"), True)
     return IncrementalPipeline(spark, stages, roots)
 
 
@@ -325,10 +376,22 @@ class _WriterBase:
     @property
     def pipeline(self) -> IncrementalPipeline:
         if self._pipeline is None:
-            if self.path is None:
-                raise ValueError("foreachBatch sinks use run_foreach(); table "
-                                 "sinks need a path")
-            self._pipeline = _build_pipeline(self.operator, self.path, self._spark())
+            path = self.path
+            if path is None:
+                if self._foreach_batch is None:
+                    raise ValueError("a table sink needs a path")
+                # staging tables for upstream stages still need storage
+                import tempfile
+
+                path = tempfile.mkdtemp(prefix="sj_foreach_")
+            self._resolved_path = path
+            self._pipeline = _build_pipeline(
+                self.operator,
+                path,
+                self._spark(),
+                partition_by=getattr(self, "partition_by", ()),
+                foreach_batch=self._foreach_batch,
+            )
         return self._pipeline
 
     @property
@@ -368,7 +431,8 @@ class _WriterBase:
             .option(
                 "checkpointLocation",
                 self._options.get(
-                    "checkpointLocation", f"{self.path}__stages/_checkpoint"
+                    "checkpointLocation",
+                    f"{getattr(self, '_resolved_path', self.path)}__stages/_checkpoint",
                 ),
             )
         )
@@ -397,12 +461,12 @@ class IncrementalJoinWriter(_WriterBase):
         super().__init__(builder, path, foreach_batch)
         self.partition_by = tuple(partition_by)
 
-    def run_foreach(self) -> None:
-        """User-sink mode (reference ``.foreachBatch``, elzyme/joins.py:
-        536-554): hand the user each recomputed affected slice. Differs from
-        the reference in that the slice is the *current correct rows* for the
-        affected keys rather than a raw joined microbatch."""
-        raise NotImplementedError("foreachBatch sink lands with a later milestone")
+    @property
+    def target(self) -> ChangeTable:
+        t = self.pipeline.stages[-1].target
+        if t is None:
+            raise ValueError("foreachBatch pipelines have no managed target")
+        return t
 
 
 class IncrementalAggWriter(_WriterBase):

@@ -280,3 +280,24 @@ def test_streaming_start_drains(spark, tmp_path, cust_ct, ord_ct):
     finally:
         w.stop()
     assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
+
+
+def test_foreach_batch_user_sink(spark, tmp_path, cust_ct, ord_ct):
+    """S7: user-supplied sink receives the recomputed affected slice per
+    batch (reference foreachBatch, elzyme/joins.py:536-554)."""
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    seen = []
+    w = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .foreachBatch(lambda df, bid: seen.append((bid, df.count())))
+    )
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 6.0)]))
+    w.run()
+    assert seen == [(0, 2)]
+    ord_ct.merge(o_rows(spark, [(12, 1, 7.0)]))
+    w.run()
+    # slice = all current rows for affected customer 1 (3 orders now)
+    assert seen[-1] == (1, 3)
