@@ -208,8 +208,29 @@ class _ForeachStage(_JoinStage):
         return True
 
 
+import re
+
+_ADDITIVE_RE = re.compile(r"^(sum|count)\(")
+
+
 class _AggStage:
-    """One incremental aggregation stage: dirty-group re-aggregation."""
+    """One incremental aggregation stage. Two merge strategies:
+
+    - **additive** (the reference's plus/minus algorithm, elzyme/aggs.py:
+      44-59): when every output column is a ``sum(...)``/``count(...)`` or
+      carries a ``.reduce()`` recipe, and a count column exists for
+      group-vanish detection, the batch evaluates the *same* agg expressions
+      over the insert/postimage rows (plus-frame) and the preimage/delete
+      rows (minus-frame), combines them into per-group deltas, and adds them
+      to the stored values — O(delta), never rescans the source. A group
+      whose count reaches 0 is deleted (the reference leaves such groups
+      stale).
+    - **dirty-group recomputation** (fallback, always correct): re-aggregate
+      the affected groups from the pinned snapshot — required for
+      non-additive aggregates (avg/min/max/count-distinct) under updates and
+      deletes, where additive deltas are wrong (SURVEY.md §4 documents the
+      reference's max-retraction bug).
+    """
 
     def __init__(self, gb, target: ChangeTable, progress: _Progress):
         self.gb = gb
@@ -222,6 +243,23 @@ class _AggStage:
                 f"aggregation output lost its group columns {missing} — "
                 "a .to() transform must keep them for incremental merge"
             )
+        self.agg_cols = [c for c in target._data_cols() if c not in self.group_cols]
+        self._count_cols = [
+            c
+            for col, c in zip(gb.aggs, self._agg_out_names())
+            if _agg_kind(col) == "count"
+        ]
+        self.additive = (
+            not gb._maps
+            and bool(self._count_cols)
+            and all(
+                _agg_kind(col) in ("sum", "count") or name in gb.recipes
+                for col, name in zip(gb.aggs, self._agg_out_names())
+            )
+        )
+
+    def _agg_out_names(self) -> list[str]:
+        return self.agg_cols
 
     def process(self) -> bool:
         src = self.gb.source
@@ -236,16 +274,93 @@ class _AggStage:
         )
         # pre AND post images → covers rows moving between groups
         affected = _broadcast_keys(images, self.group_cols)
-        snap = src.static(v1)
-        dirty = _semi_filter(snap, affected, self.group_cols)
-        new_slice = dirty.groupBy(*self.group_cols).agg(*self.gb.aggs)
-        for fn in self.gb._maps:
-            new_slice = fn(new_slice)
+        if self.additive:
+            new_slice = self._additive_slice(images, affected)
+        else:
+            snap = src.static(v1)
+            dirty = _semi_filter(snap, affected, self.group_cols)
+            new_slice = dirty.groupBy(*self.group_cols).agg(*self.gb.aggs)
+            for fn in self.gb._maps:
+                new_slice = fn(new_slice)
 
         changed = self.target.replace_keys(affected, self.group_cols, new_slice)
         self.progress.versions = [v1]
         self.progress.save()
         return changed > 0 or v1 != v0
+
+    def _additive_slice(self, images: DataFrame, affected: DataFrame) -> DataFrame:
+        """stored ⊕ (plus-frame − minus-frame) for the affected groups
+        (reference plus/minus frames: elzyme/aggs.py:45-51; delta expression
+        elzyme/aggs.py:76; MERGE update ``u.x + staged.x`` elzyme/aggs.py:77)."""
+        from ..streams import DELETE, INSERT, UPDATE_POST, UPDATE_PRE
+
+        g = self.group_cols
+        plus = (
+            images.where(F.col("_change_type").isin(INSERT, UPDATE_POST))
+            .groupBy(*g)
+            .agg(*self.gb.aggs)
+        )
+        minus = (
+            images.where(F.col("_change_type").isin(UPDATE_PRE, DELETE))
+            .groupBy(*g)
+            .agg(*self.gb.aggs)
+        )
+        P, M = "plus", "minus"
+        pm = plus.alias(P).join(minus.alias(M), _null_safe_on(P, M, g), "full_outer")
+        gsel = [
+            F.coalesce(F.col(f"{P}.`{c}`"), F.col(f"{M}.`{c}`")).alias(c) for c in g
+        ]
+        deltas = []
+        for c in self.agg_cols:
+            p, m = F.col(f"{P}.`{c}`"), F.col(f"{M}.`{c}`")
+            recipe = self.gb.recipes.get(c)
+            if recipe is not None and recipe.delta_update is not None:
+                deltas.append(recipe.delta_update(p, m).alias(c))
+            else:
+                deltas.append((F.coalesce(p, F.lit(0)) - F.coalesce(m, F.lit(0))).alias(c))
+        delta = pm.select(*gsel, *deltas)
+
+        U, D = "stored", "delta"
+        stored = _semi_filter(self.target.snapshot(), affected, g)
+        merged = stored.alias(U).join(
+            F.broadcast(delta.alias(D)), _null_safe_on(U, D, g), "full_outer"
+        )
+        out_g = [
+            F.coalesce(F.col(f"{U}.`{c}`"), F.col(f"{D}.`{c}`")).alias(c) for c in g
+        ]
+        out_aggs = []
+        for c in self.agg_cols:
+            u, d = F.col(f"{U}.`{c}`"), F.col(f"{D}.`{c}`")
+            recipe = self.gb.recipes.get(c)
+            if recipe is not None:
+                combined = recipe.update(u, d)
+                if recipe.insert is not None:
+                    combined = F.when(u.isNull(), recipe.insert(d)).otherwise(combined)
+                else:
+                    combined = F.when(u.isNull(), d).otherwise(combined)
+            else:
+                combined = F.when(u.isNull(), d).when(d.isNull(), u).otherwise(u + d)
+            out_aggs.append(combined.alias(c))
+        new_rows = merged.select(*out_g, *out_aggs)
+        # a group whose live-row count hits 0 vanished — drop it so
+        # replace_keys emits the delete (improvement over the reference,
+        # which leaves stale zero-groups behind)
+        cond = None
+        for c in self._count_cols:
+            k = F.col(f"`{c}`") > 0
+            cond = k if cond is None else (cond | k)
+        return new_rows.where(cond)
+
+
+def _agg_kind(col) -> str | None:
+    """Classify an aggregate Column by its expression head (``sum(``/
+    ``count(``). String-level but stable: Column.__repr__ prints the resolved
+    expression tree head."""
+    s = str(col)
+    # Column<'sum(price) AS total'> → sum(price) AS total
+    inner = s.split("'", 1)[1] if "'" in s else s
+    m = _ADDITIVE_RE.match(inner.strip())
+    return m.group(1) if m else None
 
 
 class IncrementalPipeline:

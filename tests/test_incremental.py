@@ -301,3 +301,63 @@ def test_foreach_batch_user_sink(spark, tmp_path, cust_ct, ord_ct):
     w.run()
     # slice = all current rows for affected customer 1 (3 orders now)
     assert seen[-1] == (1, 3)
+
+
+def test_additive_fast_path_converges(spark, tmp_path, ord_ct):
+    """sum/count aggs with a count column take the plus/minus additive path
+    (reference elzyme/aggs.py:44-59) — O(delta), no source rescan — and
+    still converge under updates, deletes, and group vanish."""
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        o.groupBy("cid")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "agg_add"))
+    )
+
+    def oracle():
+        return (
+            ord_ct.snapshot()
+            .groupBy("cid")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        )
+
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 9.5), (12, 2, 3.0)]))
+    w.run()
+    assert w.pipeline.stages[-1].additive is True
+    assert_same(w.toDF(), oracle())
+
+    # update (retraction + addition) and a cross-group move
+    ord_ct.merge(o_rows(spark, [(11, 1, 4.5), (12, 1, 3.0)]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().where("cid = 2").count() == 0   # group 2 vanished
+
+    # delete the whole remaining group 1 → table empties
+    ord_ct.delete_where(F.col("cid") == 1)
+    w.run()
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().count() == 0
+
+
+def test_reduce_recipe_in_additive_path(spark, tmp_path, ord_ct):
+    """A2: user .reduce() recipes drive the merge for non-sum columns
+    (reference elzyme/aggs.py:100-110) — here a running max via greatest,
+    valid while values only grow."""
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        o.groupBy("cid")
+        .agg(F.max("price").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .reduce(
+            "mx",
+            update=lambda u, d: F.greatest(u, d),
+            delta_update=lambda p, m: p,
+        )
+        .writeToPath(str(tmp_path / "agg_reduce"))
+    )
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 9.0)]))
+    w.run()
+    assert w.pipeline.stages[-1].additive is True
+    ord_ct.merge(o_rows(spark, [(12, 1, 12.0)]))   # grow-only workload
+    w.run()
+    got = w.toDF().collect()[0]
+    assert got["mx"] == 12.0 and got["n"] == 3
