@@ -526,6 +526,80 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_plan(fake_videos, every_n_seconds=1.0)
 
 
+
+def q_events_hourly_rollup(spark, sf_dir):
+    """Time-bucketed rollup over the event stream (tumbling-window analog —
+    the reference has no event-time windows by design, README.md:2-3; this
+    is the batch twin of a windowed aggregation)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_agg_count_distinct(spark, sf_dir):
+    """Non-additive aggregate (count distinct) — served by the dirty-group
+    recomputation path incrementally."""
+    _prep(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Window ranking: top-3 orders by price per customer (W1 surface as a
+    user-facing operator)."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-minute inactivity
+    boundary): classic lag + cumulative-sum window composition. Scale: one
+    shuffle on user_id; each session id is assigned without materializing
+    per-user state."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -556,6 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
         "frame_sample": q_frame_sample,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "agg_count_distinct": q_agg_count_distinct,
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
     }
 
 
@@ -897,6 +975,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "agg_count_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers,
+                   COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders) WHERE rk <= 3
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, value,
+                       epoch(ts) - epoch(LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id, value,
+                       SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM g)
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS session_value
+            FROM s GROUP BY user_id, session_seq
         """,
         **_corpus_oracles(),
     }

@@ -145,6 +145,13 @@ class ChangeTable:
         if not primary_keys:
             raise ValueError("primary keys are required for a mergeable table "
                              "(parity with reference README.md:60)")
+        field_names = {f.name for f in schema.fields}
+        missing = [k for k in primary_keys if k not in field_names]
+        if missing:
+            raise ValueError(
+                f"primary key column(s) {missing} not in table schema "
+                f"{sorted(field_names)} — keep them in the projection"
+            )
         path = path.rstrip("/")
         if ChangeTable.exists(path):
             if not overwrite:
