@@ -600,6 +600,59 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase event matched to the user's most
+    recent click at-or-before it (union + ordered-window algorithm — one
+    shuffle on user_id, no range join; operators/temporal.py)."""
+    _prep(spark)
+    from streamjoin_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts",
+        how="left", right_order="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("click_id"),
+        F.round("value", 4).alias("click_value"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Banded range join: purchase within 2 h after a view/click by the same
+    user (interval buckets → equi-join; operators/temporal.py)."""
+    _prep(spark)
+    from streamjoin_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("src_id"),
+        "user_id",
+        F.col("ts").cast("double").alias("lo"),
+        (F.col("ts").cast("double") + 7200.0).alias("hi"),
+    )
+    dst = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("dst_id"),
+        "user_id",
+        F.col("ts").cast("double").alias("p"),
+    )
+    out = range_join(
+        src, dst, keys=["user_id"], lower="lo", upper="hi", point="p",
+        bucket_width=7200.0, include_lower=False,
+    )
+    return out.select(
+        "src_id", "dst_id", F.round(F.col("p") - F.col("lo"), 3).alias("gap_s")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -634,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_distinct": q_agg_count_distinct,
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1012,6 +1067,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS session_value
             FROM s GROUP BY user_id, session_seq
+        """,
+        "asof_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   c.event_id AS click_id, ROUND(c.value, 4) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join": """
+            SELECT a.event_id AS src_id, b.event_id AS dst_id,
+                   ROUND(epoch(b.ts) - epoch(a.ts), 3) AS gap_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch(b.ts) > epoch(a.ts)
+             AND epoch(b.ts) <= epoch(a.ts) + 7200
+            WHERE a.event_type IN ('view', 'click')
+              AND b.event_type = 'purchase'
         """,
         **_corpus_oracles(),
     }

@@ -1,0 +1,158 @@
+"""Temporal joins: as-of join and banded range join.
+
+Beyond the reference surface (SURVEY.md §2 — the reference's only join
+shapes are equi/theta inner/left/right, elzyme/joins.py:322-326); these are
+the time-series join primitives Spark itself lacks as built-ins, expressed
+as compositions of DataFrame ops (no UDFs, no mapPartitions).
+
+Scale posture (100 TB / 1000 executors):
+
+- ``asof_join`` uses the union-of-sides + ordered-window algorithm: ONE
+  shuffle on the equality keys, then a linear per-partition scan carrying
+  the latest right-side row forward. No range predicate ever reaches a
+  join, so Catalyst can't fall back to broadcast-nested-loop / O(n·m)
+  per-key behavior. Skew is bounded by per-key row counts (same bound as
+  any window function); neither side is broadcast or replicated.
+- ``range_join`` bands the numeric axis into fixed-width buckets: the left
+  interval explodes to the few buckets it spans, the right point maps to
+  exactly one, and the join runs on (keys, bucket) — a plain shuffled
+  equi-join with the exact predicate applied after. Each matching pair
+  meets in exactly one bucket (the point's), so no dedup is needed.
+  Bucket width should be chosen ≈ the typical interval length so the
+  explode factor stays at 1-2.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    how: str = "left",
+    tolerance: float | None = None,
+    right_order: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.right_ts <= left.left_ts`` and equal ``on`` keys (backward
+    as-of, inclusive — DuckDB/pandas ``ASOF JOIN`` semantics).
+
+    ``tolerance`` (seconds) nulls out matches older than the window.
+    ``right_order`` breaks ties between right rows sharing (keys, ts) —
+    the highest value wins; without it such ties are resolved arbitrarily.
+    ``how`` is 'left' (unmatched left rows kept, right columns null) or
+    'inner'. Right payload columns that clash with a left column name get
+    ``suffix`` appended.
+
+    Algorithm: tag both sides, union by name, and over a window partitioned
+    by the keys and ordered by (ts, side right-before-left, tiebreak) carry
+    ``last(right_struct, ignorenulls=True)`` forward; right rows at the
+    same timestamp as a left row sort first, implementing the inclusive
+    bound. The whole right payload travels as ONE struct so a legitimately
+    NULL field in the matched row is not papered over by an older non-null
+    value.
+    """
+    on = list(on)
+    right_ts = right_ts or left_ts
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+
+    payload = [c for c in right.columns if c not in on]
+    if right_ts not in payload:
+        raise ValueError(f"right_ts column {right_ts!r} must be a right payload column")
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in payload) + ">"
+        ).alias("__r"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+
+    order = [F.asc("__ts"), F.asc("__side")]
+    if right_order:
+        order.append(F.asc_nulls_first(F.when(F.col("__side") == 0, F.col("__r")[right_order])))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        in_tol = (
+            F.col("__ts").cast("double") - F.col("__m")[right_ts].cast("double")
+        ) <= F.lit(float(tolerance))
+        matched = matched.withColumn("__m", F.when(in_tol, F.col("__m")))
+    if how == "inner":
+        matched = matched.where(F.col("__m").isNotNull())
+
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__m")[c].alias(out_names[c]) for c in payload],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    lower: str,
+    upper: str,
+    point: str,
+    bucket_width: float,
+    include_lower: bool = True,
+    include_upper: bool = True,
+) -> DataFrame:
+    """Interval-point range join: left rows carry a numeric interval
+    [``lower``, ``upper``], right rows a numeric ``point``; output pairs
+    with equal ``keys`` and the point inside the interval (bound
+    inclusivity per flags). Timestamps should be pre-cast to double epoch
+    seconds by the caller.
+
+    Banding turns the range predicate into an equi-join: left explodes to
+    the bucket span of its interval (rows with upper < lower are dropped —
+    also keeps ANSI-mode ``sequence()`` safe), right maps to one bucket,
+    and the exact predicate filters after the (keys, bucket) equi-join.
+    Output columns = left columns + right columns (keys coalesced);
+    non-key column names must not clash — pre-project the inputs.
+    """
+    keys = list(keys)
+    clash = {c for c in left.columns if c not in keys} & {
+        c for c in right.columns if c not in keys
+    }
+    if clash:
+        raise ValueError(f"non-key column name clash {sorted(clash)} — pre-rename")
+    w = float(bucket_width)
+    lb = F.floor(F.col(lower) / w).cast("long")
+    ub = F.floor(F.col(upper) / w).cast("long")
+    lhs = (
+        left.where(F.col(upper) >= F.col(lower))
+        .withColumn("__bucket", F.explode(F.sequence(lb, ub)))
+    )
+    rhs = right.withColumn("__bucket", F.floor(F.col(point) / w).cast("long"))
+    lo_ok = F.col(point) >= F.col(lower) if include_lower else F.col(point) > F.col(lower)
+    hi_ok = F.col(point) <= F.col(upper) if include_upper else F.col(point) < F.col(upper)
+    return lhs.join(rhs, keys + ["__bucket"]).where(lo_ok & hi_ok).drop("__bucket")

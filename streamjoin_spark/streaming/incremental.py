@@ -49,7 +49,15 @@ from pyspark.sql import functions as F
 
 from ..changelog import ChangeTable
 from ..columns import Binding
-from ..streams import COMMIT_VERSION, METADATA_COLUMNS, Stream
+from ..streams import (
+    COMMIT_VERSION,
+    DELETE,
+    INSERT,
+    METADATA_COLUMNS,
+    UPDATE_POST,
+    UPDATE_PRE,
+    Stream,
+)
 
 PROGRESS_FILE = "_progress.json"
 
@@ -71,6 +79,15 @@ def _semi_filter(df: DataFrame, keys: DataFrame, cols: Sequence[str]) -> DataFra
     return (
         df.alias(A)
         .join(keys.alias(K), _null_safe_on(A, K, cols), "left_semi")
+        .select([F.col(f"{A}.`{c}`").alias(c) for c in df.columns])
+    )
+
+
+def _anti_filter(df: DataFrame, keys: DataFrame, cols: Sequence[str]) -> DataFrame:
+    A, K = "d", "k"
+    return (
+        df.alias(A)
+        .join(keys.alias(K), _null_safe_on(A, K, cols), "left_anti")
         .select([F.col(f"{A}.`{c}`").alias(c) for c in df.columns])
     )
 
@@ -218,18 +235,24 @@ class _AggStage:
 
     - **additive** (the reference's plus/minus algorithm, elzyme/aggs.py:
       44-59): when every output column is a ``sum(...)``/``count(...)`` or
-      carries a ``.reduce()`` recipe, and a count column exists for
-      group-vanish detection, the batch evaluates the *same* agg expressions
-      over the insert/postimage rows (plus-frame) and the preimage/delete
-      rows (minus-frame), combines them into per-group deltas, and adds them
-      to the stored values — O(delta), never rescans the source. A group
-      whose count reaches 0 is deleted (the reference leaves such groups
-      stale).
-    - **dirty-group recomputation** (fallback, always correct): re-aggregate
-      the affected groups from the pinned snapshot — required for
-      non-additive aggregates (avg/min/max/count-distinct) under updates and
-      deletes, where additive deltas are wrong (SURVEY.md §4 documents the
-      reference's max-retraction bug).
+      carries a ``.reduce()`` recipe, groups touched ONLY by inserts /
+      update-postimages evaluate the same agg expressions over the new rows
+      and add them to the stored values — O(delta), never rescans the
+      source. Insert-only addition is exact, including SQL NULL semantics
+      (``SUM`` over all-NULL stays NULL — the reference's COALESCE-to-0
+      delta gets this wrong, elzyme/aggs.py:76) and ``.reduce()`` recipes
+      like ``greatest``-max, which are monotone under pure insertion.
+    - **dirty-group recomputation** (always correct): groups touched by any
+      retraction (update-preimage/delete) — and every group when an agg
+      column is non-additive (avg/min/max/count-distinct without a recipe)
+      — are re-aggregated from the pinned snapshot. Retracting additive
+      deltas are unsound in general (the reference's max-retraction bug,
+      SURVEY.md §4; SUM retracting its last non-null value must return to
+      NULL, not 0), so retractions always take this path; a group absent
+      from the snapshot naturally becomes a delete in the change feed.
+
+    Retractions are the minority of most CDC workloads, so the common case
+    stays O(delta) while every case stays exact.
     """
 
     def __init__(self, gb, target: ChangeTable, progress: _Progress):
@@ -244,18 +267,9 @@ class _AggStage:
                 "a .to() transform must keep them for incremental merge"
             )
         self.agg_cols = [c for c in target._data_cols() if c not in self.group_cols]
-        self._count_cols = [
-            c
-            for col, c in zip(gb.aggs, self._agg_out_names())
-            if _agg_kind(col) == "count"
-        ]
-        self.additive = (
-            not gb._maps
-            and bool(self._count_cols)
-            and all(
-                _agg_kind(col) in ("sum", "count") or name in gb.recipes
-                for col, name in zip(gb.aggs, self._agg_out_names())
-            )
+        self.additive = not gb._maps and all(
+            _agg_kind(col) in ("sum", "count") or name in gb.recipes
+            for col, name in zip(gb.aggs, self._agg_out_names())
         )
 
     def _agg_out_names(self) -> list[str]:
@@ -273,15 +287,32 @@ class _AggStage:
             ct.read_change_feed(v0 + 1).where(F.col(COMMIT_VERSION) <= v1)
         )
         # pre AND post images → covers rows moving between groups
-        affected = _broadcast_keys(images, self.group_cols)
-        if self.additive:
-            new_slice = self._additive_slice(images, affected)
-        else:
-            snap = src.static(v1)
-            dirty = _semi_filter(snap, affected, self.group_cols)
-            new_slice = dirty.groupBy(*self.group_cols).agg(*self.gb.aggs)
+        g = self.group_cols
+        affected = _broadcast_keys(images, g)
+
+        def recompute(keys: DataFrame) -> DataFrame:
+            dirty = _semi_filter(src.static(v1), keys, g)
+            out = dirty.groupBy(*g).agg(*self.gb.aggs)
             for fn in self.gb._maps:
-                new_slice = fn(new_slice)
+                out = fn(out)
+            return out
+
+        if not self.additive:
+            new_slice = recompute(affected)
+        else:
+            retract_imgs = images.where(F.col("_change_type").isin(UPDATE_PRE, DELETE))
+            if retract_imgs.isEmpty():
+                new_slice = self._additive_slice(images, affected)
+            else:
+                # groups seeing any retraction re-aggregate from the snapshot
+                # (additive retraction is unsound for NULL-edge SUM and for
+                # recipe aggs like max); the insert-only majority stays O(Δ)
+                rkeys = _broadcast_keys(retract_imgs, g)
+                ins_affected = F.broadcast(_anti_filter(affected, rkeys, g))
+                ins_images = _anti_filter(images, rkeys, g)
+                new_slice = self._additive_slice(ins_images, ins_affected).unionByName(
+                    recompute(rkeys)
+                )
 
         changed = self.target.replace_keys(affected, self.group_cols, new_slice)
         self.progress.versions = [v1]
@@ -291,9 +322,10 @@ class _AggStage:
     def _additive_slice(self, images: DataFrame, affected: DataFrame) -> DataFrame:
         """stored ⊕ (plus-frame − minus-frame) for the affected groups
         (reference plus/minus frames: elzyme/aggs.py:45-51; delta expression
-        elzyme/aggs.py:76; MERGE update ``u.x + staged.x`` elzyme/aggs.py:77)."""
-        from ..streams import DELETE, INSERT, UPDATE_POST, UPDATE_PRE
-
+        elzyme/aggs.py:76; MERGE update ``u.x + staged.x`` elzyme/aggs.py:77).
+        Callers route retraction-touched groups elsewhere, so the minus frame
+        is empty in practice; it is kept for the plus/minus algebra's shape
+        and costs nothing on an empty filter."""
         g = self.group_cols
         plus = (
             images.where(F.col("_change_type").isin(INSERT, UPDATE_POST))
@@ -317,7 +349,14 @@ class _AggStage:
             if recipe is not None and recipe.delta_update is not None:
                 deltas.append(recipe.delta_update(p, m).alias(c))
             else:
-                deltas.append((F.coalesce(p, F.lit(0)) - F.coalesce(m, F.lit(0))).alias(c))
+                # SQL NULL semantics: a group whose inputs are all NULL has
+                # SUM = NULL, not 0 — only coalesce when a real value exists
+                base = F.coalesce(p, F.lit(0)) - F.coalesce(m, F.lit(0))
+                deltas.append(
+                    F.when(p.isNull() & m.isNull(), F.lit(None))
+                    .otherwise(base)
+                    .alias(c)
+                )
         delta = pm.select(*gsel, *deltas)
 
         U, D = "stored", "delta"
@@ -341,15 +380,12 @@ class _AggStage:
             else:
                 combined = F.when(u.isNull(), d).when(d.isNull(), u).otherwise(u + d)
             out_aggs.append(combined.alias(c))
-        new_rows = merged.select(*out_g, *out_aggs)
-        # a group whose live-row count hits 0 vanished — drop it so
-        # replace_keys emits the delete (improvement over the reference,
-        # which leaves stale zero-groups behind)
-        cond = None
-        for c in self._count_cols:
-            k = F.col(f"`{c}`") > 0
-            cond = k if cond is None else (cond | k)
-        return new_rows.where(cond)
+        # no vanish filter: insert-only groups cannot vanish, and a
+        # count(col)==0 group (all inputs NULL) is a real group that batch
+        # SQL would report — dropping it here would lose it. Vanishing via
+        # deletes is handled by the recompute path (group absent from the
+        # snapshot → replace_keys emits the delete).
+        return merged.select(*out_g, *out_aggs)
 
 
 def _agg_kind(col) -> str | None:

@@ -205,10 +205,16 @@ class Stream:
 
 
 class PruneColumn:
-    """Marker for dynamic merge pruning: at merge time, collect the batch's
-    distinct values of this column and restrict the MERGE scan with an
-    IN-list (reference ``prune``, elzyme/streams.py:86-94 and
-    elzyme/joins.py:619-632)."""
+    """API-parity marker for the reference's dynamic merge pruning
+    (``prune``, elzyme/streams.py:86-94; IN-list injection
+    elzyme/joins.py:619-632). The reference needs it because a Delta MERGE
+    scans the whole target unless the condition names partition values. In
+    this engine the equivalent bound holds structurally: ``replace_keys`` /
+    ``merge`` consult the manifest and rewrite only the hash-parts that
+    contain affected keys (changelog.py ``_collect_parts``), so accepting a
+    PruneColumn changes nothing — the scan it would prune never happens.
+    Use ``Stream.partitionBy`` to align parts with a domain column (the
+    reference's join-aligned partitioning, elzyme/joins.py:676-682)."""
 
     def __init__(self, ref: ColumnRef):
         self.ref = ref

@@ -361,3 +361,41 @@ def test_reduce_recipe_in_additive_path(spark, tmp_path, ord_ct):
     w.run()
     got = w.toDF().collect()[0]
     assert got["mx"] == 12.0 and got["n"] == 3
+
+
+def test_sum_null_semantics_incremental(spark, tmp_path, ord_ct):
+    """SQL NULL edges of additive SUM: a group whose inputs are all NULL has
+    SUM = NULL (not 0), both when the group is born that way and when a
+    retraction removes its last non-null value. The reference's COALESCE-to-0
+    delta (elzyme/aggs.py:76) gets both wrong; here the first is handled by
+    NULL-propagating deltas and the second by routing retraction-touched
+    groups to dirty-group recomputation."""
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        o.groupBy("cid")
+        .agg(F.sum("price").alias("total"), F.count("price").alias("n_priced"))
+        .writeToPath(str(tmp_path / "agg_null"))
+    )
+
+    def oracle():
+        return (
+            ord_ct.snapshot()
+            .groupBy("cid")
+            .agg(F.sum("price").alias("total"), F.count("price").alias("n_priced"))
+        )
+
+    # group 1: mixed null/non-null; group 2: born all-NULL (additive path)
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, None), (12, 2, None)]))
+    w.run()
+    assert w.pipeline.stages[-1].additive is True
+    assert_same(w.toDF(), oracle())
+    got = {r.cid: (r.total, r.n_priced) for r in w.toDF().collect()}
+    assert got[1] == (5.0, 1)
+    assert got[2] == (None, 0)   # present with NULL sum, not dropped, not 0
+
+    # retraction removes group 1's only non-null value → SUM back to NULL
+    ord_ct.delete_where(F.col("oid") == 10)
+    w.run()
+    assert_same(w.toDF(), oracle())
+    got = {r.cid: (r.total, r.n_priced) for r in w.toDF().collect()}
+    assert got[1] == (None, 0)

@@ -1,0 +1,114 @@
+"""Unit tests for as-of and range joins (operators/temporal.py) on small
+hand-built frames with known answers, including the edge cases the window
+algorithm must get right: equal timestamps (inclusive bound), NULL fields in
+the matched right row, tolerance windows, and bucket-boundary points."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streamjoin_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=10.0, lv="L1"),
+            Row(k="a", lts=20.0, lv="L2"),
+            Row(k="a", lts=5.0, lv="L0"),
+            Row(k="b", lts=10.0, lv="L3"),
+            Row(k="c", lts=10.0, lv="L4"),  # no right rows for key c
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=10.0, rid=1, rv="R10"),  # equal-ts: must match lts=10
+            Row(k="a", rts=12.0, rid=2, rv="R12"),
+            Row(k="a", rts=12.0, rid=3, rv=None),   # tie on ts: rid=3 wins; rv NULL
+            Row(k="b", rts=9.0, rid=4, rv="R9"),
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        how="left", right_order="rid",
+    )
+    got = {(r.k, r.lts): (r.rid, r.rv) for r in out.collect()}
+    assert got[("a", 5.0)] == (None, None)        # nothing at or before 5
+    assert got[("a", 10.0)] == (1, "R10")         # inclusive: rts == lts matches
+    # tie at rts=12: right_order picks rid=3, whose rv is legitimately NULL —
+    # the struct carry must NOT fall back to rid=2's non-null value
+    assert got[("a", 20.0)] == (3, None)
+    assert got[("b", 10.0)] == (4, "R9")
+    assert got[("c", 10.0)] == (None, None)
+    assert out.count() == 5
+
+
+def test_asof_inner_and_tolerance(frames):
+    left, right = frames
+    inner = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        how="inner", right_order="rid",
+    )
+    assert inner.count() == 3  # (a,10) (a,20) (b,10)
+
+    tol = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        how="left", tolerance=1.0, right_order="rid",
+    )
+    got = {(r.k, r.lts): r.rid for r in tol.collect()}
+    assert got[("a", 10.0)] == 1      # gap 0 <= 1
+    assert got[("a", 20.0)] is None   # gap 8 > 1 nulled out
+    assert got[("b", 10.0)] == 4      # gap exactly == tolerance is kept
+
+
+def test_asof_name_clash_suffix(spark):
+    left = spark.createDataFrame([Row(k="a", ts=10.0, v=1.0)])
+    right = spark.createDataFrame([Row(k="a", ts=8.0, v=2.0)])
+    out = asof_join(left, right, on=["k"], left_ts="ts")
+    assert set(out.columns) == {"k", "ts", "v", "ts_right", "v_right"}
+    row = out.collect()[0]
+    assert (row.v, row.v_right, row.ts_right) == (1.0, 2.0, 8.0)
+
+
+def test_range_join_buckets_and_bounds(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", sid=1, lo=0.0, hi=10.0),
+            Row(k="a", sid=2, lo=95.0, hi=105.0),  # spans a bucket boundary
+            Row(k="a", sid=3, lo=50.0, hi=40.0),   # inverted: dropped, no ANSI throw
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", pid=1, p=0.0),     # on the lower bound
+            Row(k="a", pid=2, p=10.0),    # on the upper bound
+            Row(k="a", pid=3, p=100.0),   # inside sid=2, different bucket than lo
+            Row(k="a", pid=4, p=200.0),   # matches nothing
+            Row(k="b", pid=5, p=5.0),     # key mismatch
+        ]
+    )
+    out = range_join(
+        left, right, keys=["k"], lower="lo", upper="hi", point="p",
+        bucket_width=50.0,
+    )
+    pairs = {(r.sid, r.pid) for r in out.collect()}
+    assert pairs == {(1, 1), (1, 2), (2, 3)}
+
+    half_open = range_join(
+        left, right, keys=["k"], lower="lo", upper="hi", point="p",
+        bucket_width=50.0, include_lower=False, include_upper=False,
+    )
+    assert {(r.sid, r.pid) for r in half_open.collect()} == {(2, 3)}
+
+
+def test_range_join_clash_rejected(spark):
+    df = spark.createDataFrame([Row(k="a", x=1.0, lo=0.0, hi=1.0, p=0.5)])
+    with pytest.raises(ValueError, match="clash"):
+        range_join(df, df, keys=["k"], lower="lo", upper="hi", point="p",
+                   bucket_width=1.0)
