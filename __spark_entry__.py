@@ -448,14 +448,20 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+# shared by the Spark query and its DuckDB oracle — 2^planes buckets bound
+# the candidate-pair volume (50k vectors: 4 planes → ~156M pairs, 6 → ~39M)
+_NEARDUP_PLANES = 6
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs — LSH-bucketed scale tier (4
-    hyperplanes, cos >= 0.35); the exact tier is covered by unit tests."""
+    """Embedding-cosine near-dup pairs — LSH-bucketed scale tier
+    (cos >= 0.35); the exact tier is covered by unit tests."""
     _prep(spark)
     from streamjoin_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4, dim=64
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35, n_planes=_NEARDUP_PLANES, dim=64,
     )
 
 
@@ -837,7 +843,7 @@ def _corpus_oracles() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "embedding_neardup": f"""
             WITH {_VEC_CTE},
-            bk AS (SELECT vec_id, e, nrm, {_bucket_sql(4, 64)} AS bucket FROM n)
+            bk AS (SELECT vec_id, e, nrm, {_bucket_sql(_NEARDUP_PLANES, 64)} AS bucket FROM n)
             SELECT doc_a, doc_b, cosine_sim FROM (
                 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                        {cos_ab} AS cosine_sim

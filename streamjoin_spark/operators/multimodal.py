@@ -90,7 +90,13 @@ def image_features(
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    # decode dominates I/O by orders of magnitude — one round-robin shuffle
+    # of (id, payload) ahead of the Python stage keeps every core decoding
+    # even when the input arrives as a handful of large files
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

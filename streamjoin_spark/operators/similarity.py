@@ -67,7 +67,13 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # scoring cost is |Q|·|C| cosines and must not inherit the corpus file
+    # layout (a single small file would serialize it behind the broadcast
+    # join) — one O(|C|) round-robin shuffle buys a fully parallel scan
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
     scored = (
         q.crossJoin(c)
@@ -124,6 +130,9 @@ def lsh_bucket_topk(
         F.col(vec_col).alias("__qv"),
         bucket_id(F.col(vec_col), planes).alias("__bucket"),
     )
+    # distribute bucket hashing + same-bucket scoring across the cluster
+    # regardless of the corpus file layout (see cosine_topk)
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -159,13 +168,17 @@ def embedding_neardup_pairs(
 
     ``exact=True`` scores all pairs (oracle tier); default buckets by LSH
     first so only same-bucket pairs are scored (scale tier)."""
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
+    # pair scoring is O(n²/buckets); rebalance the probe side up front so it
+    # never runs serial behind a broadcast join of the (small) build side
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(par).select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va")
+    )
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
     if exact:
-        # the cross product is broadcast-nested-loop; spread the stream side
-        # across cores or the whole O(n²) scoring runs in one task
-        par = df.sparkSession.sparkContext.defaultParallelism
-        pairs = a.repartition(par).crossJoin(F.broadcast(b))
+        # the cross product is broadcast-nested-loop over the (rebalanced)
+        # stream side
+        pairs = a.crossJoin(F.broadcast(b))
     else:
         planes = hyperplanes(dim, n_planes)
         a = a.withColumn("__bucket", bucket_id(F.col("__va"), planes))

@@ -151,6 +151,15 @@ def range_join(
     lhs = (
         left.where(F.col(upper) >= F.col(lower))
         .withColumn("__bucket", F.explode(F.sequence(lb, ub)))
+        # partition the probe side on the join key up front: distributes the
+        # candidate filtering even when the build side is broadcast, and the
+        # exchange is reusable if the planner picks a shuffled join instead.
+        # The explicit count pins the parallelism — AQE would otherwise
+        # coalesce a byte-small exchange to one task and serialize the
+        # per-candidate predicate work.
+        .repartition(
+            left.sparkSession.sparkContext.defaultParallelism, *keys, "__bucket"
+        )
     )
     rhs = right.withColumn("__bucket", F.floor(F.col(point) / w).cast("long"))
     lo_ok = F.col(point) >= F.col(lower) if include_lower else F.col(point) > F.col(lower)
