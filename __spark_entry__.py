@@ -659,6 +659,68 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-resilient shuffled join (operators/skew.py): probe rows salted
+    deterministically, build side replicated n_salts×, join on key+salt —
+    result identical to the plain join, verified by an unsalted oracle."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(l, o, on=["l_orderkey"], how="inner", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py): partials on
+    (group, salt), exact recombination per group — equals plain groupBy."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity")),
+            "n_rows": ("count", F.lit(1)),
+            "min_price": ("min", F.col("l_extendedprice")),
+            "max_price": ("max", F.col("l_extendedprice")),
+            "avg_discount": ("avg", F.col("l_discount")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "sum_qty",
+        "n_rows",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round("avg_discount", 6).alias("avg_discount"),
+    )
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic, engine-portable train/val assignment by md5-hash
+    bucket of doc_id (operators/skew.py deterministic_split) — reproducible
+    across runs, engines and partitionings, unlike randomSplit."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(docs, "doc_id", {"train": 90, "val": 10})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -695,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "salted_join": q_salted_join,
+        "skew_agg": q_skew_agg,
+        "train_val_split": q_train_val_split,
     }
 
 
@@ -1090,6 +1155,29 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(b.ts) <= epoch(a.ts) + 7200
             WHERE a.event_type IN ('view', 'click')
               AND b.event_type = 'purchase'
+        """,
+        "salted_join": """
+            SELECT o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "skew_agg": """
+            SELECT l_returnflag,
+                   SUM(l_quantity) AS sum_qty,
+                   COUNT(*) AS n_rows,
+                   ROUND(MIN(l_extendedprice), 2) AS min_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price,
+                   ROUND(AVG(l_discount), 6) AS avg_discount
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
         **_corpus_oracles(),
     }

@@ -1,0 +1,152 @@
+"""Skew mitigation: salted joins and two-phase (salted) aggregation.
+
+Beyond the reference surface (its joins always broadcast the ≤1 GB
+microbatch, elzyme/joins.py:310-314, so key skew never reaches a shuffle);
+batch pipelines at 100 TB don't get that luxury. When a handful of hot keys
+dominate a shuffled equi-join or aggregation, the tasks owning those keys
+run for hours while the rest of the cluster idles. These operators spread
+hot keys across ``n_salts`` sub-partitions; results are exactly the plain
+join/aggregation results (salt choice never affects the output), so they
+hash-check against unsalted SQL oracles.
+
+When to reach for them (in preference order): (1) broadcast the small side
+if it fits — no shuffle at all; (2) AQE skew-join splitting
+(``spark.sql.adaptive.skewJoin.enabled``) which handles *detected* skew at
+runtime; (3) these operators, when the skew is known ahead of time, the
+build side is too big to broadcast, or the skew lives in an aggregation
+(AQE's skew handling does not split aggregation partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the probe side.
+
+    Each probe row gets a deterministic pseudo-random salt (xxhash of the
+    whole row, so a hot key's rows spread uniformly), the build side is
+    replicated ``n_salts`` times, and the join runs on ``on + [salt]`` —
+    turning one task per hot key into ``n_salts`` tasks. Cost: the build
+    side shuffles ``n_salts``× (use only when it can't broadcast). Supports
+    the probe-preserving join types; 'right'/'full' would need the salt on
+    the other side — flip the arguments instead.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join preserves the probe side; how={how!r} is not — "
+            "swap probe/build"
+        )
+    on = list(on)
+    overlap = [c for c in probe.columns if c in build.columns and c not in on]
+    if overlap:
+        raise ValueError(f"non-key column name clash {overlap} — pre-rename")
+    p = probe.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts))
+    )
+    b = build.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return p.join(b, on + [SALT], how).drop(SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output name → (kind, input expression) with kind one of
+    ``sum | count | min | max | avg``. Phase 1 aggregates on
+    (group_cols, salt) — hot groups split into ``n_salts`` partial states
+    computed in parallel; phase 2 combines partials per group (sum of sums,
+    sum of counts, min of mins, …; avg = Σsum/Σcount so it recombines
+    exactly). Output equals the plain ``groupBy().agg()`` result.
+
+    Note Spark's hash aggregate already does map-side partial aggregation;
+    the salted form matters when phase-2 cardinality per group is what
+    skews — e.g. high-cardinality COUNT DISTINCT-style pipelines or
+    low-memory final tasks. It is also the template for writing any
+    algebraic aggregate as partial/combine.
+    """
+    group_cols = list(group_cols)
+    kinds = {"sum", "count", "min", "max", "avg"}
+    for name, (kind, _) in aggs.items():
+        if kind not in kinds:
+            raise ValueError(f"unsupported agg kind {kind!r} for {name!r}")
+
+    salted = df.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for name, (kind, expr) in aggs.items():
+        if kind == "sum":
+            partials.append(F.sum(expr).alias(f"__p_{name}"))
+            finals.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "count":
+            partials.append(F.count(expr).alias(f"__p_{name}"))
+            finals.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "min":
+            partials.append(F.min(expr).alias(f"__p_{name}"))
+            finals.append(F.min(f"__p_{name}").alias(name))
+        elif kind == "max":
+            partials.append(F.max(expr).alias(f"__p_{name}"))
+            finals.append(F.max(f"__p_{name}").alias(name))
+        else:  # avg — recombine exactly from (sum, count)
+            partials.append(F.sum(expr).alias(f"__ps_{name}"))
+            partials.append(F.count(expr).alias(f"__pc_{name}"))
+            finals.append(
+                (F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}")).alias(name)
+            )
+
+    phase1 = salted.groupBy(*group_cols, SALT).agg(*partials)
+    return phase1.groupBy(*group_cols).agg(*finals)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int],
+    seed: str = "",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test…) by a deterministic,
+    engine-portable hash of its id — the standard reproducible holdout for
+    training-data pipelines. ``weights`` are integer percentages summing to
+    100; assignment = bucket of ``md5-hash64(seed‖id) mod 100`` (portable
+    twin: functions.hash64). Stable across runs, engines, partitionings and
+    cluster sizes — unlike ``DataFrame.randomSplit``, which is
+    partition-dependent.
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    from ..functions import hash64
+
+    bucket = F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(100))
+    names = list(weights)
+    if len(names) == 1:
+        expr: Column = F.lit(names[0])
+    else:
+        expr = None
+        edge = 0
+        for name in names[:-1]:
+            edge += weights[name]
+            cond = bucket < edge
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -1,0 +1,89 @@
+"""Salted join / two-phase agg / deterministic split (operators/skew.py):
+salt choice must never change results, so each operator is asserted
+multiset-equal to its plain unsalted counterpart."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streamjoin_spark.operators.skew import (
+    deterministic_split,
+    salted_agg,
+    salted_join,
+)
+
+
+def same(a, b):
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key k=1 carries most rows; k=3 has no build-side match
+    probe = spark.createDataFrame(
+        [Row(k=1, v=float(i)) for i in range(50)]
+        + [Row(k=2, v=1.5), Row(k=3, v=2.5)]
+    )
+    build = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    return probe, build
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain(skewed, how):
+    probe, build = skewed
+    salted = salted_join(probe, build, on=["k"], how=how, n_salts=4)
+    plain = probe.join(build, ["k"], how)
+    same(salted, plain)
+
+
+def test_salted_join_rejects_non_probe_preserving(skewed):
+    probe, build = skewed
+    with pytest.raises(ValueError, match="probe"):
+        salted_join(probe, build, on=["k"], how="right")
+
+
+def test_salted_agg_equals_plain(skewed, spark):
+    probe, _ = skewed
+    # include a NULL value so count/avg NULL-skipping semantics are covered
+    probe = probe.union(spark.createDataFrame([(1, None)], "k bigint, v double"))
+    salted = salted_agg(
+        probe,
+        ["k"],
+        {
+            "s": ("sum", F.col("v")),
+            "n": ("count", F.col("v")),
+            "lo": ("min", F.col("v")),
+            "hi": ("max", F.col("v")),
+            "m": ("avg", F.col("v")),
+        },
+        n_salts=4,
+    )
+    plain = probe.groupBy("k").agg(
+        F.sum("v").alias("s"),
+        F.count("v").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.avg("v").alias("m"),
+    )
+    same(salted, plain)
+
+
+def test_deterministic_split_stable_and_weighted(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = deterministic_split(df, "doc_id", {"train": 80, "val": 10, "test": 10})
+    s2 = deterministic_split(df, "doc_id", {"train": 80, "val": 10, "test": 10})
+    same(s1, s2)  # reproducible across invocations
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 < counts["train"] < 900  # ~80% within hash tolerance
+    # a different seed reshuffles assignments
+    s3 = deterministic_split(df, "doc_id", {"train": 80, "val": 10, "test": 10}, seed="s")
+    joined = s1.alias("a").join(s3.alias("b"), "doc_id")
+    moved = joined.where(F.col("a.split") != F.col("b.split")).count()
+    assert moved > 0
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        deterministic_split(df, "doc_id", {"train": 50})
