@@ -659,6 +659,63 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: selective scan + global aggregate. The three
+    predicates and the two-column projection reach the parquet scan
+    (PushedFilters/ReadSchema) — the canonical pushdown/pruning check."""
+    _prep(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 — join
+    chain through the engine builder, ranking tie-broken by custkey."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    )
+    base = (
+        c.join(o, "inner")
+        .onKeys("c_custkey")
+        .join(l, "inner")
+        .onKeys("o_orderkey")
+        .toDF()
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    # distributed top-k (TakeOrdered, no global single-partition window),
+    # then rank only the 20 survivors
+    top = base.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "c_custkey", "c_name", "revenue", "rk"
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-resilient shuffled join (operators/skew.py): probe rows salted
     deterministically, build side replicated n_salts×, join on key+salt —
@@ -760,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "skew_agg": q_skew_agg,
         "train_val_split": q_train_val_split,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
     }
 
 
@@ -1155,6 +1214,31 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(b.ts) <= epoch(a.ts) + 7200
             WHERE a.event_type IN ('view', 'click')
               AND b.event_type = 'purchase'
+        """,
+        "tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, revenue, rk FROM (
+                SELECT c_custkey, c_name, revenue,
+                       ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+                FROM (
+                    SELECT c.c_custkey, c.c_name,
+                           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                               AS revenue
+                    FROM customer c
+                    JOIN orders o ON o.o_custkey = c.c_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    WHERE l.l_returnflag = 'R'
+                    GROUP BY c.c_custkey, c.c_name
+                )
+            ) WHERE rk <= 20
         """,
         "salted_join": """
             SELECT o.o_orderpriority,
