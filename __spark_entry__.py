@@ -485,6 +485,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-5: hash-sampled centroids, nearest-list
+    assignment, nprobe=2 probing (operators/similarity.py ivf_topk)."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_step=250, nprobe=2
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile: tokens, ratios, quality, fingerprint,
     language guess."""
@@ -804,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
@@ -997,6 +1010,41 @@ def _corpus_oracles() -> dict[str, str]:
                        {cos_qc} AS cosine_sim
                 FROM q JOIN b c
                   ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, cosine_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_VEC_CTE},
+            cents AS (SELECT vec_id AS cent_id, e, nrm FROM n
+                      WHERE vec_id % 250 = 0),
+            assign AS (
+                SELECT __id, cent_id FROM (
+                    SELECT a.vec_id AS __id, c.cent_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY {_COS.format(a="a", b="c")} DESC,
+                                        c.cent_id) AS rn
+                    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (
+                SELECT __id AS query_id, cent_id FROM (
+                    SELECT q.vec_id AS __id, c.cent_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_COS.format(a="q", b="c")} DESC,
+                                        c.cent_id) AS rn
+                    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+                WHERE rn <= 2),
+            scored AS (
+                SELECT p.query_id, a.__id AS neighbor_id,
+                       {_COS.format(a="qn", b="cn")} AS cosine_sim
+                FROM probes p
+                JOIN assign a ON a.cent_id = p.cent_id
+                JOIN n qn ON qn.vec_id = p.query_id
+                JOIN n cn ON cn.vec_id = a.__id
+                WHERE a.__id <> p.query_id)
             SELECT query_id, neighbor_id, cosine_sim FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY query_id

@@ -155,6 +155,84 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_step: int = 250,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the inverted-file ANN tier.
+
+    Centroids are hash-sampled deterministically (rows with
+    ``id % centroid_step == 0`` — K grows with the corpus, no iterative
+    training, reproducible everywhere). Build: every vector joins the
+    broadcast centroid set and keeps its nearest (one O(N·K) scoring pass,
+    parallel over the corpus — the IVF index build). Query: each query
+    scores the same centroid set, probes its ``nprobe`` nearest lists, and
+    scans only vectors assigned there — candidate volume ~``nprobe/K`` of
+    the corpus vs. the brute-force full scan.
+
+    At 100 TB the assignment becomes the partition key: inverted lists are
+    co-located by ``cent_id``, queries broadcast to the lists they probe,
+    and the final top-k is a per-query window over candidates. Ties are
+    broken on (rounded sim, id) so results are deterministic and
+    oracle-checkable. Output schema matches ``cosine_topk``.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cents = F.broadcast(
+        corpus.where(F.pmod(F.col(id_col), F.lit(centroid_step)) == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    sim_c = F.round(cosine(F.col("__v"), F.col("__cvec")), 6)
+    w_assign = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cent_id"))
+
+    def nearest(df: DataFrame, n: int) -> DataFrame:
+        scored = (
+            df.crossJoin(cents)
+            .select("__id", "__v", "cent_id", sim_c.alias("__sim"))
+            .withColumn("__rn", F.row_number().over(w_assign))
+            .where(F.col("__rn") <= n)
+        )
+        return scored.select("__id", "__v", "cent_id")
+
+    inv = nearest(
+        corpus.repartition(par).select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ),
+        1,
+    ).select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        "cent_id",
+    )
+    probes = nearest(
+        queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        nprobe,
+    ).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), "cent_id"
+    )
+
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        F.broadcast(probes)
+        .join(inv, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
