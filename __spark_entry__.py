@@ -790,6 +790,240 @@ def q_train_val_split(spark, sf_dir):
     return deterministic_split(docs, "doc_id", {"train": 90, "val": 10})
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join (operators/dedup.py
+    semi_join) — probe side never multiplies, and the lineitem scan prunes to
+    the two columns the condition needs (ReadSchema)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import semi_join
+
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    matched = semi_join(
+        o, l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation through the
+    engine builder — priority split per return flag."""
+    _prep(spark)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"])
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    ).to(
+        lambda df: df.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+    )
+    return (
+        o.join(l, "inner")
+        .onKeys("o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .toDF()
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — selective lineitem scan joined
+    to part (dimension side broadcast), global conditional aggregate."""
+    _prep(spark)
+    p = _s(spark, sf_dir, "part", ["p_partkey"], renames={"p_partkey": "l_partkey"})
+    l = _s(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).to(
+        lambda df: df.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01"))
+            & (F.col("l_shipdate") < F.lit("1996-12-01"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = l.join(p, "inner").onKeys("l_partkey").toDF()
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING via agg → filter → two-stage join chain (the
+    engine's agg→join staging composition), large-quantity orders with their
+    customers."""
+    _prep(spark)
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey"},
+    )
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    big = (
+        l.groupBy("o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .to(lambda df: df.where(F.col("sum_qty") > 300))
+        .stage("big_orders")
+    )
+    return (
+        big.join(o, "inner")
+        .onKeys("o_orderkey")
+        .join(c, "inner")
+        .onKeys("c_custkey")
+        .select(
+            c["c_custkey"], c["c_name"],
+            big["o_orderkey"], o["o_orderdate"], o["o_totalprice"], big["sum_qty"],
+        )
+        .toDF()
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of brand×quantity bands as a theta-join
+    condition from the expression AST (`&`/`|` composition)."""
+    _prep(spark)
+    p = _s(spark, sf_dir, "part", ["p_partkey"])
+    l = _s(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def band(brand, lo, hi):
+        return (
+            (p["p_brand"] == brand)
+            & (l["l_quantity"] >= lo)
+            & (l["l_quantity"] <= hi)
+        )
+
+    cond = (p["p_partkey"] == l["l_partkey"]) & (
+        band("Brand#12", 1, 11) | band("Brand#23", 10, 20) | band("Brand#5", 20, 30)
+    )
+    joined = p.join(l, "inner").on(cond).toDF()
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_rolling_avg(spark, sf_dir):
+    """Rolling 3-row window per user (operators/windows.py rolling_agg):
+    moving average + sliding sum, ROWS frame with a unique tiebreaker."""
+    _prep(spark)
+    from streamjoin_spark.operators.windows import rolling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_agg(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        aggs={
+            "mov_avg": ("avg", F.col("value")),
+            "mov_sum": ("sum", F.col("value")),
+        },
+        preceding=2,
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("mov_avg", 4).alias("mov_avg"),
+        F.round("mov_sum", 4).alias("mov_sum"),
+    )
+
+
+def q_cumulative_value(spark, sf_dir):
+    """Running totals per user (operators/windows.py cumulative_agg)."""
+    _prep(spark)
+    from streamjoin_spark.operators.windows import cumulative_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = cumulative_agg(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        aggs={
+            "run_value": ("sum", F.col("value")),
+            "run_events": ("count", F.lit(1)),
+        },
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("run_value", 4).alias("run_value"),
+        F.col("run_events"),
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark `percentile` ↔ DuckDB
+    `quantile_cont`, both linear-interpolation) through the engine's agg
+    builder."""
+    _prep(spark)
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"])
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .toDF()
+    )
+
+
+def q_token_topk(spark, sf_dir):
+    """Corpus token frequency: explode whitespace tokens, count, distributed
+    top-20 (TakeOrdered — no global single-partition window); ties broken by
+    token text."""
+    _prep(spark)
+    from streamjoin_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP grouping sets over (returnflag, linestatus) — subtotal and
+    grand-total rows with NULL group markers, matching ANSI semantics."""
+    _prep(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_pivot_returnflag(spark, sf_dir):
+    """Pivot: quantity totals per linestatus × explicit returnflag columns
+    (Spark pivot ↔ oracle conditional aggregation)."""
+    _prep(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    out = l.groupBy("l_linestatus").pivot("l_returnflag", ["A", "N", "R"]).agg(
+        F.round(F.sum("l_quantity"), 2)
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -832,6 +1066,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "rolling_avg": q_rolling_avg,
+        "cumulative_value": q_cumulative_value,
+        "percentiles": q_percentiles,
+        "token_topk": q_token_topk,
+        "rollup_agg": q_rollup_agg,
+        "pivot_returnflag": q_pivot_returnflag,
     }
 
 
@@ -1303,6 +1548,108 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(l_extendedprice), 2) AS max_price,
                    ROUND(AVG(l_discount), 6) AS avg_discount
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12": """
+            SELECT l.l_returnflag,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_returnflag
+        """,
+        "tpch_q14": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0.0 END)
+                         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS promo_pct,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l.l_shipdate < TIMESTAMP '1996-12-01'
+        """,
+        "tpch_q18": """
+            SELECT c.c_custkey, c.c_name, t.o_orderkey,
+                   o.o_orderdate, o.o_totalprice, t.sum_qty
+            FROM (
+                SELECT l_orderkey AS o_orderkey,
+                       ROUND(SUM(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING ROUND(SUM(l_quantity), 2) > 300
+            ) t
+            JOIN orders o ON o.o_orderkey = t.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "tpch_q19": """
+            SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#5' AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "rolling_avg": """
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER w, 4) AS mov_avg,
+                   ROUND(SUM(value) OVER w, 4) AS mov_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "cumulative_value": """
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER w, 4) AS run_value,
+                   COUNT(*) OVER w AS run_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "percentiles": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                   ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "token_topk": """
+            SELECT tok, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 20
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_returnflag": """
+            SELECT l_linestatus,
+                   ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+                   ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+                   ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+            FROM lineitem GROUP BY l_linestatus
         """,
         "train_val_split": """
             SELECT doc_id,

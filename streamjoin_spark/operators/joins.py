@@ -77,6 +77,26 @@ def compose_keys(
     return out
 
 
+def _lineage(stream) -> list:
+    """A stream plus every stream nested inside it through staged stages —
+    so chained pipelines can select with refs to *inner* streams
+    (``big.join(o).join(c).select(big["k"], o["d"], ...)``), matching the
+    reference where upstream ColumnSelectors stay valid across staging
+    (elzyme/joins.py:838-858). A ref resolves to the side whose staged
+    output carries the column under the same name."""
+    out = [stream]
+    parent = getattr(stream, "parent", None)
+    if parent is not None:
+        for s in (
+            getattr(parent, "left", None),
+            getattr(parent, "right", None),
+            getattr(parent, "source", None),
+        ):
+            if s is not None:
+                out.extend(_lineage(s))
+    return out
+
+
 class JoinBuilder:
     """Fluent join-pipeline builder over two Streams (reference
     ``StreamToStreamJoin`` → ``StreamToStreamJoinWithCondition`` chain,
@@ -173,13 +193,21 @@ class JoinBuilder:
                 drop_right |= self._dropped_key_names()
             else:
                 drop_left |= self._dropped_key_names()
+        left_streams = {id(s) for s in _lineage(self.left)}
+        right_streams = {id(s) for s in _lineage(self.right)}
+
+        def side_of(ref: ColumnRef) -> str:
+            if id(ref.stream) in left_streams:
+                return lq
+            if id(ref.stream) in right_streams:
+                return rq
+            raise ValueError(f"ref {ref!r} does not belong to either side")
+
         for ref in self._drops:
-            if ref.stream is self.left:
+            if side_of(ref) == lq:
                 drop_left.add(ref.name)
-            elif ref.stream is self.right:
-                drop_right.add(ref.name)
             else:
-                raise ValueError(f"drop ref {ref!r} does not belong to either side")
+                drop_right.add(ref.name)
 
         selects = self._selects
         if selects is None:
@@ -202,13 +230,12 @@ class JoinBuilder:
 
         for item in selects:
             if isinstance(item, StarRef):
-                if item.stream is self.left:
+                if id(item.stream) in left_streams:
                     star(self.left, lq, drop_left, lcols)
                 else:
                     star(self.right, rq, drop_right, rcols)
             elif isinstance(item, ColumnRef):
-                q = lq if item.stream is self.left else rq
-                emit(q, item.name, item.output_name)
+                emit(side_of(item), item.name, item.output_name)
             elif isinstance(item, Expr):
                 out_name = item.output_name
                 col = item.column(binding)
@@ -252,7 +279,15 @@ class JoinBuilder:
         rq = f"sjr{JoinBuilder._ALIAS_COUNTER}"
         lcols, rcols = ldf.columns, rdf.columns
         ldf_a, rdf_a = ldf.alias(lq), rdf.alias(rq)
-        binding = Binding.of((self.left, lq), (self.right, rq))
+        # bind the full lineage of each side so refs to inner (pre-staging)
+        # streams resolve to the staged output's qualifier; the immediate
+        # sides are bound last and win on overlap
+        binding = Binding.of(
+            *[(s, lq) for s in _lineage(self.left)[1:]],
+            *[(s, rq) for s in _lineage(self.right)[1:]],
+            (self.left, lq),
+            (self.right, rq),
+        )
         cond = self._join_condition(binding, lq, rq)
         joined = ldf_a.join(rdf_a, cond, self.how)
         out_cols = self._output_columns(binding, lq, rq, lcols, rcols)

@@ -141,3 +141,65 @@ def test_union_and_transform(spark, sf_dir):
         .toDF()
     )
     assert got.count() == orders.count() + 5
+
+
+def test_chained_select_inner_stream_refs(spark, sf_dir):
+    """Refs to streams *inside* a staged chain resolve through the stage's
+    output (lineage-aware side resolution in JoinBuilder._output_columns)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = Stream.fromDataFrame(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders"
+    ).primaryKeys("o_orderkey")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    l = Stream.fromDataFrame(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem"
+    ).primaryKeys("o_orderkey", "l_linenumber")
+
+    got = (
+        l.join(o, "inner")
+        .onKeys("o_orderkey")
+        .join(c, "inner")
+        .onKeys("c_custkey")
+        .select(c["c_custkey"], c["c_name"], l["o_orderkey"], o["o_totalprice"])
+        .toDF()
+    )
+    assert got.columns == ["c_custkey", "c_name", "o_orderkey", "o_totalprice"]
+    exp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+    same(got, exp)
+
+
+def test_agg_stage_then_join_select_refs(spark, sf_dir):
+    """HAVING-style agg → filter → join chain with refs to the staged agg
+    stream (the TPC-H Q18 shape)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    l = Stream.fromDataFrame(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem"
+    ).primaryKeys("o_orderkey", "l_linenumber")
+    o = Stream.fromDataFrame(orders, "orders").primaryKeys("o_orderkey")
+    big = (
+        l.groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .to(lambda df: df.where(F.col("sum_qty") > 100))
+        .stage("big_orders")
+    )
+    got = (
+        big.join(o, "inner")
+        .onKeys("o_orderkey")
+        .select(big["o_orderkey"], big["sum_qty"], o["o_totalprice"])
+        .toDF()
+    )
+    exp = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 100)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "sum_qty", "o_totalprice")
+    )
+    same(got, exp)
