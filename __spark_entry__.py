@@ -1024,6 +1024,31 @@ def q_pivot_returnflag(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation pipeline: per-doc text profile
+    (operators/text.py) → quality + language gate → exact-dedup keeping the
+    lowest doc_id per content fingerprint (operators/dedup.py) → curated doc
+    list with features. One scan of documents; dedup shuffles on the md5
+    fingerprint (uniform); the quality gate prunes before the shuffle."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import exact_dedup
+    from streamjoin_spark.operators.text import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = profile(docs, text_col="text", id_col="doc_id")
+    feats = docs.select("doc_id", "text", "source").join(prof, "doc_id")
+    gated = feats.where(
+        (F.col("quality") >= 0.5) & (F.col("lang_guess") == "en")
+    )
+    groups = exact_dedup(gated, text_col="text", id_col="doc_id")
+    canon = (F.col("fingerprint") == F.col("content_md5")) & (
+        F.col("doc_id") == F.col("keep_id")
+    )
+    return gated.join(groups, canon).select(
+        "doc_id", "source", "n_tokens", "quality", "fingerprint", "n_copies"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -1077,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1297,6 +1323,22 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM scored) WHERE rn <= 5
         """,
         "text_profile": _profile_sql(),
+        "corpus_curation": f"""
+            WITH prof AS ({_profile_sql()}),
+            feats AS (
+                SELECT d.doc_id, d.source, p.n_tokens, p.quality, p.fingerprint
+                FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+                WHERE p.quality >= 0.5 AND p.lang_guess = 'en'
+            ),
+            keep AS (
+                SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+                FROM feats GROUP BY fingerprint
+            )
+            SELECT f.doc_id, f.source, f.n_tokens, f.quality, f.fingerprint,
+                   k.n_copies
+            FROM feats f JOIN keep k
+              ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep_id
+        """,
         "text_quality_by_source": f"""
             WITH p AS ({_profile_sql()})
             SELECT d.source,

@@ -85,6 +85,22 @@ def main() -> None:
                 timings.setdefault(name, -1.0)
                 print(f"# bench failure {name}: {e}", file=sys.stderr, flush=True)
 
+    # host CPU-steal bursts can span minutes and poison BOTH attempts of a
+    # query (observed: 55 s for a query that runs 1.1 s warm); give any
+    # remaining outlier one more chance
+    for name, best in list(timings.items()):
+        if best >= 8.0:
+            fn = qs[name]
+            t0 = time.monotonic()
+            try:
+                fn(spark, sf_dir).count()
+                dt = round(time.monotonic() - t0, 3)
+                if dt < best:
+                    timings[name] = dt
+                print(f"# {name} (retry): {dt}s", file=sys.stderr, flush=True)
+            except Exception:  # noqa: BLE001
+                pass
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

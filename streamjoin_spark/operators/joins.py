@@ -117,6 +117,7 @@ class JoinBuilder:
         self._drops: list[ColumnRef] = []
         self._maps: list[Callable] = []
         self._unions: list[DataFrame] = []
+        self._broadcast_side: str | None = None
 
     # ------------------------------------------------------------------
     # condition
@@ -152,6 +153,24 @@ class JoinBuilder:
         elzyme/joins.py:861-865)."""
         self._unions.append(other)
         return self
+
+    def broadcast(self, side: str = "right") -> "JoinBuilder":
+        """Force a broadcast of one side in the batch plan — the explicit
+        analog of the reference's always-broadcast-the-microbatch strategy
+        (elzyme/joins.py:310-316). Use when the optimizer's size estimate is
+        wrong (e.g. a selective filter Catalyst can't see through); at 100 TB
+        a wrongly-shuffled dimension join is the single most expensive
+        planner miss."""
+        if side not in ("left", "right"):
+            raise ValueError("side must be 'left' or 'right'")
+        self._broadcast_side = side
+        return self
+
+    def explain(self, mode: str = "formatted") -> None:
+        """Explain the batch twin's physical plan (review that filters reach
+        the scan and the intended join strategy was chosen before running at
+        scale)."""
+        self.toDF().explain(mode)
 
     # ------------------------------------------------------------------
     # plan construction (shared by batch twin and incremental legs)
@@ -289,6 +308,10 @@ class JoinBuilder:
             (self.right, rq),
         )
         cond = self._join_condition(binding, lq, rq)
+        if self._broadcast_side == "left":
+            ldf_a = F.broadcast(ldf_a)
+        elif self._broadcast_side == "right":
+            rdf_a = F.broadcast(rdf_a)
         joined = ldf_a.join(rdf_a, cond, self.how)
         out_cols = self._output_columns(binding, lq, rq, lcols, rcols)
         out = joined.select(*out_cols)

@@ -83,6 +83,19 @@ class Stream:
         return Stream(spark, name, lambda version: spark.read.format(fmt).load(path))
 
     @staticmethod
+    def fromTable(
+        spark: SparkSession, table: str, name: str | None = None
+    ) -> "Stream":
+        """Static source from a catalog table name (reference
+        ``Stream.fromTable``, elzyme/streams.py:136-144 — ours resolves via
+        the session catalog instead of Databricks ``DESCRIBE TABLE
+        EXTENDED`` since there is no Unity Catalog to probe)."""
+        return Stream(
+            spark, name or table.split(".")[-1],
+            lambda version: spark.read.table(table),
+        )
+
+    @staticmethod
     def fromChangeTable(ct: "ChangeTable", name: str | None = None) -> "Stream":
         """Incremental source over our changelog substrate — change feed via
         the Structured Streaming file source, snapshots pinned by version

@@ -399,3 +399,32 @@ def test_sum_null_semantics_incremental(spark, tmp_path, ord_ct):
     assert_same(w.toDF(), oracle())
     got = {r.cid: (r.total, r.n_priced) for r in w.toDF().collect()}
     assert got[1] == (None, 0)
+
+def test_theta_inequality_join_converges(spark, tmp_path, cust_ct, ord_ct):
+    """Theta condition with an inequality leg: updates move rows across the
+    predicate threshold in both directions; incremental must track the
+    appearing/disappearing matches exactly."""
+
+    def build():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        return c.join(o, "inner").on((c["id"] == o["cid"]) & (o["price"] > 4.0))
+
+    w = build().writeToPath(str(tmp_path / "theta"))
+
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 3.0), (12, 2, 9.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+    assert w.toDF().count() == 2  # 11 fails the price predicate
+
+    # price crosses the threshold upward (11 appears) and downward (12 drops)
+    ord_ct.merge(o_rows(spark, [(11, 1, 6.0), (12, 2, 1.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    # delete a matching order; update a customer to refresh its slice
+    ord_ct.delete_where(F.col("oid") == 10)
+    cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())

@@ -203,3 +203,19 @@ def test_agg_stage_then_join_select_refs(spark, sf_dir):
         .select(F.col("l_orderkey").alias("o_orderkey"), "sum_qty", "o_totalprice")
     )
     same(got, exp)
+
+
+def test_broadcast_hint_same_result(spark, sf_dir):
+    """Explicit .broadcast('right') changes the physical strategy only —
+    results identical to the unhinted plan."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    c = Stream.fromDataFrame(cust, "customer").primaryKeys("c_custkey")
+    n = Stream.fromDataFrame(
+        nation.withColumnRenamed("n_nationkey", "c_nationkey"), "nation"
+    ).primaryKeys("c_nationkey")
+    got = c.join(n, "inner").onKeys("c_nationkey").broadcast("right").toDF()
+    exp = c.join(n, "inner").onKeys("c_nationkey").toDF()
+    same(got, exp)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
