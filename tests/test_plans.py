@@ -1,0 +1,60 @@
+"""Physical-plan audits: the scale posture, enforced.
+
+These tests pin the plan shapes that matter at 100 TB — filters reaching
+the parquet scan, column pruning, broadcastable dimensions actually
+broadcast, distributed top-k instead of global windows, and no
+row-at-a-time Python in any query plan. A correctness-green query that
+regresses here would still pass the oracle while being 10-100× slower at
+scale; this suite fails it early.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    p = plan_of(entry.q_tpch_q6(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull" in p
+    # projection pruning: the lineitem scan reads only the 4 needed columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in p
+    )
+
+
+def test_q14_dimension_broadcast(spark, sf_dir):
+    p = plan_of(entry.q_tpch_q14(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_q10_distributed_topk(spark, sf_dir):
+    # TakeOrdered limits driver-side data to k rows; a global Window sort
+    # would move the whole aggregate to one partition
+    p = plan_of(entry.q_tpch_q10(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_token_topk_distributed(spark, sf_dir):
+    p = plan_of(entry.q_token_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rolling_window_partitioned(spark, sf_dir):
+    # the window must partition by user_id — a global ordered window would
+    # single-task the whole table
+    p = plan_of(entry.q_rolling_avg(spark, sf_dir))
+    assert "Window" in p and "user_id" in p
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_no_row_at_a_time_python(spark, sf_dir, name):
+    """No query plan may contain BatchEvalPython (row-at-a-time Python UDF).
+    Arrow-batched nodes (MapInPandas / ArrowEvalPython) are the sanctioned
+    Python escape hatch for media decode."""
+    df = entry.queries()[name](spark, sf_dir)
+    assert "BatchEvalPython" not in plan_of(df), name
