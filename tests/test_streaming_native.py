@@ -1,0 +1,134 @@
+"""Native Structured Streaming operators (streaming/stateful.py): stateful
+sessionization with checkpoint-recovered state, and watermarked windowed
+rollup — each converging to its batch twin."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamjoin_spark.changelog import ChangeTable
+from streamjoin_spark.streaming.stateful import (
+    streaming_sessionize,
+    windowed_rollup_stream,
+)
+
+EV = "event_id long, user_id long, ts double, value double"
+GAP = 100.0
+
+
+@pytest.fixture()
+def ev_ct(spark, tmp_path):
+    return ChangeTable.create(
+        spark, str(tmp_path / "ev"), spark.createDataFrame([], EV).schema,
+        ["event_id"],
+    )
+
+
+def _drain_sessions(spark, ev_ct, tmp_path, results):
+    """One availableNow pass of the stateful sessionizer; merge updated
+    session rows into `results` (latest per (user, session_seq))."""
+    stream = ev_ct.read_change_stream().where(
+        F.col("_change_type") == "insert"
+    )
+    sess = streaming_sessionize(stream, gap_s=GAP)
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            results[(r.user_id, r.session_seq)] = (
+                r.n_events, round(r.session_value, 4)
+            )
+
+    q = (
+        sess.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def batch_sessions(spark, ev_ct):
+    from pyspark.sql.window import Window
+
+    ev = ev_ct.snapshot()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(gap.isNull() | (gap > GAP), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return {
+        (r.user_id, r.session_seq): (r.n_events, round(r.session_value, 4))
+        for r in sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .collect()
+    }
+
+
+def test_stateful_sessionize_converges_across_restarts(spark, tmp_path, ev_ct):
+    results = {}
+    # batch 1: two users; user 1 has a gap-split (t=0,50 | t=300)
+    ev_ct.append(spark.createDataFrame(
+        [(1, 1, 0.0, 1.0), (2, 1, 50.0, 2.0), (3, 1, 300.0, 4.0),
+         (4, 2, 10.0, 8.0)], EV))
+    _drain_sessions(spark, ev_ct, tmp_path, results)
+    assert results[(1, 1)] == (2, 3.0)
+    assert results[(1, 2)] == (1, 4.0)
+
+    # batch 2 in a NEW query (state recovered from checkpoint): user 1's
+    # open session continues (t=350 within gap of 300); user 2 splits
+    ev_ct.append(spark.createDataFrame(
+        [(5, 1, 350.0, 10.0), (6, 2, 500.0, 16.0)], EV))
+    _drain_sessions(spark, ev_ct, tmp_path, results)
+
+    assert results == batch_sessions(spark, ev_ct)
+    assert results[(1, 2)] == (2, 14.0)  # continued, not restarted
+    assert results[(2, 2)] == (1, 16.0)
+
+
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path, ev_ct):
+    rows = [
+        (1, 1, 0.0, 1.0), (2, 1, 1800.0, 2.0),     # window 0
+        (3, 2, 3700.0, 4.0), (4, 2, 5400.0, 8.0),  # windows 1
+        (5, 1, 7300.0, 16.0),                      # window 2
+    ]
+    ev_ct.append(spark.createDataFrame(rows, EV))
+    stream = (
+        ev_ct.read_change_stream()
+        .where(F.col("_change_type") == "insert")
+        .withColumn("ts", F.timestamp_seconds("ts"))
+        .withColumn("event_type", F.lit("e"))
+    )
+    out = windowed_rollup_stream(stream, window="1 hour", watermark="2 hours")
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[(r.window_start, r.event_type)] = (r.n_events, r.sum_value)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ev = ev_ct.snapshot().withColumn("ts", F.timestamp_seconds("ts"))
+    exp = {
+        (r.window_start, "e"): (r.n_events, r.sum_value)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .collect()
+    }
+    assert got == exp
