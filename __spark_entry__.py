@@ -513,8 +513,14 @@ def q_text_quality_by_source(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     p = profile(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # Mean via an exact DECIMAL sum of per-row-rounded qualities: double AVG
+    # is summation-order-sensitive at the last ulp, which flips the 4 dp
+    # digit across engines. Per-row ROUND parity is bit-exact (text_profile).
+    q4 = F.round(F.col("quality"), 4).cast("decimal(18,4)")
     return p.groupBy("source").agg(
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(
+            F.sum(q4).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_quality"),
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
@@ -601,7 +607,11 @@ def q_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # ts.cast("double") keeps the fractional seconds (exact parity with
+    # DuckDB epoch(ts)); unix_timestamp truncates to whole seconds and can
+    # split sessions differently near the 1800 s boundary.
+    ts_s = F.col("ts").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (
         ev.withColumn("new_sess", new_sess)
@@ -612,9 +622,13 @@ def q_sessionize(spark, sf_dir):
             ),
         )
     )
+    # Sum per-row-rounded values as DECIMAL so the total is independent of
+    # partial-aggregation order (double SUM is order-sensitive at the ulp).
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("session_value"),
     )
 
 
@@ -1342,8 +1356,9 @@ def _corpus_oracles() -> dict[str, str]:
         "text_quality_by_source": f"""
             WITH p AS ({_profile_sql()})
             SELECT d.source,
-                   ROUND(AVG(p.quality), 4) AS avg_quality,
-                   SUM(p.n_tokens) AS total_tokens,
+                   ROUND(CAST(SUM(CAST(ROUND(p.quality, 4) AS DECIMAL(18,4)))
+                              AS DOUBLE) / COUNT(*), 4) AS avg_quality,
+                   CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM p JOIN documents d USING (doc_id)
             GROUP BY d.source
@@ -1524,13 +1539,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM events),
             s AS (
                 SELECT user_id, value,
-                       SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
                 FROM g)
             SELECT user_id, session_seq,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS session_value
+                   CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+                       AS session_value
             FROM s GROUP BY user_id, session_seq
         """,
         "asof_join": """
@@ -1605,10 +1621,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l.l_returnflag,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'

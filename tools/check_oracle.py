@@ -1,15 +1,28 @@
-"""Local emulation of the driver's correctness gate.
+"""Local emulation of the driver's correctness gate — driver-strict.
 
 Runs every ``queries()`` entry on Spark and the matching ``oracle_sql()`` on
 DuckDB over the same parquet tables, then compares row count, column names,
-and order-insensitive values (columns sorted by name, rows sorted).
+*column type classes*, and order-insensitive values (columns sorted by name,
+rows sorted).
+
+Strictness contract (VERDICT r1 item 2): this gate must be at least as strict
+as the driver's hash. Concretely:
+  - floats are canonicalized at FULL precision (repr), not %.9g — last-ulp
+    summation-order drift is a failure here, as it is for the driver;
+  - numeric type classes are part of the signature: BIGINT != HUGEINT !=
+    DECIMAL != DOUBLE. DuckDB SUM(BIGINT) returns HUGEINT (int128) which the
+    driver hashes differently from Spark's LongType even when values print
+    identically (tpch_q12, r1) — oracle SQL must CAST(... AS BIGINT).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import math
+import re
 import sys
 import time
 
@@ -25,23 +38,80 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+_INT_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "utinyint", "usmallint", "uinteger", "ubigint",
+}
+_FLOAT_TYPES = {"float", "double", "real"}
+_STR_TYPES = {"string", "varchar", "text"}
+_TS_TYPES = {
+    "timestamp", "timestamp_ntz", "timestamp_ltz", "datetime",
+    "timestamp_s", "timestamp_ms", "timestamp_ns",
+    "timestamp with time zone", "timestamptz",
+}
+
+
+def type_class(t: str) -> str:
+    """Collapse a Spark simpleString / DuckDB type string into the class the
+    driver's hash distinguishes. int vs hugeint vs decimal vs float matter."""
+    t = t.strip().lower()
+    if t in _INT_TYPES:
+        return "int"
+    if t in ("hugeint", "int128"):
+        return "hugeint"
+    m = re.match(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(2)})"  # scale only; precision widens on SUM
+    if t == "decimal":
+        return "decimal(?)"
+    if t in _FLOAT_TYPES:
+        return "float"
+    if t in _STR_TYPES:
+        return "str"
+    if t in _TS_TYPES:
+        return "ts"
+    if t == "date":
+        return "date"
+    if t in ("boolean", "bool"):
+        return "bool"
+    m = re.match(r"array<(.*)>$", t)
+    if m:
+        return f"list<{type_class(m.group(1))}>"
+    m = re.match(r"(.*)\[\]$", t)
+    if m:
+        return f"list<{type_class(m.group(1))}>"
+    return t
+
 
 def norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style canonicalization: stable short repr
-        return f"{v:.9g}"
+        if v == 0.0:  # collapse -0.0 vs 0.0 (engine-dependent for empty sums)
+            return "0.0"
+        return repr(v)  # FULL precision — ulp drift must fail
+    if isinstance(v, _decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
     return str(v)
 
 
-def frame_signature(rows, cols):
+def frame_signature(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
+    schema = [(cols[i], type_class(types[i])) for i in order]
     body = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-    return sorted_cols, body
+    return schema, body
 
 
 def main():
@@ -66,6 +136,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -75,20 +146,21 @@ def main():
             print(f"weak  {name}: rows={len(srows)} (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
-        sc, sb = frame_signature(srows, scols)
-        oc, ob = frame_signature(orows, ocols)
+        sc, sb = frame_signature(srows, scols, stypes)
+        oc, ob = frame_signature(orows, ocols, otypes)
         dt = time.time() - t0
         if sc != oc:
             failures.append(name)
-            print(f"FAIL  {name}: schema mismatch spark={sc} duck={oc}")
+            print(f"FAIL  {name}: schema mismatch\n      spark={sc}\n      duck ={oc}")
         elif len(sb) != len(ob):
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(sb)} duck={len(ob)}")
