@@ -225,9 +225,6 @@ class _ForeachStage(_JoinStage):
         return True
 
 
-import re
-
-_ADDITIVE_RE = re.compile(r"^(sum|count)\(")
 
 
 class _AggStage:
@@ -389,14 +386,27 @@ class _AggStage:
 
 
 def _agg_kind(col) -> str | None:
-    """Classify an aggregate Column by its expression head (``sum(``/
-    ``count(``). String-level but stable: Column.__repr__ prints the resolved
-    expression tree head."""
-    s = str(col)
-    # Column<'sum(price) AS total'> → sum(price) AS total
-    inner = s.split("'", 1)[1] if "'" in s else s
-    m = _ADDITIVE_RE.match(inner.strip())
-    return m.group(1) if m else None
+    """Classify an aggregate Column structurally via its ColumnNode tree.
+
+    Returns ``"sum"``/``"count"`` only for a non-DISTINCT sum/count head;
+    anything else — including DISTINCT aggregates, whose Column repr drops
+    the qualifier in Spark 4 (``str(F.countDistinct('x')) == "count(x)"``),
+    ``F.expr(...)`` SQL snippets, and any introspection failure — returns
+    None and routes to dirty-group recomputation, which is always correct.
+    Never classify by ``str(col)``: adding per-batch DISTINCT counts across
+    insert-only batches double-counts values seen in more than one batch."""
+    try:
+        node = col._jc.node()
+        while node.getClass().getSimpleName() == "Alias":
+            node = node.child()
+        if node.getClass().getSimpleName() != "UnresolvedFunction":
+            return None
+        if node.isDistinct():
+            return None
+        name = str(node.functionName()).lower()
+        return name if name in ("sum", "count") else None
+    except Exception:
+        return None
 
 
 class IncrementalPipeline:

@@ -400,6 +400,49 @@ def test_sum_null_semantics_incremental(spark, tmp_path, ord_ct):
     got = {r.cid: (r.total, r.n_priced) for r in w.toDF().collect()}
     assert got[1] == (None, 0)
 
+def test_count_distinct_not_additive(spark, tmp_path, ord_ct):
+    """DISTINCT aggregates must route to dirty-group recomputation: Spark 4's
+    Column repr drops the DISTINCT qualifier (str(F.countDistinct('x')) ==
+    'count(x)'), so a repr-based additive classifier silently double-counts
+    values seen in more than one insert-only batch. Structural detection via
+    the ColumnNode's isDistinct flag keeps this exact."""
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        o.groupBy("cid")
+        .agg(
+            F.countDistinct("price").alias("n_prices"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .writeToPath(str(tmp_path / "agg_distinct"))
+    )
+
+    def oracle():
+        return (
+            ord_ct.snapshot()
+            .groupBy("cid")
+            .agg(
+                F.countDistinct("price").alias("n_prices"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    # batch 1 inserts prices {5.0, 9.0}; batch 2 inserts {5.0, 3.0} — a
+    # per-batch-additive distinct count would report 4 instead of 3
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 9.0)]))
+    w.run()
+    assert w.pipeline.stages[-1].additive is False
+    assert_same(w.toDF(), oracle())
+
+    ord_ct.merge(o_rows(spark, [(12, 1, 5.0), (13, 1, 3.0)]))
+    w.run()
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().collect()[0]["n_prices"] == 3
+
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+
 def test_theta_inequality_join_converges(spark, tmp_path, cust_ct, ord_ct):
     """Theta condition with an inequality leg: updates move rows across the
     predicate threshold in both directions; incremental must track the
