@@ -15,7 +15,7 @@ Layout::
       _changelog_meta.json      # version, keys, sequence, schema, n_buckets
       manifests/v{N}.json       # snapshot N = {part_id: [data dirs]}
       data/c{N}/__part={p}/     # immutable parquet file-sets, one per commit
-      changes/                  # append-only: one parquet file-set per commit
+      changes/c{N}/             # change feed, one dir per commit
 
 Copy-on-write physics (the 100 TB story):
 
@@ -37,6 +37,12 @@ Copy-on-write physics (the 100 TB story):
 - Single-writer per table (matches the reference's one-query-per-stage
   topology, elzyme/joins.py:812-859). Commits are ordered; the metadata
   file is written last and atomically (write-temp + rename).
+- **Crash-safe**: every pre-meta artifact of commit ``v`` (data/c{v},
+  changes/c{v}, manifests/v{v}.json) is written idempotently (overwrite),
+  so a crash between any two steps leaves only orphans that the retried
+  commit regenerates in place — never a second copy. Readers additionally
+  cap the change feed at the committed version, so an un-bumped commit's
+  change rows are invisible even before the retry.
 """
 
 from __future__ import annotations
@@ -223,19 +229,31 @@ class ChangeTable:
         return self._read_dirs([d for ds in manifest.values() for d in ds])
 
     def read_change_feed(self, starting_version: int = 1) -> DataFrame:
-        """Batch read of the change feed from a version onward."""
-        df = self.spark.read.schema(self.change_schema()).parquet(
-            os.path.join(self.path, "changes")
+        """Batch read of the change feed from a version onward, capped at the
+        currently committed version: change files of a crashed (un-bumped)
+        commit carry a higher version stamp and must stay invisible until
+        the retried commit publishes them."""
+        df = (
+            self.spark.read.schema(self.change_schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.path, "changes"))
         )
-        return df.where(F.col(COMMIT_VERSION) >= starting_version)
+        return df.where(
+            (F.col(COMMIT_VERSION) >= starting_version)
+            & (F.col(COMMIT_VERSION) <= F.lit(self.version()))
+        )
 
     def read_change_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """The change feed as a Structured Streaming source. Every commit's
         files become (part of) a microbatch — the open-source equivalent of
         the reference's CDF readStream with its 1 GB/trigger cap
-        (elzyme/streams.py:126-134)."""
+        (elzyme/streams.py:126-134). Downstream stages re-read pinned change
+        ranges via ``read_change_feed`` (the stream is only a trigger), so
+        the committed-version cap there also shields streaming consumers
+        from crashed-commit orphans."""
         reader = self.spark.readStream.schema(self.change_schema())
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger or 16)
+        reader = reader.option("recursiveFileLookup", "true")
         return reader.parquet(os.path.join(self.path, "changes"))
 
     # ------------------------------------------------------------------
@@ -284,36 +302,36 @@ class ChangeTable:
         rewritten_parts: Sequence[int] = (),
         appended: DataFrame | None = None,
     ) -> None:
-        """Commit protocol:
+        """Commit protocol — every step before the meta bump is idempotent
+        (pure overwrite of version-addressed paths), so a crash anywhere
+        leaves a state the retried commit (same ``v``: progress is saved
+        only by the bump) regenerates exactly; no step can duplicate rows:
 
-        1. write the consolidated content of ``rewritten_parts`` (if any) and
-           any pure-append content to ``data/c{v}``, partitioned by part id;
-        2. write the change rows (append-only feed);
-        3. write manifest v: rewritten parts point only at the new dir,
+        1. overwrite ``data/c{v}`` with the consolidated content of
+           ``rewritten_parts`` (or the pure-append batch), partitioned by
+           part id;
+        2. overwrite ``changes/c{v}`` with this commit's change rows;
+        3. overwrite manifest v: rewritten parts point only at the new dir,
            appended parts gain the new dir, all others carry forward;
-        4. atomically bump the version in the metadata file (readers never
-           see a partial commit).
+        4. atomically bump the version in the metadata file — the publish
+           point; readers never see a partial commit, and readers cap the
+           change feed at the committed version so steps 1-3's artifacts
+           stay invisible until here.
         """
         v = new_version
         commit_rel = os.path.join("data", f"c{v}")
         commit_abs = os.path.join(self.path, commit_rel)
-        wrote_any = False
-        if rewritten is not None:
+        if rewritten is not None and appended is not None:
+            raise ValueError("a commit is either a rewrite or an append")
+        content = rewritten if rewritten is not None else appended
+        wrote_any = content is not None
+        if wrote_any:
             (
-                self._with_part(rewritten.select(*self._data_cols()))
+                self._with_part(content.select(*self._data_cols()))
                 .write.mode("overwrite")
                 .partitionBy(PART)
                 .parquet(commit_abs)
             )
-            wrote_any = True
-        if appended is not None:
-            (
-                self._with_part(appended.select(*self._data_cols()))
-                .write.mode("append")
-                .partitionBy(PART)
-                .parquet(commit_abs)
-            )
-            wrote_any = True
 
         manifest = dict(self._manifest(v - 1))
         if wrote_any:
@@ -337,8 +355,8 @@ class ChangeTable:
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         (
             changes.select(*change_cols)
-            .write.mode("append")
-            .parquet(os.path.join(self.path, "changes"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "changes", f"c{v}"))
         )
         meta = dict(self._meta)
         meta["version"] = v

@@ -100,15 +100,18 @@ class _Progress:
     def __init__(self, path: str | None, n_inputs: int):
         self.path = os.path.join(path, PROGRESS_FILE) if path else None
         self.versions = [0] * n_inputs
+        self.batch_id = 0
         if self.path and os.path.exists(self.path):
             with open(self.path) as f:
-                self.versions = json.load(f)["versions"]
+                data = json.load(f)
+            self.versions = data["versions"]
+            self.batch_id = data.get("batch_id", 0)
 
     def save(self) -> None:
         if self.path:
             tmp = self.path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"versions": self.versions}, f)
+                json.dump({"versions": self.versions, "batch_id": self.batch_id}, f)
             os.replace(tmp, self.path)
 
 
@@ -172,9 +175,19 @@ class _JoinStage:
         # leg 2 (probe): preserved-side rows that join with any Δ image of the
         # other side — pre-images find old partners, post-images new ones.
         # ΔO is broadcast; the snapshot side never shuffles.
+        from ..operators.joins import _lineage  # cycle guard
+
         pq, oq = "probe_p", "probe_o"
         lq, rq = (pq, oq) if self.preserved is b.left else (oq, pq)
-        binding = Binding.of((b.left, lq), (b.right, rq))
+        # bind each side's full lineage (mirrors _execute): a chained .on()
+        # condition may reference an inner (pre-staging) stream, which must
+        # resolve to the staged side's qualifier here too
+        binding = Binding.of(
+            *[(s, lq) for s in _lineage(b.left)[1:]],
+            *[(s, rq) for s in _lineage(b.right)[1:]],
+            (b.left, lq),
+            (b.right, rq),
+        )
         cond = b._join_condition(binding, lq, rq)
         probe = (
             p_snap.alias(pq)
@@ -205,21 +218,24 @@ class _ForeachStage(_JoinStage):
     """User-sink terminal stage (reference ``.foreachBatch``, elzyme/joins.py:
     536-554): hands the user each recomputed affected slice — the *current
     correct rows* for the keys this batch touched — instead of merging into
-    a managed target. The user owns idempotence, exactly as in the
-    reference."""
+    a managed target. Progress (input watermarks + batch id) persists next
+    to the staging directory like table-sink stages, so a restart resumes
+    after the last delivered batch instead of replaying the whole change
+    history. The user still owns per-batch idempotence (a crash between the
+    sink call and the progress save redelivers that one batch), exactly as
+    the reference's checkpointed foreachBatch does."""
 
     def __init__(self, builder, func, progress: _Progress):
         super().__init__(builder, None, progress)
         self.func = func
-        self._batch_id = 0
 
     def process(self) -> bool:
         out = self.compute_slice()
         if out is None:
             return False
         affected, new_slice, versions = out
-        self.func(new_slice, self._batch_id)
-        self._batch_id += 1
+        self.func(new_slice, self.progress.batch_id)
+        self.progress.batch_id += 1
         self.progress.versions = versions
         self.progress.save()
         return True
@@ -475,7 +491,10 @@ def _build_pipeline(
             bind_input(op.left, f"{target_path}__stages/left")
             bind_input(op.right, f"{target_path}__stages/right")
             if final and foreach_batch is not None:
-                stages.append(_ForeachStage(op, foreach_batch, _Progress(None, 2)))
+                os.makedirs(target_path, exist_ok=True)
+                stages.append(
+                    _ForeachStage(op, foreach_batch, _Progress(target_path, 2))
+                )
                 return
             schema = op.toDF().schema
             pks = [k.name for k in op.composed_keys()]
@@ -541,7 +560,12 @@ class _WriterBase:
             if path is None:
                 if self._foreach_batch is None:
                     raise ValueError("a table sink needs a path")
-                # staging tables for upstream stages still need storage
+                # durable restarts: an explicit checkpointLocation roots the
+                # staging tables + progress; otherwise an ephemeral temp dir
+                # (first run after a restart then replays — document-matched
+                # to the reference's un-checkpointed foreachBatch behavior)
+                path = self._options.get("checkpointLocation")
+            if path is None:
                 import tempfile
 
                 path = tempfile.mkdtemp(prefix="sj_foreach_")

@@ -107,3 +107,39 @@ def test_change_stream_microbatches(ct, spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) FROM cdc_smoke").collect()[0][0]
     assert got == ct.read_change_feed(0).count()
+
+
+def test_crashed_commit_is_invisible_and_retry_safe(ct, spark):
+    """Crash between change-file write and meta bump: the orphaned change
+    rows (stamped v) must stay invisible to readers, and the retried commit
+    (same v — progress saves only on the bump) must overwrite them in place,
+    never append a second copy."""
+    batch = spark.createDataFrame(
+        [(2, "b2", 25.0, 2), (3, "c", 30.0, 1)],
+        "id long, name string, amount double, seq int",
+    )
+
+    real_write_meta = ChangeTable._write_meta
+
+    def crash(self, meta):
+        raise RuntimeError("simulated crash before meta bump")
+
+    ChangeTable._write_meta = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ct.merge(batch)
+    finally:
+        ChangeTable._write_meta = real_write_meta
+
+    # data + change files for v2 exist on disk, but the table still reads v1
+    assert ct.version() == 1
+    assert ct.read_change_feed().where(F.col(COMMIT_VERSION) > 1).count() == 0
+    assert ct.snapshot().count() == 2
+
+    # retry commits the same version; the feed has exactly one copy of each
+    v = ct.merge(batch)
+    assert v == 2
+    feed = ct.read_change_feed(2)
+    assert feed.where(F.col(CHANGE_TYPE) == INSERT).count() == 1      # id 3
+    assert feed.where(F.col(CHANGE_TYPE) == UPDATE_POST).count() == 1  # id 2
+    assert ct.snapshot().count() == 3

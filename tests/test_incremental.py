@@ -400,6 +400,86 @@ def test_sum_null_semantics_incremental(spark, tmp_path, ord_ct):
     got = {r.cid: (r.total, r.n_priced) for r in w.toDF().collect()}
     assert got[1] == (None, 0)
 
+def test_chained_on_condition_refs_inner_stream(spark, tmp_path, cust_ct, ord_ct):
+    """A chained .on() condition referencing an inner (pre-staging) stream
+    must resolve in incremental mode too: the probe leg binds each side's
+    full lineage exactly like the batch path's _execute."""
+    item_schema = "iid long, oid long, qty long"
+    item_ct = ChangeTable.create(
+        spark, str(tmp_path / "item2"),
+        spark.createDataFrame([], item_schema).schema, ["iid"],
+    )
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    i = Stream.fromChangeTable(item_ct, "i").primaryKeys("iid")
+    w = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .join(i, "inner")
+        .on(o["oid"] == i["oid"])   # o is nested inside the staged left side
+        .writeToPath(str(tmp_path / "lineage_out"))
+    )
+
+    def oracle():
+        C = cust_ct.snapshot().alias("c")
+        O = ord_ct.snapshot().alias("o")
+        I = item_ct.snapshot().alias("i")
+        return (
+            C.join(O, F.col("c.id") == F.col("o.cid"))
+            .join(I, F.col("o.oid") == F.col("i.oid"))
+            .select(
+                "id", "name", "seg", F.col("o.oid").alias("oid"),
+                "cid", "price", "iid", "qty",
+            )
+        )
+
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    item_ct.merge(spark.createDataFrame([(100, 10, 3), (101, 11, 4)], item_schema))
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+    # the probe leg fires on a Δ of the *other* side (items) specifically
+    item_ct.merge(spark.createDataFrame([(102, 10, 9)], item_schema))
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+
+def test_foreach_batch_restart_resumes(spark, tmp_path, cust_ct, ord_ct):
+    """foreachBatch with a checkpointLocation persists progress + batch id:
+    a fresh writer over the same checkpoint neither replays delivered
+    batches nor restarts batch ids at 0."""
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def build(sink):
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        return (
+            c.join(o, "inner")
+            .on(c["id"] == o["cid"])
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+        )
+
+    seen1 = []
+    w1 = build(lambda df, bid: seen1.append((bid, df.count())))
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 6.0)]))
+    w1.run()
+    assert seen1 == [(0, 2)]
+
+    # restart: nothing outstanding → the sink must NOT be re-invoked
+    seen2 = []
+    w2 = build(lambda df, bid: seen2.append((bid, df.count())))
+    assert w2.run() == 0
+    assert seen2 == []
+
+    # new data resumes with the persisted batch id
+    ord_ct.merge(o_rows(spark, [(12, 1, 7.0)]))
+    w2.run()
+    assert seen2 == [(1, 3)]
+
+
 def test_count_distinct_not_additive(spark, tmp_path, ord_ct):
     """DISTINCT aggregates must route to dirty-group recomputation: Spark 4's
     Column repr drops the DISTINCT qualifier (str(F.countDistinct('x')) ==
