@@ -62,12 +62,39 @@ from .streams import CHANGE_TYPE, COMMIT_VERSION, DELETE, INSERT, UPDATE_POST, U
 META_FILE = "_changelog_meta.json"
 PART = "__part"
 
+# Session-scoped name → path registry (reference ``Stream.fromTable`` /
+# ``writeToTable`` address tables by catalog name, elzyme/streams.py:136-144,
+# elzyme/joins.py:878-879; with no metastore in this environment the registry
+# plays the catalog's role — swap for a real catalog lookup on a cluster).
+_TABLE_REGISTRY: dict[str, str] = {}
+
+
+def register_table(name: str, path: str) -> None:
+    _TABLE_REGISTRY[name] = path.rstrip("/")
+
+
+def lookup_table(name: str) -> str | None:
+    return _TABLE_REGISTRY.get(name)
+
+
+def resolve_table_path(spark: SparkSession, name: str) -> str:
+    """Registry hit → that path; else a deterministic location under the
+    session's warehouse dir (the CREATE-TABLE analog)."""
+    hit = lookup_table(name)
+    if hit is not None:
+        return hit
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "file:./spark-warehouse"
+    ).removeprefix("file:")
+    return os.path.join(warehouse, name.replace(".", "/"))
+
 
 class ChangeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
         self._meta = self._read_meta()
+        register_table(self.name, self.path)
 
     # ------------------------------------------------------------------
     # metadata

@@ -148,9 +148,19 @@ class JoinBuilder:
         self._maps.append(func)
         return self
 
-    def union(self, other: DataFrame) -> "JoinBuilder":
-        """Union another DataFrame onto the join output (reference:
-        elzyme/joins.py:861-865)."""
+    def union(self, other) -> "JoinBuilder":
+        """Union another pipeline onto the join output (reference:
+        elzyme/joins.py:861-865, which unions live streams via a ``.to``
+        transform). Accepts a Stream, another builder (auto-staged), or a
+        plain DataFrame (batch-only).
+
+        Incremental semantics: each Stream operand is an extra root feed
+        maintaining its own key-space of the target — its primary keys must
+        be named like the join's composed keys, and key values must be
+        disjoint from the other legs' (the same contract the reference's
+        keyed MERGE imposes on a unioned pipeline)."""
+        if isinstance(other, (JoinBuilder,)) or hasattr(other, "stage"):
+            other = other.stage()
         self._unions.append(other)
         return self
 
@@ -290,9 +300,13 @@ class JoinBuilder:
 
     _ALIAS_COUNTER = 0
 
-    def _execute(self, ldf: DataFrame, rdf: DataFrame) -> DataFrame:
+    def _execute(
+        self, ldf: DataFrame, rdf: DataFrame, apply_unions: bool = True
+    ) -> DataFrame:
         """Join two bound DataFrames with alias-qualified resolution (safe for
-        self-joins: both sides may share one logical plan)."""
+        self-joins: both sides may share one logical plan). The incremental
+        join stage passes ``apply_unions=False``: union legs are maintained
+        by their own stages, not re-appended to every recomputed slice."""
         JoinBuilder._ALIAS_COUNTER += 1
         lq = f"sjl{JoinBuilder._ALIAS_COUNTER}"
         rq = f"sjr{JoinBuilder._ALIAS_COUNTER}"
@@ -317,8 +331,10 @@ class JoinBuilder:
         out = joined.select(*out_cols)
         for fn in self._maps:
             out = fn(out)
-        for u in self._unions:
-            out = out.unionByName(u)
+        if apply_unions:
+            for u in self._unions:
+                u_df = u if isinstance(u, DataFrame) else u.static()
+                out = out.unionByName(u_df)
         return out
 
     # ------------------------------------------------------------------

@@ -97,8 +97,8 @@ class _Progress:
     next to the target so restarts resume exactly (reference relies on the
     Structured Streaming checkpoint for the same guarantee)."""
 
-    def __init__(self, path: str | None, n_inputs: int):
-        self.path = os.path.join(path, PROGRESS_FILE) if path else None
+    def __init__(self, path: str | None, n_inputs: int, filename: str = PROGRESS_FILE):
+        self.path = os.path.join(path, filename) if path else None
         self.versions = [0] * n_inputs
         self.batch_id = 0
         if self.path and os.path.exists(self.path):
@@ -122,11 +122,6 @@ class _JoinStage:
         from ..operators.joins import JoinBuilder  # cycle guard
 
         assert isinstance(builder, JoinBuilder)
-        if builder._unions:
-            raise NotImplementedError(
-                ".union() is batch-only; in incremental mode express the union "
-                "as an extra source stream"
-            )
         self.builder = builder
         self.target = target
         self.progress = progress
@@ -200,7 +195,9 @@ class _JoinStage:
         # identical plan shape to the batch twin, just semi-filtered.
         p_slice = _semi_filter(p_snap, affected, self.p_pks)
         ldf, rdf = (p_slice, o_snap) if self.preserved is b.left else (o_snap, p_slice)
-        new_slice = b._execute(ldf, rdf)
+        # union legs are maintained by their own _UnionLegStage, keyed
+        # disjointly — never re-appended to the join's recomputed slice
+        new_slice = b._execute(ldf, rdf, apply_unions=False)
         return affected, new_slice, [lv1, rv1]
 
     def process(self) -> bool:
@@ -241,6 +238,47 @@ class _ForeachStage(_JoinStage):
         return True
 
 
+
+
+class _UnionLegStage:
+    """Maintains one union leg's key-space of a shared target (reference
+    ``.union`` on live streams, elzyme/joins.py:861-865). The leg is an
+    extra root feed: affected keys are whatever its Δ touched; the slice is
+    the leg's pinned snapshot filtered to those keys; ``replace_keys``
+    reconciles. Leg primary keys must be named like the target's and carry
+    values disjoint from the other legs' — the same contract the
+    reference's keyed MERGE imposes on a unioned pipeline."""
+
+    def __init__(self, stream: Stream, target: ChangeTable, progress: _Progress):
+        self.stream = stream
+        self.target = target
+        self.progress = progress
+        self.pks = list(target.primary_keys)
+        missing = [k for k in self.pks if k not in stream.columns()]
+        if missing:
+            raise ValueError(
+                f"union leg {stream.name!r} lacks the target's key column(s) "
+                f"{missing} — a unioned pipeline must share the merge keys"
+            )
+
+    def process(self) -> bool:
+        ct = self.stream.change_table
+        v0 = self.progress.versions[0]
+        v1 = ct.version()
+        if v1 == v0:
+            return False
+        images = self.stream._apply_transforms(
+            ct.read_change_feed(v0 + 1).where(F.col(COMMIT_VERSION) <= v1)
+        )
+        affected = _broadcast_keys(images, self.pks)
+        snap = self.stream.static(v1)
+        new_slice = _semi_filter(snap, affected, self.pks).select(
+            *self.target._data_cols()
+        )
+        self.target.replace_keys(affected, self.pks, new_slice)
+        self.progress.versions = [v1]
+        self.progress.save()
+        return True
 
 
 class _AggStage:
@@ -490,7 +528,16 @@ def _build_pipeline(
         if isinstance(op, JoinBuilder):
             bind_input(op.left, f"{target_path}__stages/left")
             bind_input(op.right, f"{target_path}__stages/right")
+            for idx, u in enumerate(op._unions):
+                if isinstance(u, DataFrame):
+                    raise ValueError(
+                        "incremental .union() needs a Stream or builder "
+                        "operand; a plain DataFrame union is batch-only"
+                    )
+                bind_input(u, f"{target_path}__stages/union{idx}")
             if final and foreach_batch is not None:
+                if op._unions:
+                    raise ValueError("foreachBatch with .union() is unsupported")
                 os.makedirs(target_path, exist_ok=True)
                 stages.append(
                     _ForeachStage(op, foreach_batch, _Progress(target_path, 2))
@@ -502,6 +549,13 @@ def _build_pipeline(
                 spark, target_path, schema, pks, partition_by=parts
             )
             stages.append(_JoinStage(op, target, _Progress(target_path, 2)))
+            for idx, u in enumerate(op._unions):
+                stages.append(
+                    _UnionLegStage(
+                        u, target,
+                        _Progress(target_path, 1, f"_progress_union{idx}.json"),
+                    )
+                )
         elif isinstance(op, GroupByWithAggs):
             bind_input(op.source, f"{target_path}__stages/src")
             schema = op.toDF().schema

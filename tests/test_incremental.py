@@ -523,6 +523,51 @@ def test_count_distinct_not_additive(spark, tmp_path, ord_ct):
     assert_same(w.toDF(), oracle())
 
 
+def test_incremental_union_converges(spark, tmp_path, cust_ct, ord_ct):
+    """U1: .union() on a live stream in incremental mode (reference
+    elzyme/joins.py:861-865). The leg is an extra root feed maintaining its
+    own (disjoint) key-space of the target; changes on either the join
+    sides or the union leg converge independently."""
+    leg_schema = "id long, name string, seg string, oid long, cid long, price double"
+    leg_ct = ChangeTable.create(
+        spark, str(tmp_path / "leg"),
+        spark.createDataFrame([], leg_schema).schema, ["id", "oid"],
+    )
+
+    def build():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        leg = Stream.fromChangeTable(leg_ct, "leg").primaryKeys("id", "oid")
+        return c.join(o, "inner").on(c["id"] == o["cid"]).union(leg)
+
+    w = build().writeToPath(str(tmp_path / "union_out"))
+
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    leg_ct.merge(spark.createDataFrame(
+        [(100, "ext", "X", 900, 100, 1.5)], leg_schema))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    # leg-only change (update + insert)
+    leg_ct.merge(spark.createDataFrame(
+        [(100, "ext2", "X", 900, 100, 2.5), (101, "ext3", "Y", 901, 101, 3.0)],
+        leg_schema))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    # join-side-only change must not disturb leg rows
+    ord_ct.merge(o_rows(spark, [(10, 2, 9.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    # leg delete propagates
+    leg_ct.delete_where(F.col("id") == 100)
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+    assert w.run() == 0
+
+
 def test_theta_inequality_join_converges(spark, tmp_path, cust_ct, ord_ct):
     """Theta condition with an inequality leg: updates move rows across the
     predicate threshold in both directions; incremental must track the
