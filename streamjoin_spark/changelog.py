@@ -185,6 +185,12 @@ class ChangeTable:
                 f"primary key column(s) {missing} not in table schema "
                 f"{sorted(field_names)} — keep them in the projection"
             )
+        bad_parts = [c for c in partition_by if c not in field_names]
+        if bad_parts:
+            raise ValueError(
+                f"partition column(s) {bad_parts} not in table schema "
+                f"{sorted(field_names)} — keep them in the projection"
+            )
         path = path.rstrip("/")
         if ChangeTable.exists(path):
             if not overwrite:

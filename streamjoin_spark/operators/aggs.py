@@ -139,3 +139,13 @@ class GroupByWithAggs:
         from ..streaming.incremental import IncrementalAggWriter
 
         return IncrementalAggWriter(self, path)
+
+    def writeToTable(self, table_name: str):
+        """MERGE sink addressed by table name (reference ``writeToTable``,
+        elzyme/joins.py:878-879) via the session registry."""
+        from ..changelog import register_table, resolve_table_path
+        from ..streaming.incremental import IncrementalAggWriter
+
+        path = resolve_table_path(self.source.spark, table_name)
+        register_table(table_name, path)
+        return IncrementalAggWriter(self, path)

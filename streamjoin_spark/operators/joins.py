@@ -33,8 +33,22 @@ from typing import Any, Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import inspect
+
 from ..columns import Binding, ColumnRef, Expr, StarRef
-from ..streams import METADATA_COLUMNS, Stream
+from ..streams import METADATA_COLUMNS, PruneColumn, Stream
+
+
+def _map_arity(fn) -> int:
+    """Positional-parameter count of a user transform; unintrospectable
+    callables count as 1 (plain ``df -> df``)."""
+    try:
+        return len([
+            p for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ])
+    except (TypeError, ValueError):
+        return 1
 
 SUPPORTED_JOINS = ("inner", "left", "right")
 
@@ -116,8 +130,9 @@ class JoinBuilder:
         self._selects: list[Any] | None = None
         self._drops: list[ColumnRef] = []
         self._maps: list[Callable] = []
-        self._unions: list[DataFrame] = []
+        self._unions: list = []
         self._broadcast_side: str | None = None
+        self._partition_by: tuple[str, ...] = ()
 
     # ------------------------------------------------------------------
     # condition
@@ -142,10 +157,33 @@ class JoinBuilder:
         self._drops.append(ref)
         return self
 
-    def to(self, func: Callable[[DataFrame], DataFrame]) -> "JoinBuilder":
+    def to(self, func: Callable) -> "JoinBuilder":
         """Arbitrary transform over the join output (reference ``.to()``,
-        elzyme/joins.py:524-525)."""
+        elzyme/joins.py:507-525). A 1-arg callable receives the joined
+        frame; a 3-arg callable receives ``(joined, left, right)`` — the
+        side frames as bound for this execution (snapshots in batch mode,
+        the pinned slice/snapshot pair per microbatch incrementally),
+        matching the reference's transformFunc arity dispatch."""
         self._maps.append(func)
+        return self
+
+    def partitionBy(self, *cols) -> "JoinBuilder":
+        """Partition this stage's materialized target (reference per-stage
+        ``.partitionBy(prune(...))``, elzyme/joins.py:676-682, which injects
+        partition conjuncts into every stage's MERGE). Here the stage's
+        ChangeTable hash-buckets on these columns instead of the primary
+        keys, so intermediate staging rewrites touch only the buckets of
+        affected partition values. Accepts strings, column refs, or
+        ``prune(...)`` markers."""
+        names = []
+        for c in cols:
+            if isinstance(c, PruneColumn):
+                names.append(c.ref.name)
+            elif isinstance(c, ColumnRef):
+                names.append(c.name)
+            else:
+                names.append(c)
+        self._partition_by = tuple(names)
         return self
 
     def union(self, other) -> "JoinBuilder":
@@ -330,7 +368,7 @@ class JoinBuilder:
         out_cols = self._output_columns(binding, lq, rq, lcols, rcols)
         out = joined.select(*out_cols)
         for fn in self._maps:
-            out = fn(out)
+            out = fn(out, ldf, rdf) if _map_arity(fn) >= 3 else fn(out)
         if apply_unions:
             for u in self._unions:
                 u_df = u if isinstance(u, DataFrame) else u.static()
@@ -385,6 +423,19 @@ class JoinBuilder:
     def writeToPath(self, path: str, partition_by: Sequence[str] = ()):
         from ..streaming.incremental import IncrementalJoinWriter
 
+        return IncrementalJoinWriter(self, path, partition_by=tuple(partition_by))
+
+    def writeToTable(self, table_name: str, partition_by: Sequence[str] = ()):
+        """MERGE sink addressed by table name (reference ``writeToTable``,
+        elzyme/joins.py:878-879): resolves through the session registry (or
+        the warehouse dir for a new name) and registers the result, so a
+        later ``Stream.fromTable(spark, table_name)`` streams its change
+        feed."""
+        from ..changelog import register_table, resolve_table_path
+        from ..streaming.incremental import IncrementalJoinWriter
+
+        path = resolve_table_path(self.left.spark, table_name)
+        register_table(table_name, path)
         return IncrementalJoinWriter(self, path, partition_by=tuple(partition_by))
 
     def foreachBatch(self, func: Callable[[DataFrame, int], None]):

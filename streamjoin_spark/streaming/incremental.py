@@ -521,10 +521,13 @@ def _build_pipeline(
                 roots.append(stream.change_table)
 
     def build(op, target_path: str, final: bool) -> None:
-        # the user's partitionBy applies to the final target only — the
-        # copy-on-write pruning analog of the reference's merge-condition
-        # partition conjuncts (elzyme/joins.py:676-682)
+        # writeToPath's partition_by wins for the final target; otherwise a
+        # stage-level .partitionBy() applies — including to intermediate
+        # staging tables, the copy-on-write pruning analog of the
+        # reference's per-stage merge-condition partition conjuncts
+        # (elzyme/joins.py:676-682)
         parts = tuple(partition_by) if final else ()
+        parts = parts or tuple(getattr(op, "_partition_by", ()))
         if isinstance(op, JoinBuilder):
             bind_input(op.left, f"{target_path}__stages/left")
             bind_input(op.right, f"{target_path}__stages/right")
@@ -561,7 +564,7 @@ def _build_pipeline(
             schema = op.toDF().schema
             target = ChangeTable.create(
                 spark, target_path, schema, list(op.group_cols),
-                partition_by=parts or tuple(op._partition_by),
+                partition_by=parts,
             )
             stages.append(_AggStage(op, target, _Progress(target_path, 1)))
         else:

@@ -86,10 +86,19 @@ class Stream:
     def fromTable(
         spark: SparkSession, table: str, name: str | None = None
     ) -> "Stream":
-        """Static source from a catalog table name (reference
-        ``Stream.fromTable``, elzyme/streams.py:136-144 — ours resolves via
-        the session catalog instead of Databricks ``DESCRIBE TABLE
-        EXTENDED`` since there is no Unity Catalog to probe)."""
+        """Source by table name (reference ``Stream.fromTable``,
+        elzyme/streams.py:136-144, which streams Delta CDF by catalog name).
+        A name registered as a ChangeTable (anything created or written by
+        this engine) resolves to the full incremental stream — change feed +
+        versioned snapshots; an unregistered name falls back to a static
+        catalog read (batch twin)."""
+        from .changelog import ChangeTable, lookup_table
+
+        path = lookup_table(table)
+        if path is not None and ChangeTable.exists(path):
+            return Stream.fromChangeTable(
+                ChangeTable(spark, path), name or table.split(".")[-1]
+            )
         return Stream(
             spark, name or table.split(".")[-1],
             lambda version: spark.read.table(table),

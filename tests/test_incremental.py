@@ -523,6 +523,119 @@ def test_count_distinct_not_additive(spark, tmp_path, ord_ct):
     assert_same(w.toDF(), oracle())
 
 
+def test_to_transform_receives_side_frames(spark, tmp_path, cust_ct, ord_ct):
+    """P4: a 3-arg .to() transform receives (joined, left, right) — the
+    reference hands the side frames to transformFunc (elzyme/joins.py:
+    507-525). Batch and incremental must agree."""
+
+    def enrich(joined, left, right):
+        mx = right.groupBy("cid").agg(F.max("price").alias("cid_max"))
+        return joined.join(F.broadcast(mx), "cid", "left")
+
+    def build():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        return c.join(o, "inner").on(c["id"] == o["cid"]).to(enrich)
+
+    w = build().writeToPath(str(tmp_path / "to3"))
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 9.0), (12, 2, 3.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+    got = {r.oid: r.cid_max for r in w.toDF().collect()}
+    assert got[10] == 9.0 and got[12] == 3.0
+
+    # retract the max: the transform's right-frame aggregate must refresh
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+    assert {r.oid: r.cid_max for r in w.toDF().collect()}[10] == 5.0
+
+
+def test_partitioned_staging_rewrite_prunes(spark, tmp_path, cust_ct, ord_ct):
+    """Per-stage .partitionBy() aligns an intermediate staging table's
+    copy-on-write buckets with a domain column (reference join-aligned
+    merge pruning, elzyme/joins.py:676-682): a commit touching only one
+    partition value rewrites only that value's bucket."""
+    def build():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        return (
+            c.join(o, "inner").on(c["id"] == o["cid"]).partitionBy("seg")
+            .groupBy("seg")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        )
+
+    w = build().writeToPath(str(tmp_path / "pruned"))
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    stage_ct = w.pipeline.stages[0].target
+    assert stage_ct.partition_by == ("seg",)
+    m1 = dict(stage_ct._manifest(stage_ct.version()))
+
+    # seg-A-only change (customer 1 is in A)
+    ord_ct.merge(o_rows(spark, [(12, 1, 9.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+    m2 = dict(stage_ct._manifest(stage_ct.version()))
+
+    buckets = {
+        r["seg"]: r["p"]
+        for r in spark.createDataFrame([("A",), ("B",)], "seg string")
+        .select("seg", F.pmod(F.xxhash64("seg"), F.lit(stage_ct.n_buckets)).alias("p"))
+        .collect()
+    }
+    changed = {p for p in set(m1) | set(m2) if m1.get(p) != m2.get(p)}
+    assert str(buckets["A"]) in changed
+    if buckets["A"] != buckets["B"]:
+        assert str(buckets["B"]) not in changed, (
+            "untouched partition's bucket was rewritten"
+        )
+
+
+def test_fromtable_streams_change_feed(spark, tmp_path):
+    """S2/S6: table-name addressing end to end (reference Stream.fromTable +
+    writeToTable, elzyme/streams.py:136-144, elzyme/joins.py:878-879).
+    fromTable on a registered name returns the live incremental stream;
+    writeToTable registers the target so it too can be streamed by name."""
+    cust_ct = ChangeTable.create(
+        spark, str(tmp_path / "cust_ft"),
+        spark.createDataFrame([], CUST).schema, ["id"], name="cust_ft",
+    )
+    ord_ct = ChangeTable.create(
+        spark, str(tmp_path / "ord_ft"),
+        spark.createDataFrame([], ORD).schema, ["oid"], name="ord_ft",
+    )
+
+    c = Stream.fromTable(spark, "cust_ft").primaryKeys("id")
+    o = Stream.fromTable(spark, "ord_ft").primaryKeys("oid")
+    assert c.change_table is not None, "registered name must stream CDF"
+    w = c.join(o, "inner").on(c["id"] == o["cid"]).writeToTable("joined_ft")
+
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
+
+    # same CDC workload as the path-addressed test: update, FK move, delete
+    cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 2, 5.5)]))
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
+
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
+
+    # the sink itself is now addressable by name, as a live stream
+    j = Stream.fromTable(spark, "joined_ft")
+    assert j.change_table is not None
+    assert j.static().count() == w.toDF().count()
+
+
 def test_incremental_union_converges(spark, tmp_path, cust_ct, ord_ct):
     """U1: .union() on a live stream in incremental mode (reference
     elzyme/joins.py:861-865). The leg is an extra root feed maintaining its
