@@ -1239,9 +1239,16 @@ def _corpus_oracles() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            -- document-frequency cap (mirrors ngram_jaccard_pairs
+            -- max_shingle_df=0.5): boilerplate shingles carry no signal
+            hot AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id)
+                                             FROM documents)),
+            shf AS (SELECT * FROM sh
+                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                      FROM sh a JOIN sh b
+                      FROM shf a JOIN shf b
                         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
             SELECT doc_a, doc_b, jaccard FROM (

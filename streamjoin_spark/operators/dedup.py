@@ -124,16 +124,36 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: float | int | None = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: explode shingles → self-join on
     shingle → |A∩B| per pair → J = inter / (|A|+|B|−inter) ≥ threshold.
 
-    Scale: the self-join shuffles on the shingle hash (uniform); extremely
-    common shingles create skew — at 100 TB, drop the top-0.01% most frequent
-    shingles first (they carry no near-dup signal), which also bounds the
-    candidate-pair blowup. Output columns: doc_a, doc_b, jaccard.
+    Scale guard: a shingle shared by k docs contributes k² candidate pairs,
+    so ultra-common shingles (boilerplate) turn the self-join quadratic and
+    skew its shuffle. ``max_shingle_df`` drops shingles whose document
+    frequency exceeds the cap (a fraction of the corpus when ≤ 1, absolute
+    otherwise) *before* the join; sizes are computed over the capped
+    shingle universe so Jaccard stays internally consistent. Such shingles
+    carry no near-dup signal — two docs similar only through boilerplate
+    are not near-dups. ``None`` disables the guard (exact-oracle tier).
+
+    Output columns: doc_a, doc_b, jaccard.
     """
-    sh = _shingle_frame(df, text_col, id_col, n).persist()
+    sh = _shingle_frame(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        if max_shingle_df <= 1:
+            total = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+            hot = dfreq.crossJoin(F.broadcast(total)).where(
+                F.col("__df") > F.col("__n") * F.lit(float(max_shingle_df))
+            )
+        else:
+            hot = dfreq.where(F.col("__df") > F.lit(int(max_shingle_df)))
+        # the hot set is tiny by construction — broadcast anti-join, no
+        # extra shuffle of the shingle frame
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -265,35 +285,74 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select(F.col("__id").alias(id_col), bits.alias("simhash"))
 
 
+def _hamming(sa: Column, sb: Column) -> Column:
+    return sum(
+        F.when(F.substring(sa, i + 1, 1) != F.substring(sb, i + 1, 1), 1).otherwise(0)
+        for i in range(SIMHASH_BITS)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 4,
+    blocked: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    This all-pairs formulation is the correctness oracle; the scale path
-    blocks by bit-prefix (split the 32 bits into max_hamming+1 segments —
-    two docs within the radius must agree exactly on at least one segment,
-    pigeonhole) and joins per segment, same physics as MinHash banding.
+    Default path is **pigeonhole bit-segment blocking** (same physics as
+    MinHash banding): the 32 bits split into ``max_hamming + 1`` segments;
+    two signatures within the radius differ in ≤ max_hamming positions, so
+    they must agree *exactly* on at least one segment — candidates are the
+    per-segment bucket joins, a uniform-key equi-join, never the O(n²)
+    cross product. Exact hamming then filters the candidates, so the
+    result is IDENTICAL to all-pairs (no recall loss — pigeonhole is a
+    guarantee, not a heuristic). ``blocked=False`` keeps the all-pairs
+    formulation as the small-scale correctness oracle.
     """
     sh = simhash(df, text_col, id_col)
     a, b = sh.alias("a"), sh.alias("b")
-    ham = sum(
-        F.when(
-            F.substring(F.col("a.simhash"), i + 1, 1)
-            != F.substring(F.col("b.simhash"), i + 1, 1),
-            1,
-        ).otherwise(0)
-        for i in range(SIMHASH_BITS)
-    )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+    if not blocked:
+        cand = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
             F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("b.simhash").alias("sim_b"),
         )
-        .where(F.col("hamming") <= max_hamming)
-    )
+    else:
+        n_seg = max_hamming + 1
+        segs, pos = [], 1
+        for s in range(n_seg):
+            ln = SIMHASH_BITS // n_seg + (1 if s < SIMHASH_BITS % n_seg else 0)
+            segs.append(
+                F.struct(
+                    F.lit(s).alias("seg"),
+                    F.substring("simhash", pos, ln).alias("sv"),
+                )
+            )
+            pos += ln
+        blocks = sh.select(
+            F.col(id_col), F.col("simhash"), F.explode(F.array(*segs)).alias("x")
+        ).select(id_col, "simhash", F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv"))
+        ba, bb = blocks.alias("a"), blocks.alias("b")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("a.seg") == F.col("b.seg"))
+                & (F.col("a.sv") == F.col("b.sv"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("b.simhash").alias("sim_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        _hamming(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -29,11 +29,44 @@ def test_exact_dedup_groups(docs):
 
 
 def test_ngram_jaccard_finds_near_dup(docs):
+    # cap disabled: a 5-doc corpus makes every shared shingle "hot"
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-             for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, n=3, threshold=0.3, max_shingle_df=None).collect()}
     assert (1, 3) in pairs and pairs[(1, 3)] == 1.0   # exact dup → J=1
     assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0
     assert all(a < b for a, b in pairs)
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """The document-frequency cap drops boilerplate shingles before the
+    self-join: docs similar ONLY through boilerplate stop pairing, while
+    genuinely similar docs keep their pairs (computed over the capped
+    shingle universe)."""
+    boiler = "subscribe to our newsletter for the latest updates"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {boiler}"),
+        (2, f"alpha beta gamma delta epsilon {boiler}"),   # true dup of 1
+        (3, f"completely unrelated words here {boiler}"),
+        (4, f"nothing shared with others at all {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["doc_a"], r["doc_b"])
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.3, max_shingle_df=None).collect()}
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, n=3, threshold=0.3, max_shingle_df=3).collect()}
+    # boilerplate-only pairs exist without the cap...
+    assert (3, 4) in uncapped
+    # ...and vanish with it, while the true dup pair survives at J=1
+    assert (3, 4) not in capped
+    assert (1, 2) in capped
+    j12 = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               docs, n=3, threshold=0.3, max_shingle_df=3).collect()}[(1, 2)]
+    assert j12 == 1.0
 
 
 def test_minhash_lsh_candidates(docs):
@@ -56,6 +89,33 @@ def test_simhash_pairs_threshold(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in dedup.simhash_pairs(docs, max_hamming=4).collect()}
     assert pairs[(1, 3)] == 0
+
+
+def test_simhash_blocked_matches_allpairs(spark):
+    """Pigeonhole bit-segment blocking is exact: two signatures within the
+    hamming radius must agree on at least one of max_hamming+1 segments, so
+    the blocked candidate set loses nothing — blocked output must equal the
+    all-pairs oracle on a corpus with real near-dup structure."""
+    base = ("spark incremental engine maintains joined views over change "
+            "feeds with bounded rewrites").split()
+    rows = []
+    for i in range(30):
+        words = list(base)
+        words[i % len(words)] = f"tok{i}"          # one-word perturbations
+        if i % 3 == 0:
+            words.append(f"extra{i // 3}")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for radius in (2, 4):
+        blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
+                   for r in dedup.simhash_pairs(
+                       docs, max_hamming=radius, blocked=True).collect()}
+        allpairs = {(r["doc_a"], r["doc_b"], r["hamming"])
+                    for r in dedup.simhash_pairs(
+                        docs, max_hamming=radius, blocked=False).collect()}
+        assert blocked == allpairs
+        assert len(allpairs) > 0        # non-vacuous: real pairs exist
 
 
 @pytest.fixture(scope="module")

@@ -58,3 +58,36 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
     Python escape hatch for media decode."""
     df = entry.queries()[name](spark, sf_dir)
     assert "BatchEvalPython" not in plan_of(df), name
+
+
+def test_simhash_blocked_no_cross_product(spark):
+    """The default simhash_pairs path must be a bucketed equi-join —
+    pigeonhole segment blocking — never the all-pairs nested-loop join
+    (which is kept only behind blocked=False as the small-scale oracle)."""
+    from streamjoin_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    p = plan_of(dedup.simhash_pairs(docs))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    # contrast: the oracle tier IS all-pairs
+    p_oracle = plan_of(dedup.simhash_pairs(docs, blocked=False))
+    assert "NestedLoop" in p_oracle or "CartesianProduct" in p_oracle
+
+
+def test_ngram_jaccard_cap_in_plan(spark):
+    """The shipped jaccard query keeps its hot-shingle guard: a broadcast
+    anti-join prunes high-document-frequency shingles before the self-join."""
+    from streamjoin_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    import re
+
+    p = plan_of(dedup.ngram_jaccard_pairs(docs))
+    assert "LeftAnti" in p, "document-frequency cap missing from the plan"
+    # the pair join itself must be an equi-join keyed on the shingle (the
+    # only NestedLoop allowed is the 1-row scalar corpus-count broadcast)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[shingle", p)
