@@ -581,6 +581,65 @@ class ChangeTable:
         doomed.unpersist()
         return v
 
+    def vacuum(self, retain_versions: int = 7) -> dict:
+        """Retention cleanup (the VACUUM + CDF-retention analog): drop
+        manifests, change dirs, and data dirs that only versions older than
+        the retained window ``[v - retain_versions + 1, v]`` reference.
+
+        Contract mirrors Delta's: snapshots and change ranges older than the
+        window become unreadable — run it only when every downstream
+        consumer's progress watermark is inside the window (the incremental
+        runtime re-reads change ranges from its persisted watermark, so
+        vacuum to a version ≤ the minimum watermark). Single-writer, like
+        every other mutation here.
+
+        At scale this is what keeps the changes/ feed and the copy-on-write
+        data dirs from growing without bound: a part rewritten in commit N
+        leaves its pre-N dirs unreferenced as soon as N falls out of every
+        retained manifest.
+        """
+        v = self.version()
+        keep_from = max(0, v - int(retain_versions) + 1)
+        referenced: set[str] = set()
+        for mv in range(keep_from, v + 1):
+            for dirs in self._manifest(mv).values():
+                referenced.update(dirs)
+
+        removed = {"data_dirs": 0, "change_dirs": 0, "manifests": 0}
+        data_root = os.path.join(self.path, "data")
+        for commit_dir in sorted(os.listdir(data_root)):
+            commit_abs = os.path.join(data_root, commit_dir)
+            if not os.path.isdir(commit_abs):
+                continue
+            for part_dir in list(os.listdir(commit_abs)):
+                if not part_dir.startswith(f"{PART}="):
+                    continue
+                rel = os.path.join("data", commit_dir, part_dir)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(commit_abs, part_dir))
+                    removed["data_dirs"] += 1
+            if not any(d.startswith(f"{PART}=") for d in os.listdir(commit_abs)):
+                shutil.rmtree(commit_abs)
+
+        changes_root = os.path.join(self.path, "changes")
+        for change_dir in sorted(os.listdir(changes_root)):
+            if not change_dir.startswith("c"):
+                continue
+            try:
+                cv = int(change_dir[1:])
+            except ValueError:
+                continue
+            if cv < keep_from:
+                shutil.rmtree(os.path.join(changes_root, change_dir))
+                removed["change_dirs"] += 1
+
+        for mv in range(0, keep_from):
+            mp = self._manifest_path(mv)
+            if os.path.exists(mp):
+                os.remove(mp)
+                removed["manifests"] += 1
+        return removed
+
     def compact(self) -> int:
         """Consolidate every part to a single file-set (the OPTIMIZE analog:
         bounds manifest growth after many appends). Emits no change rows."""

@@ -143,3 +143,33 @@ def test_crashed_commit_is_invisible_and_retry_safe(ct, spark):
     assert feed.where(F.col(CHANGE_TYPE) == INSERT).count() == 1      # id 3
     assert feed.where(F.col(CHANGE_TYPE) == UPDATE_POST).count() == 1  # id 2
     assert ct.snapshot().count() == 3
+
+
+def test_vacuum_retention(ct, spark):
+    """vacuum() drops manifests/change-dirs/data-dirs only older versions
+    reference: current + retained snapshots stay intact and readable, the
+    change feed truncates to the window, and the table keeps committing."""
+    for i in range(3):
+        ct.merge(spark.createDataFrame(
+            [(10 + i, f"x{i}", 1.0 * i, 1)],
+            "id long, name string, amount double, seq int",
+        ))
+    assert ct.version() == 4
+    snap_before = sorted(tuple(r) for r in ct.snapshot().collect())
+
+    removed = ct.vacuum(retain_versions=2)   # keep v3..v4
+    assert removed["change_dirs"] >= 1
+    assert removed["manifests"] >= 1
+
+    assert sorted(tuple(r) for r in ct.snapshot().collect()) == snap_before
+    assert ct.snapshot(3).count() == 4       # inside the window: readable
+    with pytest.raises(FileNotFoundError):
+        ct.snapshot(1)                       # outside: gone
+    min_v = ct.read_change_feed().agg(F.min(COMMIT_VERSION)).collect()[0][0]
+    assert min_v >= 3
+
+    v = ct.merge(spark.createDataFrame(
+        [(99, "post-vacuum", 9.9, 1)],
+        "id long, name string, amount double, seq int",
+    ))
+    assert v == 5 and ct.snapshot().count() == 6
