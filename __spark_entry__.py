@@ -804,6 +804,44 @@ def q_train_val_split(spark, sf_dir):
     return deterministic_split(docs, "doc_id", {"train": 90, "val": 10})
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: MinHash-LSH candidate pairs → connected
+    components (min-label propagation, operators/dedup.py
+    connected_components) → every document labeled with its cluster's
+    canonical (minimum) doc id; singletons label themselves. The keep/drop
+    decision of a dedup pipeline falls out directly (keep ⇔ doc_id ==
+    cluster_id). Oracle: recursive-CTE transitive closure."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = connected_components(minhash_lsh_pairs(docs))
+    return (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified sampling: exactly 200 events per event_type, chosen by a
+    deterministic engine-portable hash order (operators/skew.py
+    sample_per_group) — stable across runs, engines and partitionings."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import sample_per_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return sample_per_group(ev, ["event_type"], 200, ["event_id"])
+
+
 def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS subquery → left-semi join (operators/dedup.py
     semi_join) — probe side never multiplies, and the lineitem scan prunes to
@@ -1103,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "skew_agg": q_skew_agg,
         "train_val_split": q_train_val_split,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q4": q_tpch_q4,
@@ -1139,6 +1179,14 @@ _SHINGLE_CTE = """
         )
     )
 """.format(toks=_TOKS)
+
+# MinHash signature + band CTEs shared by the LSH pair and cluster oracles
+_MINHASH_CTES = f"""{_SHINGLE_CTE},
+            sigs AS (SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
+                     FROM sh CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
+            bands AS (SELECT doc_id, i // 3 AS band,
+                             md5(string_agg(h, ',' ORDER BY i)) AS bh
+                      FROM sigs GROUP BY doc_id, i // 3)"""
 
 _VEC_CTE = """
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1259,15 +1307,37 @@ def _corpus_oracles() -> dict[str, str]:
             ) WHERE jaccard >= 0.3
         """,
         "dedup_minhash_lsh": f"""
-            WITH {_SHINGLE_CTE},
-            sigs AS (SELECT doc_id, i, min(md5(concat(i, '|', shingle))) AS h
-                     FROM sh CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
-            bands AS (SELECT doc_id, i // 3 AS band,
-                             md5(string_agg(h, ',' ORDER BY i)) AS bh
-                      FROM sigs GROUP BY doc_id, i // 3)
+            WITH {_MINHASH_CTES}
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+                SELECT a, a AS b FROM (SELECT DISTINCT a FROM e)
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ),
+            lbl AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a)
+            SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+        """,
+        "stratified_sample": """
+            SELECT event_id, user_id, event_type, value FROM (
+                SELECT event_id, user_id, event_type, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ('0x' || substr(md5('sample' ||
+                                     CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                                    event_id) AS rn
+                FROM events) WHERE rn <= 200
         """,
         "dedup_simhash": _simhash_sql(),
         "embedding_neardup": f"""

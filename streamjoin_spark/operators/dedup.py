@@ -285,6 +285,78 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select(F.col("__id").alias(id_col), bits.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into duplicate clusters:
+    ``(node, label)`` where label = the minimum node id in the connected
+    component — the canonical-representative step every dedup pipeline
+    needs after pair-finding (keep ``label``, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup components are clique-ish (an LSH bucket pairs all members),
+    so 2-4 rounds is typical; raises after ``max_iter`` instead of
+    returning a partially-converged labeling.
+
+    Scale: each round is two key-partitioned shuffles bounded by |E|
+    (edges and labels, both delta-free); the convergence probe is a
+    limit-1 count — the only driver action, O(1) rows. For adversarially
+    long path-shaped components switch to alternating large/small-star
+    (same join primitives, fewer rounds).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        # labels only ever decrease (least of self and neighbors), so the
+        # label sum strictly decreases until the fixpoint — one tiny
+        # aggregate per round detects convergence, no diff join needed
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iter):
+            nbr = (
+                edges.alias("e")
+                .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
+                .groupBy(F.col("e.a").alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.alias("l")
+                .join(nbr.alias("n"), "node", "left")
+                .select(
+                    F.col("node"),
+                    F.least(
+                        F.col("l.label"),
+                        F.coalesce(F.col("n.nbr_min"), F.col("l.label")),
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        edges.unpersist()
+
+
 def _hamming(sa: Column, sb: Column) -> Column:
     return sum(
         F.when(F.substring(sa, i + 1, 1) != F.substring(sb, i + 1, 1), 1).otherwise(0)

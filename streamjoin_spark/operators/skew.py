@@ -119,6 +119,43 @@ def salted_agg(
     return phase1.groupBy(*group_cols).agg(*finals)
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    id_cols: Sequence[str],
+    seed: str = "sample",
+) -> DataFrame:
+    """Stratified sampling: exactly ``min(n, |stratum|)`` rows per stratum,
+    chosen by a deterministic, engine-portable hash order (functions.hash64
+    of the row ids) — stable across runs, engines, partitionings and
+    physical row order, unlike ``DataFrame.sampleBy``. The workhorse for
+    balanced training subsets and per-source eval slices.
+
+    Scale: one shuffle on the strata columns; ``row_number`` streams within
+    each stratum partition. A pathologically hot stratum serializes into
+    one task's sort — pre-filter it by a hash-range bound first (keep rows
+    with hash < k·n/|stratum| estimate) before the exact window.
+
+    Oracle twin: ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
+    ('0x'||substr(md5(seed||id),1,15))::BIGINT, id) <= n``.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import hash64
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    h = hash64(key, seed=seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        h.asc(), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

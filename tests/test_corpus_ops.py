@@ -197,3 +197,14 @@ def test_attach_media_and_frame_plan(spark):
     rows = {(r["doc_id"], r["frame_idx"]) for r in plan.collect()}
     assert (1, 0) in rows and (1, 2) in rows and (2, 0) in rows
     assert (1, 3) not in rows
+
+
+def test_connected_components_transitivity(spark):
+    """Min-label propagation resolves chains and multi-edge components to
+    the component minimum; disjoint components stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (7, 9)], "doc_a long, doc_b long"
+    )
+    labels = {r["node"]: r["label"]
+              for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}

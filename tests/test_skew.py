@@ -87,3 +87,19 @@ def test_deterministic_split_stable_and_weighted(spark):
 
     with pytest.raises(ValueError, match="sum to 100"):
         deterministic_split(df, "doc_id", {"train": 50})
+
+
+def test_sample_per_group_exact_and_deterministic(spark):
+    from streamjoin_spark.operators.skew import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)] + [(1000, "tiny"), (1001, "tiny")],
+        "id long, g string",
+    )
+    s1 = sample_per_group(df, ["g"], 5, ["id"])
+    counts = {r["g"]: r["n"] for r in s1.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 2}  # min(n, |stratum|)
+
+    # deterministic under physical reordering
+    s2 = sample_per_group(df.repartition(13).sortWithinPartitions("g"), ["g"], 5, ["id"])
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
