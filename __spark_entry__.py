@@ -804,6 +804,58 @@ def q_train_val_split(spark, sf_dir):
     return deterministic_split(docs, "doc_id", {"train": 90, "val": 10})
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the deepest chain in the suite —
+    supplier ⋈ lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ nation, five
+    builder stages. Scale posture: both nation legs are pre-filtered to the
+    two nations of interest *before* joining (each a 2-row broadcast that
+    acts as a semi-filter), the shipdate predicate is pushed into the
+    lineitem scan via a source transform, and only the (A,A)/(B,B) combo
+    exclusion remains post-join."""
+    _prep(spark)
+    nations = ("NATION_1", "NATION_2")
+    s = _s(spark, sf_dir, "supplier", ["s_suppkey"])
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey", "l_suppkey": "s_suppkey"},
+    ).to(
+        lambda df: df.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+        )
+    )
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"})
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    n1 = _s(
+        spark, sf_dir, "nation", ["s_nationkey"],
+        renames={"n_nationkey": "s_nationkey", "n_name": "supp_nation"},
+    ).to(lambda df: df.where(F.col("supp_nation").isin(*nations)))
+    n2 = _s(
+        spark, sf_dir, "nation", ["c_nationkey"],
+        renames={"n_nationkey": "c_nationkey", "n_name": "cust_nation"},
+    ).to(lambda df: df.where(F.col("cust_nation").isin(*nations)))
+    return (
+        s.join(l, "inner").onKeys("s_suppkey")
+        .join(o, "inner").onKeys("o_orderkey")
+        .join(c, "inner").onKeys("c_custkey")
+        .join(n1, "inner").onKeys("s_nationkey")
+        .join(n2, "inner").onKeys("c_nationkey")
+        .to(
+            lambda df: df.where(
+                F.col("supp_nation") != F.col("cust_nation")
+            ).withColumn("l_year", F.year("l_shipdate").cast("long"))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .toDF()
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash-LSH candidate pairs → connected
     components (min-label propagation, operators/dedup.py
@@ -1143,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "tpch_q7": q_tpch_q7,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q4": q_tpch_q4,
@@ -1792,6 +1845,26 @@ def oracle_sql() -> dict[str, str]:
                              % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(SUM(volume), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         year(l.l_shipdate) AS l_year,
+                         l.l_extendedprice * (1 - l.l_discount) AS volume
+                  FROM supplier s
+                  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+                    AND n2.n_name IN ('NATION_1', 'NATION_2')
+                    AND n1.n_name <> n2.n_name
+                    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l.l_shipdate <= TIMESTAMP '1997-12-31')
+            GROUP BY 1, 2, 3
         """,
         **_corpus_oracles(),
     }

@@ -91,3 +91,17 @@ def test_ngram_jaccard_cap_in_plan(spark):
     # the pair join itself must be an equi-join keyed on the shingle (the
     # only NestedLoop allowed is the 1-row scalar corpus-count broadcast)
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[shingle", p)
+
+
+def test_q7_nation_legs_broadcast(spark, sf_dir):
+    """Both 2-row nation dimensions must broadcast (they act as
+    semi-filters); a shuffled 6-way chain would pay two needless exchanges."""
+    p = plan_of(entry.q_tpch_q7(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_stratified_sample_window_partitioned(spark, sf_dir):
+    """The per-stratum window must partition by event_type — a global
+    ordered window would single-task the whole table."""
+    p = plan_of(entry.q_stratified_sample(spark, sf_dir))
+    assert "Window" in p and "event_type" in p
