@@ -104,6 +104,49 @@ def streaming_sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int = 0,
+    upper_s: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution-style
+    native Structured Streaming operator (click → purchase within a time
+    window): matches ``left.on == right.on`` with ``right_ts`` in
+    ``[left_ts + lower_s, left_ts + upper_s]`` seconds.
+
+    Both inputs get the same watermark; with the time-range condition Spark
+    bounds each side's join state to the watermark + interval horizon
+    (state-store cleanup — without the range condition a stream-stream join
+    buffers forever). ``how``: inner or leftOuter (outer rows emit once the
+    watermark passes the interval's upper bound).
+
+    Scale: one shuffle per side on ``on``; per-key state bounded by the
+    event-rate × horizon. This is the classic Spark trade — rows later than
+    the watermark are dropped; the storage-backed IVM path
+    (streaming/incremental.py) is the unbounded-lateness alternative.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.`{on}`") == F.col(f"r.`{on}`"))
+        & (
+            F.col(f"r.`{right_ts}`")
+            >= F.col(f"l.`{left_ts}`") + F.expr(f"INTERVAL {int(lower_s)} SECONDS")
+        )
+        & (
+            F.col(f"r.`{right_ts}`")
+            <= F.col(f"l.`{left_ts}`") + F.expr(f"INTERVAL {int(upper_s)} SECONDS")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 def windowed_rollup_stream(
     events: DataFrame,
     window: str = "1 hour",

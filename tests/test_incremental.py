@@ -709,3 +709,82 @@ def test_theta_inequality_join_converges(spark, tmp_path, cust_ct, ord_ct):
     cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
     w.run()
     assert_same(w.toDF(), build().toDF())
+
+
+def test_randomized_cdc_fuzz(spark, tmp_path, cust_ct, ord_ct):
+    """Seeded randomized CDC workload: ten commits of mixed inserts /
+    updates / FK moves / deletes (including orphan FKs and whole-group
+    deletions) through a left-join → aggregation pipeline, converging to
+    the batch twin after every drain. Complements the systematic matrix
+    with operation *interleavings* no hand-written case covers."""
+    import random
+
+    rnd = random.Random(42)
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        c.join(o, "left")
+        .on(c["id"] == o["cid"])
+        .groupBy("seg")
+        .agg(
+            F.sum("price").alias("total"),
+            F.count("price").alias("n_priced"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .writeToPath(str(tmp_path / "fuzz"))
+    )
+
+    def oracle():
+        C, O = cust_ct.snapshot().alias("c"), ord_ct.snapshot().alias("o")
+        return (
+            C.join(O, F.col("c.id") == F.col("o.cid"), "left")
+            .groupBy("seg")
+            .agg(
+                F.sum("price").alias("total"),
+                F.count("price").alias("n_priced"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    segs = ["A", "B", "C"]
+    custs, orders = {}, {}
+    next_c, next_o = 1, 100
+    for step in range(10):
+        crows = []
+        for _ in range(rnd.randint(0, 3)):
+            if not custs or rnd.random() < 0.5:
+                custs[next_c] = rnd.choice(segs)
+                crows.append((next_c, f"c{next_c}", custs[next_c]))
+                next_c += 1
+            else:
+                k = rnd.choice(list(custs))
+                custs[k] = rnd.choice(segs)
+                crows.append((k, f"c{k}v{step}", custs[k]))
+        if crows:
+            cust_ct.merge(c_rows(spark, crows))
+        if custs and rnd.random() < 0.25:
+            k = rnd.choice(list(custs))
+            del custs[k]
+            cust_ct.delete_where(F.col("id") == k)
+
+        orows = []
+        for _ in range(rnd.randint(0, 4)):
+            cid = rnd.choice(list(custs) + [999]) if custs else 999
+            price = None if rnd.random() < 0.15 else round(rnd.uniform(1, 50), 2)
+            if not orders or rnd.random() < 0.6:
+                orders[next_o] = cid
+                orows.append((next_o, cid, price))
+                next_o += 1
+            else:
+                k = rnd.choice(list(orders))
+                orders[k] = cid                     # FK move
+                orows.append((k, cid, price))
+        if orows:
+            ord_ct.merge(o_rows(spark, orows))
+        if orders and rnd.random() < 0.25:
+            k = rnd.choice(list(orders))
+            del orders[k]
+            ord_ct.delete_where(F.col("oid") == k)
+
+        w.run()
+        assert_same(w.toDF(), oracle())

@@ -132,3 +132,57 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path, ev_ct):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: click→purchase attribution
+    within 100 s, converging to the batch twin on the same data."""
+    from streamjoin_spark.streaming.stateful import stream_interval_join
+
+    CK = "click_id long, user_id long, ts_s double"
+    PU = "buy_id long, user_id long, ts_s double, amount double"
+    clicks_ct = ChangeTable.create(
+        spark, str(tmp_path / "clicks"), spark.createDataFrame([], CK).schema,
+        ["click_id"],
+    )
+    buys_ct = ChangeTable.create(
+        spark, str(tmp_path / "buys"), spark.createDataFrame([], PU).schema,
+        ["buy_id"],
+    )
+    base = 1_700_000_000.0
+    clicks_ct.append(spark.createDataFrame(
+        [(1, 10, base), (2, 10, base + 500.0), (3, 20, base + 50.0)], CK))
+    buys_ct.append(spark.createDataFrame(
+        [(100, 10, base + 60.0, 9.99),     # matches click 1 (within 100 s)
+         (101, 10, base + 530.0, 5.00),    # matches click 2
+         (102, 20, base + 300.0, 1.00),    # too late for click 3
+         (103, 30, base + 10.0, 2.00)],    # no click at all
+        PU))
+
+    def prep(stream_df, ts_out):
+        return stream_df.where(F.col("_change_type") == "insert").select(
+            "*", F.timestamp_seconds(F.col("ts_s")).alias(ts_out)
+        ).drop("_change_type", "_commit_version", "ts_s")
+
+    joined = stream_interval_join(
+        prep(clicks_ct.read_change_stream(), "click_ts"),
+        prep(buys_ct.read_change_stream(), "buy_ts"),
+        on="user_id", left_ts="click_ts", right_ts="buy_ts",
+        lower_s=0, upper_s=100, watermark="10 minutes",
+    ).select(
+        F.col("l.click_id"), F.col("r.buy_id"), F.col("r.amount")
+    )
+
+    got = set()
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: got.update((r.click_id, r.buy_id, r.amount)
+                                       for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert got == {(1, 100, 9.99), (2, 101, 5.00)}
