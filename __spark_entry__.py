@@ -856,6 +856,93 @@ def q_tpch_q7(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): seven tables — part-filtered
+    lineitem fact, supplier-nation leg for the share flag, customer-nation-
+    region leg to restrict the market. All five dimension legs broadcast
+    (part is filtered selectively; nation/region are tiny); the share is a
+    conditional-sum ratio per order year."""
+    _prep(spark)
+    target_nation = "NATION_3"
+    p = _s(spark, sf_dir, "part", ["p_partkey"]).to(
+        lambda df: df.where(F.col("p_type") == "PROMO")
+    )
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey", "l_suppkey": "s_suppkey",
+                 "l_partkey": "p_partkey"},
+    )
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"], renames={"o_custkey": "c_custkey"}).to(
+        lambda df: df.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+        )
+    )
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    s = _s(spark, sf_dir, "supplier", ["s_suppkey"])
+    n1 = _s(
+        spark, sf_dir, "nation", ["s_nationkey"],
+        renames={"n_nationkey": "s_nationkey", "n_name": "supp_nation",
+                 "n_regionkey": "supp_regionkey"},
+    )
+    n2 = _s(
+        spark, sf_dir, "nation", ["c_nationkey"],
+        renames={"n_nationkey": "c_nationkey", "n_name": "cust_nation",
+                 "n_regionkey": "r_regionkey"},
+    )
+    r = _s(
+        spark, sf_dir, "region", ["r_regionkey"],
+    ).to(lambda df: df.where(F.col("r_name") == "ASIA"))
+    # per-row-rounded DECIMAL sums: the ratio is order-insensitive (double
+    # SUM drifts at the last ulp across partial-aggregation orders)
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        p.join(l, "inner").onKeys("p_partkey").broadcast("left")
+        .join(o, "inner").onKeys("o_orderkey")
+        .join(c, "inner").onKeys("c_custkey")
+        .join(s, "inner").onKeys("s_suppkey")
+        .join(n1, "inner").onKeys("s_nationkey")
+        .join(n2, "inner").onKeys("c_nationkey")
+        .join(r, "inner").onKeys("r_regionkey")
+        .to(lambda df: df.withColumn("o_year", F.year("o_orderdate").cast("long")))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .toDF()
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left join so
+    zero-order customers count, per-customer aggregation, then a second
+    aggregation over the counts — the agg-of-agg histogram pattern."""
+    _prep(spark)
+    c = _s(spark, sf_dir, "customer", ["c_custkey"])
+    o = _s(
+        spark, sf_dir, "orders", ["o_orderkey"],
+        renames={"o_custkey": "c_custkey"},
+    ).to(lambda df: df.where(F.col("o_orderpriority") != "1-URGENT"))
+    return (
+        c.join(o, "left").onKeys("c_custkey")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .toDF()
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash-LSH candidate pairs → connected
     components (min-label propagation, operators/dedup.py
@@ -1196,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q4": q_tpch_q4,
@@ -1845,6 +1934,41 @@ def oracle_sql() -> dict[str, str]:
                              % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "tpch_q8": """
+            SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN volume
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END)
+                              AS DOUBLE)
+                         / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share,
+                   COUNT(*) AS n_items
+            FROM (SELECT year(o.o_orderdate) AS o_year,
+                         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                              AS DECIMAL(18,4)) AS volume,
+                         n1.n_name AS supp_nation
+                  FROM part p
+                  JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                  JOIN region r ON n2.n_regionkey = r.r_regionkey
+                  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o.o_orderdate <= TIMESTAMP '1996-12-31')
+            GROUP BY o_year
+        """,
+        "tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT JOIN (SELECT * FROM orders
+                             WHERE o_orderpriority <> '1-URGENT') o
+                    ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
         """,
         "tpch_q7": """
             SELECT supp_nation, cust_nation, l_year,
