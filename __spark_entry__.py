@@ -856,6 +856,21 @@ def q_tpch_q7(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing over the corpus (operators/text.py
+    pack_sequences): hash-bucketed, deterministically ordered, chunked by
+    running token count — the pre-tokenization packing step of an LLM
+    training pipeline."""
+    _prep(spark)
+    from streamjoin_spark.functions import token_count
+    from streamjoin_spark.operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", budget=512, n_buckets=8)
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape (national market share): seven tables — part-filtered
     lineitem fact, supplier-nation leg for the share flag, customer-nation-
@@ -1285,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
+        "pack_sequences": q_pack_sequences,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q4": q_tpch_q4,
@@ -1934,6 +1950,25 @@ def oracle_sql() -> dict[str, str]:
                              % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id,
+                              CAST(CASE WHEN trim(text) = '' THEN 0
+                                        ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+                       FROM documents),
+            h AS (SELECT doc_id, n_tokens,
+                         ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                         1, 15))::BIGINT AS hh
+                  FROM t),
+            c AS (SELECT doc_id, n_tokens, hh % 8 AS bucket,
+                         CAST(SUM(n_tokens) OVER (
+                             PARTITION BY hh % 8 ORDER BY hh, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                  FROM h)
+            SELECT doc_id, n_tokens, bucket,
+                   CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id,
+                   cum_tokens
+            FROM c
         """,
         "tpch_q8": """
             SELECT o_year,

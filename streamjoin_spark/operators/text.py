@@ -32,6 +32,55 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packs"):
+    documents are hash-bucketed, deterministically ordered within each
+    bucket (portable md5 hash, then id), and chunked by exclusive running
+    token count — ``pack_id = floor(prev_cum / budget)`` within the bucket.
+    The chunking step every LLM-pretraining pipeline runs before example
+    construction.
+
+    Semantics: running-total packing, not optimal bin packing — a document
+    straddling the boundary overflows its pack by at most its own length
+    (pipelines truncate or shift at materialization). Deterministic across
+    runs, engines and partitionings.
+
+    Scale: the only shuffle is the bucket partition; parallelism =
+    ``n_buckets`` (raise it so one bucket ≈ one task), no global sort.
+    Output: id, token_col, bucket, pack_id, cum_tokens.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import hash64
+
+    h = hash64(F.col(id_col).cast("string"), seed="pack")
+    base = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        h.alias("__h"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("__h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return base.select(
+        id_col,
+        token_col,
+        "bucket",
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).alias("pack_id"),
+        cum.alias("cum_tokens"),
+    )
+
+
 def _contains_any(words: list[str]):
     # NB: F.filter treats a two-parameter lambda as (element, index) — a
     # `lambda t, w=words:` default would be silently overridden by the index

@@ -208,3 +208,24 @@ def test_connected_components_transitivity(spark):
     labels = {r["node"]: r["label"]
               for r in dedup.connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+
+
+def test_pack_sequences_semantics(spark):
+    """Running-total packing: per bucket, pack_id = floor(prev_cum/budget);
+    every pack's exclusive start is inside the budget grid and the
+    assignment is deterministic under physical reordering."""
+    rows = [(i, 100 + (i * 37) % 300) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = text.pack_sequences(df, "n_tokens", budget=500, n_buckets=4)
+    got = out.collect()
+    assert len(got) == 60
+    for r in got:
+        # exclusive running total before this doc lands in this pack
+        assert r["pack_id"] == (r["cum_tokens"] - r["n_tokens"]) // 500
+    # deterministic under repartition
+    out2 = text.pack_sequences(
+        df.repartition(7), "n_tokens", budget=500, n_buckets=4
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, out2.collect()))
+    # packs fill: at least one bucket has multiple packs
+    assert out.select("bucket", "pack_id").distinct().count() > 4
