@@ -173,3 +173,19 @@ def test_vacuum_retention(ct, spark):
         "id long, name string, amount double, seq int",
     ))
     assert v == 5 and ct.snapshot().count() == 6
+
+
+def test_compact_consolidates_without_changes(ct, spark):
+    """compact() consolidates every part to one file-set (OPTIMIZE analog):
+    snapshot identical, no change rows emitted, manifest entries collapse."""
+    ct.merge(spark.createDataFrame(
+        [(3, "c", 30.0, 1), (4, "d", 40.0, 1)],
+        "id long, name string, amount double, seq int",
+    ))
+    before = sorted(tuple(r) for r in ct.snapshot().collect())
+    feed_before = ct.read_change_feed().count()
+    v = ct.compact()
+    assert sorted(tuple(r) for r in ct.snapshot().collect()) == before
+    assert ct.read_change_feed().count() == feed_before   # no change rows
+    manifest = ct._manifest(v)
+    assert all(len(dirs) == 1 for dirs in manifest.values())

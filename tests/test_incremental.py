@@ -787,4 +787,9 @@ def test_randomized_cdc_fuzz(spark, tmp_path, cust_ct, ord_ct):
             ord_ct.delete_where(F.col("oid") == k)
 
         w.run()
-        assert_same(w.toDF(), oracle())
+        # round the double SUM on both sides: stored+delta association vs a
+        # fresh re-sum differ at the last ulp (Spark's own partial-agg merge
+        # order is nondeterministic there) — 6 dp is far above ulp noise and
+        # far below the 2 dp data resolution
+        r6 = lambda df: df.withColumn("total", F.round("total", 6))
+        assert_same(r6(w.toDF()), r6(oracle()))
