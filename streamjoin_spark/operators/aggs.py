@@ -119,18 +119,22 @@ class GroupByWithAggs:
     # chaining (group keys become the staged stream's primary keys,
     # reference: elzyme/aggs.py:112-136)
     # ------------------------------------------------------------------
-    def stage(self, name: str | None = None) -> Stream:
+    def stage(
+        self, name: str | None = None, stagingPath: str | None = None
+    ) -> Stream:
         from .joins import StagedStream
 
-        return StagedStream(self, name or f"agg_{self.source.name}")
+        return StagedStream(
+            self, name or f"agg_{self.source.name}", staging_path=stagingPath
+        )
 
-    def join(self, right: Stream, how: str = "inner"):
+    def join(self, right: Stream, how: str = "inner", stagingPath: str | None = None):
         from .joins import JoinBuilder
 
-        return JoinBuilder(self.stage(), right, how)
+        return JoinBuilder(self.stage(stagingPath=stagingPath), right, how)
 
-    def groupBy(self, *cols: str) -> "GroupBy":
-        return GroupBy(self.stage(), cols)
+    def groupBy(self, *cols: str, stagingPath: str | None = None) -> "GroupBy":
+        return GroupBy(self.stage(stagingPath=stagingPath), cols)
 
     # ------------------------------------------------------------------
     # incremental sink

@@ -400,22 +400,28 @@ class JoinBuilder:
     # ------------------------------------------------------------------
     # chaining (reference staging pattern, elzyme/joins.py:812-859)
     # ------------------------------------------------------------------
-    def stage(self, name: str | None = None) -> "StagedStream":
+    def stage(
+        self, name: str | None = None, stagingPath: str | None = None
+    ) -> "StagedStream":
         """Expose this stage as a Stream for chaining. In batch mode the
         'staging table' is just the lazily-composed DataFrame — Catalyst
         fuses the stages into one plan (no materialization barrier). The
         incremental path materializes the stage as a real ChangeTable and
         re-streams its change feed (reference staging tables,
-        elzyme/joins.py:812-859)."""
-        return StagedStream(self, name)
+        elzyme/joins.py:812-859). ``stagingPath`` pins where that table
+        lives (reference's explicit stagingPath, elzyme/joins.py:867-873);
+        default is under the final target's ``__stages/`` dir."""
+        return StagedStream(self, name, staging_path=stagingPath)
 
-    def join(self, right: Stream, how: str = "inner") -> "JoinBuilder":
-        return JoinBuilder(self.stage(), right, how)
+    def join(
+        self, right: Stream, how: str = "inner", stagingPath: str | None = None
+    ) -> "JoinBuilder":
+        return JoinBuilder(self.stage(stagingPath=stagingPath), right, how)
 
-    def groupBy(self, *cols: str):
+    def groupBy(self, *cols: str, stagingPath: str | None = None):
         from .aggs import GroupBy
 
-        return GroupBy(self.stage(), cols)
+        return GroupBy(self.stage(stagingPath=stagingPath), cols)
 
     # ------------------------------------------------------------------
     # incremental sink (Structured Streaming path)
@@ -455,12 +461,13 @@ class StagedStream(Stream):
     and rebinds this stream to its change feed (reference:
     elzyme/joins.py:812-859 — staging Delta table + CDF re-stream)."""
 
-    def __init__(self, parent, name: str | None = None):
+    def __init__(self, parent, name: str | None = None, staging_path: str | None = None):
         # parent: JoinBuilder or GroupByWithAggs
         left = getattr(parent, "left", None) or getattr(parent, "source")
         spark = left.spark
         super().__init__(spark, name or f"staged_{left.name}", lambda v: parent.toDF())
         self.parent = parent
+        self.staging_path = staging_path
         if hasattr(parent, "composed_keys"):
             self.primaryKeys(*[k.name for k in parent.composed_keys()])
             self.sequenceBy(*parent.sequence_columns())

@@ -505,7 +505,9 @@ def _build_pipeline(
 
     def bind_input(stream: Stream, stage_dir: str) -> None:
         if isinstance(stream, StagedStream) and stream.change_table is None:
-            build(stream.parent, stage_dir, False)
+            # a user-pinned stagingPath wins over the default __stages/ slot
+            # (reference explicit stagingPath, elzyme/joins.py:867-873)
+            build(stream.parent, stream.staging_path or stage_dir, False)
             ct = stages[-1].target
             stream.change_table = ct
             stream._static_fn = ct.snapshot
@@ -691,6 +693,33 @@ class _WriterBase:
         idle; in pull mode this is a no-op after run()."""
         if self._query is not None:
             self._query.processAllAvailable()
+
+    def awaitAllProcessedAndStop(self, shutdownLatencySecs: float = 0) -> None:
+        """Drain then stop (reference elzyme/streams.py:312-333 — its
+        latency wait papers over composite-progress polling gaps; our drain
+        is exact, so the parameter is accepted but unused)."""
+        self.awaitAllProcessed()
+        self.stop()
+
+    def isActive(self) -> bool:
+        """Reference query accessor (elzyme/streams.py:269)."""
+        return self._query is not None and self._query.isActive
+
+    def awaitTermination(self, timeout: float | None = None):
+        """Reference query accessor (elzyme/streams.py:275)."""
+        if self._query is not None:
+            return self._query.awaitTermination(timeout)
+
+    @property
+    def lastProgress(self):
+        """Reference query accessor (elzyme/streams.py:253). In pull mode
+        (run()), stage watermarks live in each stage's _progress.json."""
+        return self._query.lastProgress if self._query is not None else None
+
+    @property
+    def recentProgress(self):
+        """Reference query accessor (elzyme/streams.py:261)."""
+        return self._query.recentProgress if self._query is not None else []
 
     def stop(self) -> None:
         if self._query is not None:

@@ -124,6 +124,23 @@ class Stream:
         self._primary_keys = tuple(keys)
         return self
 
+    def setName(self, name: str) -> "Stream":
+        """Rename the stream (reference ``setName``, elzyme/streams.py:178)."""
+        self.name = name
+        return self
+
+    def getPrimaryKeys(self) -> tuple[str, ...]:
+        """Reference accessor spelling (elzyme/streams.py:219)."""
+        return self._primary_keys
+
+    def getSequenceColumns(self) -> tuple[str, ...]:
+        """Reference accessor spelling (elzyme/streams.py:226)."""
+        return self._sequence_by
+
+    def containsColumn(self, column_name: str) -> bool:
+        """Reference accessor (elzyme/streams.py:194)."""
+        return column_name in self.columns()
+
     def sequenceBy(self, *cols: str) -> "Stream":
         self._sequence_by = tuple(cols)
         return self

@@ -793,3 +793,42 @@ def test_randomized_cdc_fuzz(spark, tmp_path, cust_ct, ord_ct):
         # far below the 2 dp data resolution
         r6 = lambda df: df.withColumn("total", F.round("total", 6))
         assert_same(r6(w.toDF()), r6(oracle()))
+
+
+def test_reference_api_parity_surface(spark, tmp_path, cust_ct, ord_ct):
+    """Reference API spellings work end to end: explicit stagingPath on a
+    chained join (elzyme/joins.py:867-873), Stream accessors
+    (setName/containsColumn/getPrimaryKeys/getSequenceColumns), and the
+    query-control surface (isActive/awaitAllProcessedAndStop)."""
+    item_schema = "iid long, oid long, qty long"
+    item_ct = ChangeTable.create(
+        spark, str(tmp_path / "item_ap"),
+        spark.createDataFrame([], item_schema).schema, ["iid"],
+    )
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id").setName("cust")
+    assert c.name == "cust"
+    assert c.containsColumn("seg") and not c.containsColumn("nope")
+    assert c.getPrimaryKeys() == ("id",)
+    assert c.getSequenceColumns() == ()
+
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    i = Stream.fromChangeTable(item_ct, "i").primaryKeys("iid")
+    custom_stage = str(tmp_path / "my_stage_loc")
+    w = (
+        c.join(o, "inner").on(c["id"] == o["cid"])
+        .join(i, "left", stagingPath=custom_stage)
+        .on(o["oid"] == i["oid"])
+        .writeToPath(str(tmp_path / "ap_out"))
+    )
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0)]))
+    item_ct.merge(spark.createDataFrame([(100, 10, 2)], item_schema))
+    w.run()
+    assert ChangeTable.exists(custom_stage), "user stagingPath not honored"
+    assert w.toDF().count() == 1
+
+    # streaming query-control spellings
+    assert w.isActive() is False
+    w.trigger(availableNow=True).start()
+    w.awaitAllProcessedAndStop()
+    assert w.isActive() is False
