@@ -325,6 +325,48 @@ class ChangeTable:
         return [f.name for f in self.schema().fields]
 
     # ------------------------------------------------------------------
+    # schema evolution (the Delta mergeSchema analog)
+    # ------------------------------------------------------------------
+    def _evolve_schema(self, batch: DataFrame) -> None:
+        """Widen the table schema with the batch's new columns: additions
+        append as nullable; every existing data/change file reads back with
+        nulls for them (schema-on-read, like Delta mergeSchema). Type
+        changes and narrowing are rejected. The meta write is atomic and
+        version-neutral — a crash after it leaves a harmlessly wider
+        schema."""
+        existing = {f.name: f.dataType for f in self.schema().fields}
+        added = []
+        for f in batch.schema.fields:
+            if f.name in existing:
+                if f.dataType != existing[f.name]:
+                    raise ValueError(
+                        f"column {f.name!r} type change "
+                        f"{existing[f.name].simpleString()} → "
+                        f"{f.dataType.simpleString()} is not supported"
+                    )
+            else:
+                added.append(f)
+        if not added:
+            return
+        schema = self.schema()
+        for f in added:
+            schema = schema.add(f.name, f.dataType, True)
+        meta = dict(self._meta)
+        meta["schema"] = schema.jsonValue()
+        self._write_meta(meta)
+
+    def _align(self, df: DataFrame) -> DataFrame:
+        """Project a batch onto the table schema: missing columns fill with
+        typed nulls, extra columns drop (callers evolve first if they want
+        them kept)."""
+        have = set(df.columns)
+        return df.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in self.schema().fields
+        ])
+
+    # ------------------------------------------------------------------
     # commit machinery
     # ------------------------------------------------------------------
     def _write_commit(
@@ -403,16 +445,28 @@ class ChangeTable:
     # ------------------------------------------------------------------
     # writers
     # ------------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Insert-only commit — O(batch): new file-sets are added to the
         touched parts' manifests, nothing is read or rewritten. The fast
-        path for immutable event streams."""
+        path for immutable event streams. ``merge_schema`` widens the table
+        with the batch's new columns first (strict mode drops extras and
+        errors on missing columns)."""
         v = self.version() + 1
+        if merge_schema:
+            self._evolve_schema(df)
+            df = self._align(df)
+        else:
+            missing = [c for c in self._data_cols() if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"append batch is missing column(s) {missing}; pass "
+                    "merge_schema=True to null-fill (and evolve new columns)"
+                )
         batch = df.select(*self._data_cols())
         self._write_commit(v, self._tag(batch, INSERT, v), appended=batch)
         return v
 
-    def merge(self, batch: DataFrame) -> int:
+    def merge(self, batch: DataFrame, merge_schema: bool = False) -> int:
         """Upsert by primary key with sequence-ordered late/duplicate
         protection — the engine's Delta-MERGE twin (reference MERGE machinery:
         elzyme/joins.py:563-570, 656-754; sequence condition ``u.seq <=
@@ -421,8 +475,23 @@ class ChangeTable:
         Only parts containing staged keys (by the staged rows' values *and*
         by the current rows matching those PKs — partition values may change
         on update) are consolidated; every other part carries forward.
+
+        ``merge_schema`` widens the table with the batch's new columns
+        first (Delta mergeSchema analog; old rows read back with nulls);
+        strict mode silently drops extra columns and errors on missing
+        ones.
         """
         v = self.version() + 1
+        if merge_schema:
+            self._evolve_schema(batch)
+            batch = self._align(batch)
+        else:
+            missing = [c for c in self._data_cols() if c not in batch.columns]
+            if missing:
+                raise ValueError(
+                    f"merge batch is missing column(s) {missing}; pass "
+                    "merge_schema=True to null-fill (and evolve new columns)"
+                )
         manifest = self._manifest(v - 1)
         staged = self._dedup_batch(batch).select(*self._data_cols()).persist()
 

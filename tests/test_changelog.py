@@ -189,3 +189,41 @@ def test_compact_consolidates_without_changes(ct, spark):
     assert ct.read_change_feed().count() == feed_before   # no change rows
     manifest = ct._manifest(v)
     assert all(len(dirs) == 1 for dirs in manifest.values())
+
+
+def test_merge_schema_evolution(ct, spark):
+    """mergeSchema analog: new columns widen the table (old rows read back
+    with nulls, change feed included); later batches missing the column
+    null-fill; type changes are rejected."""
+    wide = spark.createDataFrame(
+        [(3, "c", 30.0, 1, True)],
+        "id long, name string, amount double, seq int, vip boolean",
+    )
+    ct.merge(wide, merge_schema=True)
+    snap = {r.id: r for r in ct.snapshot().collect()}
+    assert snap[3]["vip"] is True
+    assert snap[1]["vip"] is None          # pre-evolution row null-fills
+    assert "vip" in ct.read_change_feed().columns
+
+    # a batch without the new column still merges (null-filled)
+    ct.merge(spark.createDataFrame(
+        [(4, "d", 4.0, 1)], "id long, name string, amount double, seq int"
+    ), merge_schema=True)
+    assert ct.snapshot().where("id = 4").collect()[0]["vip"] is None
+
+    # strict mode drops unknown columns instead of evolving, and errors
+    # clearly on missing ones
+    ct.merge(spark.createDataFrame(
+        [(5, "e", 5.0, 1, True, "x")],
+        "id long, name string, amount double, seq int, vip boolean, extra string",
+    ))
+    assert "extra" not in ct.snapshot().columns
+    with pytest.raises(ValueError, match="missing column"):
+        ct.merge(spark.createDataFrame(
+            [(7, "g", 7.0, 1)], "id long, name string, amount double, seq int"
+        ))
+
+    with pytest.raises(ValueError, match="type change"):
+        ct.merge(spark.createDataFrame(
+            [(6, 6, 6.0, 1)], "id long, name long, amount double, seq int"
+        ), merge_schema=True)

@@ -105,3 +105,14 @@ def test_stratified_sample_window_partitioned(spark, sf_dir):
     ordered window would single-task the whole table."""
     p = plan_of(entry.q_stratified_sample(spark, sf_dir))
     assert "Window" in p and "event_type" in p
+
+
+def test_query_oracle_key_parity():
+    """Every queries() entry must have an oracle_sql() twin and vice versa
+    (the driver's correctness gate covers exactly this pairing)."""
+    assert set(entry.queries()) == set(entry.oracle_sql())
+
+
+def test_q8_dimensions_broadcast(spark, sf_dir):
+    p = plan_of(entry.q_tpch_q8(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4   # part, supplier-nation, cust-nation, region
