@@ -131,6 +131,10 @@ class ChangeTable:
         return tuple(self._meta.get("partition_by", ()))
 
     @property
+    def generated_columns(self) -> dict[str, str]:
+        return dict(self._meta.get("generated_columns", {}))
+
+    @property
     def n_buckets(self) -> int:
         return int(self._meta.get("n_buckets", 32))
 
@@ -168,13 +172,33 @@ class ChangeTable:
         name: str | None = None,
         overwrite: bool = False,
         n_buckets: int = 32,
+        generated_columns: dict[str, str] | None = None,
     ) -> "ChangeTable":
         """Create an empty change table (reference CREATE TABLE with CDF
         enabled, elzyme/joins.py:642-654). ``n_buckets`` sizes the
         copy-on-write granularity: at production scale set it so one bucket
-        ≈ a few GB (e.g. 8192 buckets for a 10 TB table)."""
+        ≈ a few GB (e.g. 8192 buckets for a 10 TB table).
+
+        ``generated_columns`` maps column name → SQL expression computed on
+        every write from the row's other columns — the GENERATED ALWAYS AS
+        analog (reference M4, used with ``partition_by`` naming a generated
+        column for the reference's derive-then-prune pattern,
+        elzyme/joins.py:642-654, 676-682). Types are inferred from the
+        expression; writers never supply these columns."""
         if isinstance(schema, DataFrame):
             schema = schema.schema
+        generated_columns = dict(generated_columns or {})
+        if generated_columns:
+            overlap = [c for c in generated_columns if c in {f.name for f in schema.fields}]
+            if overlap:
+                raise ValueError(
+                    f"generated column(s) {overlap} already in the schema — "
+                    "pass only the base columns"
+                )
+            probe = spark.createDataFrame([], schema)
+            for col_name, expr in generated_columns.items():
+                probe = probe.withColumn(col_name, F.expr(expr))
+            schema = probe.schema
         if not primary_keys:
             raise ValueError("primary keys are required for a mergeable table "
                              "(parity with reference README.md:60)")
@@ -208,6 +232,7 @@ class ChangeTable:
             "sequence_by": list(sequence_by),
             "partition_by": list(partition_by),
             "n_buckets": n_buckets,
+            "generated_columns": generated_columns,
             "schema": schema.jsonValue(),
         }
         fd, tmp = tempfile.mkstemp(dir=path, suffix=".json.tmp")
@@ -366,6 +391,19 @@ class ChangeTable:
             for f in self.schema().fields
         ])
 
+    def _base_cols(self) -> list[str]:
+        """Writer-supplied columns: the schema minus generated columns."""
+        gen = self.generated_columns
+        return [c for c in self._data_cols() if c not in gen]
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """(Re)compute generated columns from the row's base columns —
+        GENERATED ALWAYS AS semantics: writers never supply these, and any
+        supplied value is overwritten by the expression."""
+        for col_name, expr in self.generated_columns.items():
+            df = df.withColumn(col_name, F.expr(expr))
+        return df
+
     # ------------------------------------------------------------------
     # commit machinery
     # ------------------------------------------------------------------
@@ -456,13 +494,13 @@ class ChangeTable:
             self._evolve_schema(df)
             df = self._align(df)
         else:
-            missing = [c for c in self._data_cols() if c not in df.columns]
+            missing = [c for c in self._base_cols() if c not in df.columns]
             if missing:
                 raise ValueError(
                     f"append batch is missing column(s) {missing}; pass "
                     "merge_schema=True to null-fill (and evolve new columns)"
                 )
-        batch = df.select(*self._data_cols())
+        batch = self._apply_generated(df).select(*self._data_cols())
         self._write_commit(v, self._tag(batch, INSERT, v), appended=batch)
         return v
 
@@ -486,14 +524,18 @@ class ChangeTable:
             self._evolve_schema(batch)
             batch = self._align(batch)
         else:
-            missing = [c for c in self._data_cols() if c not in batch.columns]
+            missing = [c for c in self._base_cols() if c not in batch.columns]
             if missing:
                 raise ValueError(
                     f"merge batch is missing column(s) {missing}; pass "
                     "merge_schema=True to null-fill (and evolve new columns)"
                 )
         manifest = self._manifest(v - 1)
-        staged = self._dedup_batch(batch).select(*self._data_cols()).persist()
+        staged = (
+            self._dedup_batch(self._apply_generated(batch))
+            .select(*self._data_cols())
+            .persist()
+        )
 
         # locate affected parts: staged rows' own parts + parts of current
         # rows with the same PKs (found via a pruned-by-nothing key probe —
@@ -585,7 +627,9 @@ class ChangeTable:
         old_scope = cur_all.alias(C).join(
             scope.alias(K), scope_cond(C, K), "left_semi"
         ).select(*self._data_cols()).persist()
-        new_rows = new_rows.select(*self._data_cols()).persist()
+        new_rows = (
+            self._apply_generated(new_rows).select(*self._data_cols()).persist()
+        )
 
         parts = sorted(
             set(self._collect_parts(old_scope)) | set(self._collect_parts(new_rows))

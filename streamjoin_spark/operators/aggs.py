@@ -139,12 +139,16 @@ class GroupByWithAggs:
     # ------------------------------------------------------------------
     # incremental sink
     # ------------------------------------------------------------------
-    def writeToPath(self, path: str):
+    def writeToPath(self, path: str, generated_columns: dict[str, str] | None = None):
         from ..streaming.incremental import IncrementalAggWriter
 
-        return IncrementalAggWriter(self, path)
+        w = IncrementalAggWriter(self, path)
+        w.generated_columns = dict(generated_columns or {})
+        return w
 
-    def writeToTable(self, table_name: str):
+    def writeToTable(
+        self, table_name: str, generated_columns: dict[str, str] | None = None
+    ):
         """MERGE sink addressed by table name (reference ``writeToTable``,
         elzyme/joins.py:878-879) via the session registry."""
         from ..changelog import register_table, resolve_table_path
@@ -152,4 +156,6 @@ class GroupByWithAggs:
 
         path = resolve_table_path(self.source.spark, table_name)
         register_table(table_name, path)
-        return IncrementalAggWriter(self, path)
+        w = IncrementalAggWriter(self, path)
+        w.generated_columns = dict(generated_columns or {})
+        return w

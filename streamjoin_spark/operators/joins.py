@@ -426,12 +426,29 @@ class JoinBuilder:
     # ------------------------------------------------------------------
     # incremental sink (Structured Streaming path)
     # ------------------------------------------------------------------
-    def writeToPath(self, path: str, partition_by: Sequence[str] = ()):
+    def writeToPath(
+        self,
+        path: str,
+        partition_by: Sequence[str] = (),
+        generated_columns: dict[str, str] | None = None,
+    ):
+        """Incremental MERGE sink. ``generated_columns`` maps name → SQL
+        expression computed on every write (reference generated_columns_ddl,
+        elzyme/joins.py:875-879); combine with ``partition_by`` naming a
+        generated column for the reference's derive-then-prune pattern."""
         from ..streaming.incremental import IncrementalJoinWriter
 
-        return IncrementalJoinWriter(self, path, partition_by=tuple(partition_by))
+        return IncrementalJoinWriter(
+            self, path, partition_by=tuple(partition_by),
+            generated_columns=generated_columns,
+        )
 
-    def writeToTable(self, table_name: str, partition_by: Sequence[str] = ()):
+    def writeToTable(
+        self,
+        table_name: str,
+        partition_by: Sequence[str] = (),
+        generated_columns: dict[str, str] | None = None,
+    ):
         """MERGE sink addressed by table name (reference ``writeToTable``,
         elzyme/joins.py:878-879): resolves through the session registry (or
         the warehouse dir for a new name) and registers the result, so a
@@ -442,7 +459,10 @@ class JoinBuilder:
 
         path = resolve_table_path(self.left.spark, table_name)
         register_table(table_name, path)
-        return IncrementalJoinWriter(self, path, partition_by=tuple(partition_by))
+        return IncrementalJoinWriter(
+            self, path, partition_by=tuple(partition_by),
+            generated_columns=generated_columns,
+        )
 
     def foreachBatch(self, func: Callable[[DataFrame, int], None]):
         """User-supplied sink over each joined, deduped microbatch

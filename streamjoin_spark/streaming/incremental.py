@@ -272,9 +272,9 @@ class _UnionLegStage:
         )
         affected = _broadcast_keys(images, self.pks)
         snap = self.stream.static(v1)
-        new_slice = _semi_filter(snap, affected, self.pks).select(
-            *self.target._data_cols()
-        )
+        # replace_keys projects onto the target schema itself (and computes
+        # any generated columns) — don't pre-select here
+        new_slice = _semi_filter(snap, affected, self.pks)
         self.target.replace_keys(affected, self.pks, new_slice)
         self.progress.versions = [v1]
         self.progress.save()
@@ -317,7 +317,11 @@ class _AggStage:
                 f"aggregation output lost its group columns {missing} — "
                 "a .to() transform must keep them for incremental merge"
             )
-        self.agg_cols = [c for c in target._data_cols() if c not in self.group_cols]
+        gen = set(target.generated_columns)
+        self.agg_cols = [
+            c for c in target._data_cols()
+            if c not in self.group_cols and c not in gen
+        ]
         self.additive = not gb._maps and all(
             _agg_kind(col) in ("sum", "count") or name in gb.recipes
             for col, name in zip(gb.aggs, self._agg_out_names())
@@ -494,6 +498,7 @@ def _build_pipeline(
     spark: SparkSession,
     partition_by: Sequence[str] = (),
     foreach_batch=None,
+    generated_columns: dict[str, str] | None = None,
 ) -> IncrementalPipeline:
     """Recursively materialize staged inputs bottom-up, then create the final
     target. Staging tables live under ``<path>__stages/``."""
@@ -551,7 +556,8 @@ def _build_pipeline(
             schema = op.toDF().schema
             pks = [k.name for k in op.composed_keys()]
             target = ChangeTable.create(
-                spark, target_path, schema, pks, partition_by=parts
+                spark, target_path, schema, pks, partition_by=parts,
+                generated_columns=generated_columns if final else None,
             )
             stages.append(_JoinStage(op, target, _Progress(target_path, 2)))
             for idx, u in enumerate(op._unions):
@@ -567,6 +573,7 @@ def _build_pipeline(
             target = ChangeTable.create(
                 spark, target_path, schema, list(op.group_cols),
                 partition_by=parts,
+                generated_columns=generated_columns if final else None,
             )
             stages.append(_AggStage(op, target, _Progress(target_path, 1)))
         else:
@@ -635,6 +642,7 @@ class _WriterBase:
                 self._spark(),
                 partition_by=getattr(self, "partition_by", ()),
                 foreach_batch=self._foreach_batch,
+                generated_columns=getattr(self, "generated_columns", None),
             )
         return self._pipeline
 
@@ -728,9 +736,13 @@ class _WriterBase:
 
 
 class IncrementalJoinWriter(_WriterBase):
-    def __init__(self, builder, path, partition_by=(), foreach_batch=None):
+    def __init__(
+        self, builder, path, partition_by=(), foreach_batch=None,
+        generated_columns=None,
+    ):
         super().__init__(builder, path, foreach_batch)
         self.partition_by = tuple(partition_by)
+        self.generated_columns = dict(generated_columns or {})
 
     @property
     def target(self) -> ChangeTable:

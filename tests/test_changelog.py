@@ -227,3 +227,43 @@ def test_merge_schema_evolution(ct, spark):
         ct.merge(spark.createDataFrame(
             [(6, 6, 6.0, 1)], "id long, name long, amount double, seq int"
         ), merge_schema=True)
+
+
+def test_generated_columns_computed_and_pruned(spark, tmp_path):
+    """GENERATED ALWAYS AS analog: the column is computed on every write
+    path (append, merge, update), writers never supply it, and partitioning
+    by it aligns copy-on-write buckets with the derived value — the
+    reference's derive-then-prune pattern (elzyme/joins.py:642-654,
+    676-682)."""
+    base = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0)], "id long, amount double"
+    )
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "gen"), base.schema, ["id"],
+        generated_columns={"amt_band": "CAST(floor(amount / 10) AS INT)"},
+        partition_by=("amt_band",),
+    )
+    assert "amt_band" in ct._data_cols()
+    ct.merge(base)
+    got = {r.id: r.amt_band for r in ct.snapshot().collect()}
+    assert got == {1: 0, 2: 2}
+
+    # update recomputes the generated value; the feed carries it too
+    ct.merge(spark.createDataFrame([(1, 17.0)], "id long, amount double"))
+    assert {r.id: r.amt_band for r in ct.snapshot().collect()} == {1: 1, 2: 2}
+    assert "amt_band" in ct.read_change_feed().columns
+
+    # bucket pruning: an amount in band 2 must not rewrite band 1's bucket
+    m1 = dict(ct._manifest(ct.version()))
+    ct.merge(spark.createDataFrame([(3, 29.0)], "id long, amount double"))
+    m2 = dict(ct._manifest(ct.version()))
+    changed = {p_ for p_ in set(m1) | set(m2) if m1.get(p_) != m2.get(p_)}
+    buckets = {
+        r["b"]: r["p"]
+        for r in spark.createDataFrame([(1,), (2,)], "b int")
+        .select("b", F.pmod(F.xxhash64("b"), F.lit(ct.n_buckets)).alias("p"))
+        .collect()
+    }
+    assert str(buckets[2]) in changed
+    if buckets[1] != buckets[2]:
+        assert str(buckets[1]) not in changed

@@ -832,3 +832,34 @@ def test_reference_api_parity_surface(spark, tmp_path, cust_ct, ord_ct):
     w.trigger(availableNow=True).start()
     w.awaitAllProcessedAndStop()
     assert w.isActive() is False
+
+
+def test_writer_generated_columns(spark, tmp_path, cust_ct, ord_ct):
+    """M4 analog end to end: writeToPath(generated_columns=...) adds a
+    derived column to the incremental target, recomputed on every
+    affected-slice rewrite and usable as the partition column."""
+    w = make_writer_gen(cust_ct, ord_ct, tmp_path / "gen_out")
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 25.0)]))
+    w.run()
+    got = {r.oid: r.price_band for r in w.toDF().collect()}
+    assert got == {10: 0, 11: 2}
+    assert w.target.partition_by == ("price_band",)
+
+    ord_ct.merge(o_rows(spark, [(10, 1, 17.0)]))   # band 0 → 1
+    w.run()
+    assert {r.oid: r.price_band for r in w.toDF().collect()} == {10: 1, 11: 2}
+
+
+def make_writer_gen(cust_ct, ord_ct, path):
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    return (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .writeToPath(
+            str(path),
+            partition_by=("price_band",),
+            generated_columns={"price_band": "CAST(floor(price / 10) AS INT)"},
+        )
+    )
