@@ -856,6 +856,43 @@ def q_tpch_q7(spark, sf_dir):
     )
 
 
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): agg → join → max-of-aggregate filter.
+    The max is computed once (1-row frame) and broadcast back as a filter —
+    no global window, no second scan of lineitem."""
+    _prep(spark)
+    l = _s(
+        spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+        renames={"l_orderkey": "o_orderkey", "l_suppkey": "s_suppkey"},
+    ).to(
+        lambda df: df.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+    )
+    s = _s(spark, sf_dir, "supplier", ["s_suppkey"])
+
+    def keep_max(df):
+        mx = df.groupBy().agg(F.max("total_revenue").alias("__mx"))
+        return (
+            df.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+            .drop("__mx")
+        )
+
+    return (
+        l.groupBy("s_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .join(s, "inner").onKeys("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .to(keep_max)
+        .toDF()
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing over the corpus (operators/text.py
     pack_sequences): hash-bucketed, deterministically ordered, chunked by
@@ -1300,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         "pack_sequences": q_pack_sequences,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
@@ -1950,6 +1988,19 @@ def oracle_sql() -> dict[str, str]:
                              % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS s_suppkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN revenue r USING (s_suppkey)
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
         """,
         "pack_sequences": f"""
             WITH t AS (SELECT doc_id,

@@ -702,6 +702,21 @@ class _WriterBase:
         if self._query is not None:
             self._query.processAllAvailable()
 
+    def stageProgress(self) -> list[dict]:
+        """Pull-mode composite progress (the reference polls streaming
+        recentProgress across its N queries, elzyme/streams.py:285-310;
+        here each stage's persisted watermark is the ground truth): one
+        entry per stage with its input versions and delivered batch id."""
+        return [
+            {
+                "stage": type(st).__name__.lstrip("_"),
+                "target": getattr(getattr(st, "target", None), "path", None),
+                "versions": list(st.progress.versions),
+                "batch_id": st.progress.batch_id,
+            }
+            for st in self.pipeline.stages
+        ]
+
     def awaitAllProcessedAndStop(self, shutdownLatencySecs: float = 0) -> None:
         """Drain then stop (reference elzyme/streams.py:312-333 — its
         latency wait papers over composite-progress polling gaps; our drain

@@ -863,3 +863,16 @@ def make_writer_gen(cust_ct, ord_ct, path):
             generated_columns={"price_band": "CAST(floor(price / 10) AS INT)"},
         )
     )
+
+
+def test_stage_progress_surface(spark, tmp_path, cust_ct, ord_ct):
+    """stageProgress() reports each stage's persisted watermarks (pull-mode
+    composite progress, C4)."""
+    w = make_writer(cust_ct, ord_ct, "inner", tmp_path / "prog")
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0)]))
+    w.run()
+    prog = w.stageProgress()
+    assert len(prog) == 1
+    assert prog[0]["stage"] == "JoinStage"
+    assert prog[0]["versions"] == [1, 1]
