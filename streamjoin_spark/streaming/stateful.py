@@ -104,6 +104,28 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-flight exactly-once-per-key dedup over a stream: keeps the first
+    arrival per key, dropping re-deliveries that arrive within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state per key is
+    evicted once the watermark passes, so memory is bounded by key-rate ×
+    horizon rather than stream history). The standard guard in front of an
+    at-least-once ingestion feed.
+
+    Re-deliveries later than the watermark pass through (documented Spark
+    trade); the changelog substrate's keyed MERGE is the unbounded-history
+    alternative (ChangeTable.merge dedups by primary key forever).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -186,3 +186,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     assert got == {(1, 100, 9.99), (2, 101, 5.00)}
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key and
+    drops in-horizon re-deliveries across microbatches."""
+    from streamjoin_spark.streaming.stateful import streaming_dedup
+
+    EV2 = "event_id long, ts_s double, value double"
+    ev_ct = ChangeTable.create(
+        spark, str(tmp_path / "dd"), spark.createDataFrame([], EV2).schema,
+        ["event_id"],
+    )
+    base = 1_700_000_000.0
+    # two commits → two file-sets; event 1 re-delivered in the second
+    ev_ct.append(spark.createDataFrame(
+        [(1, base, 1.0), (2, base + 10.0, 2.0)], EV2))
+    ev_ct.append(spark.createDataFrame(
+        [(1, base, 1.0), (3, base + 20.0, 3.0)], EV2))
+
+    stream = ev_ct.read_change_stream().where(
+        F.col("_change_type") == "insert"
+    ).select("event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"), "value")
+
+    got = []
+    q = (
+        streaming_dedup(stream, ("event_id",), watermark="10 minutes")
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend((r.event_id, r.value) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .option("maxFilesPerTrigger", 1)   # force multiple microbatches
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(1, 1.0), (2, 2.0), (3, 3.0)]
