@@ -1161,6 +1161,334 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier): correlated-MIN subquery — for each
+    size-15 part, the European supplier(s) offering the lowest unit price.
+    No partsupp table in this dataset, so lineitem serves as the
+    part↔supplier offer list (unit price = extendedprice/quantity).
+    Scale posture: the filtered part set and the supplier⋈nation⋈region leg
+    are both broadcast; the per-part MIN is a map-side-combined groupBy
+    broadcast back as a filter — no global window, one fact shuffle."""
+    _prep(spark)
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") == 15)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_acctbal", "n_name"
+        )
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        .join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(eu), "l_suppkey")
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("__min_price"))
+        .select(F.col("l_partkey").alias("__best_partkey"), "__min_price")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("__best_partkey"))
+            & (F.col("unit_price") == F.col("__min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            # FLOOR canonicalization, not ROUND: ext/qty often lands exactly
+            # on a .xxxx5 shortest-repr boundary where Spark (BigDecimal
+            # HALF_UP on the shortest repr) and DuckDB (x*10^4 → nearbyint)
+            # disagree; floor of the identical double is bit-reproducible.
+            (F.floor(F.col("unit_price") * 10000) / F.lit(10000.0)).alias(
+                "min_unit_price"
+            ),
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): name-LIKE filtered part ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ orders, profit per supplier nation per
+    order year. No ps_supplycost in this dataset — cost proxy is
+    0.5·p_retailprice·l_quantity. All dimension legs broadcast; per-row
+    ROUNDed DECIMAL sum for cross-engine order-insensitive totals."""
+    _prep(spark)
+    p = _s(
+        spark, sf_dir, "part", ["p_partkey"], renames={"p_partkey": "l_partkey"}
+    ).to(lambda df: df.where(F.col("p_name").like("%red%")))
+    l = _s(spark, sf_dir, "lineitem", ["o_orderkey", "l_linenumber"],
+           renames={"l_orderkey": "o_orderkey", "l_suppkey": "s_suppkey"})
+    s = _s(spark, sf_dir, "supplier", ["s_suppkey"])
+    n = _s(spark, sf_dir, "nation", ["s_nationkey"],
+           renames={"n_nationkey": "s_nationkey"})
+    o = _s(spark, sf_dir, "orders", ["o_orderkey"])
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"),
+        4,
+    ).cast("decimal(18,4)")
+    return (
+        p.join(l, "inner").onKeys("l_partkey").broadcast("left")
+        .join(s, "inner").onKeys("s_suppkey")
+        .join(n, "inner").onKeys("s_nationkey")
+        .join(o, "inner").onKeys("o_orderkey")
+        .to(lambda df: df.withColumn("o_year", F.year("o_orderdate").cast("long")))
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .toDF()
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value vs a scalar-subquery
+    threshold (fraction of the global total). No partsupp — value is lineitem
+    revenue from suppliers in one region. Exact DECIMAL partial sums; the
+    1-row global total is broadcast back as a filter."""
+    _prep(spark)
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(eu), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("__value"))
+    )
+    total = per_part.agg(
+        (F.sum("__value").cast("double") * F.lit(0.001)).alias("__threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("__value").cast("double") > F.col("__threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attrs): NOT-IN exclusion
+    (anti-join against negative-balance suppliers — the 'complaints' analog)
+    + COUNT(DISTINCT supplier) per (brand, type, size) via the lineitem
+    part↔supplier link. Part filter broadcast; distinct-count is a two-level
+    shuffle on uniform keys."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import anti_join
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        )
+        .select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type", "p_size"
+        )
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("__bad_suppkey"))
+    )
+    pl = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), "l_partkey")
+    )
+    kept = anti_join(pl, excl, F.col("l_suppkey") == F.col("__bad_suppkey"))
+    return (
+        kept.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): correlated AVG subquery —
+    lineitems below 20% of their part's average quantity. The per-part
+    average is a map-side-combined groupBy broadcast back onto the fact;
+    exact DECIMAL sum for the one-row total."""
+    _prep(spark)
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), "l_partkey")
+    )
+    thresh = lp.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("__qty_limit")
+    )
+    small = lp.join(F.broadcast(thresh), "l_partkey").where(
+        F.col("l_quantity") < F.col("__qty_limit")
+    )
+    dec = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    return small.agg(
+        F.round(F.sum(dec).cast("double") / F.lit(7.0), 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (part promotion): nested-IN chain — suppliers who
+    shipped more than a threshold of 'blue%' parts in 1997, resolved as
+    agg → filter → left-semi join (operators/dedup.py semi_join). Part set
+    broadcast; the qualifying-supplier set is tiny and broadcast into the
+    semi probe."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import semi_join
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("blue%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(p), "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    qualified = semi_join(
+        s, shipped, F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    return qualified.select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS double correlation — late lineitems (no receipt/commit dates
+    in this dataset; late = shipped >60 days after order date) on finished
+    orders where ANOTHER supplier shares the order but NO other supplier was
+    also late. Both probes are semi/anti joins on (orderkey) with a
+    supplier-inequality conjunct; top 10 by wait count via distributed
+    TakeOrdered, ties broken by name."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import anti_join, semi_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    shared = semi_join(
+        late, others,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+    )
+    sole_late = anti_join(
+        shared, late_others,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG-subquery
+    threshold + NOT-EXISTS anti-join — rich customers from a nation set
+    (the phone-prefix analog) with no orders since 1999 (every customer in
+    this dataset has at least one order ever, so the dormancy cutoff plays
+    the classic 'no orders' role). Threshold computed as an exact DECIMAL
+    sum over positive balances divided once (one double op,
+    order-insensitive); the 1-row threshold is broadcast."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import anti_join
+
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = _t(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
+    dec = F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)")
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("__avg_bal")
+    )
+    rich = c.join(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("__avg_bal"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select(F.col("o_custkey").alias("__o_custkey"))
+    )
+    noorder = anti_join(rich, o, F.col("c_custkey") == F.col("__o_custkey"))
+    return (
+        noorder.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(dec).cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -1346,6 +1674,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -2075,6 +2411,137 @@ def oracle_sql() -> dict[str, str]:
                     AND l.l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l.l_shipdate <= TIMESTAMP '1997-12-31')
             GROUP BY 1, 2, 3
+        """,
+        "tpch_q2": """
+            WITH eu AS (
+                SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'),
+            offers AS (
+                SELECT l.l_partkey, eu.s_name, eu.n_name, eu.s_acctbal,
+                       l.l_extendedprice / l.l_quantity AS unit_price
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN eu ON eu.s_suppkey = l.l_suppkey
+                WHERE p.p_size = 15),
+            best AS (SELECT l_partkey, MIN(unit_price) AS min_price
+                     FROM offers GROUP BY l_partkey)
+            SELECT o.l_partkey AS p_partkey, o.s_name, o.n_name,
+                   ROUND(o.s_acctbal, 2) AS s_acctbal,
+                   FLOOR(o.unit_price * 10000) / 10000.0 AS min_unit_price
+            FROM offers o
+            JOIN best b ON o.l_partkey = b.l_partkey
+                       AND o.unit_price = b.min_price
+        """,
+        "tpch_q9": """
+            SELECT n_name, o_year,
+                   ROUND(CAST(SUM(profit) AS DOUBLE), 2) AS sum_profit,
+                   COUNT(*) AS n_items
+            FROM (SELECT n.n_name, year(o.o_orderdate) AS o_year,
+                         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    - 0.5 * p.p_retailprice * l.l_quantity, 4)
+                              AS DECIMAL(18,4)) AS profit
+                  FROM part p
+                  JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  WHERE p.p_name LIKE '%red%')
+            GROUP BY n_name, o_year
+        """,
+        "tpch_q11": """
+            WITH eu AS (SELECT s.s_suppkey FROM supplier s
+                        JOIN nation n ON s.s_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        WHERE r.r_name = 'ASIA'),
+            per_part AS (
+                SELECT l.l_partkey,
+                       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                                AS DECIMAL(18,4))) AS value
+                FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey
+                GROUP BY l.l_partkey)
+            SELECT l_partkey AS p_partkey,
+                   ROUND(CAST(value AS DOUBLE), 2) AS part_value
+            FROM per_part
+            WHERE CAST(value AS DOUBLE) >
+                  (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM per_part)
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q17": """
+            WITH lp AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                        FROM lineitem l
+                        JOIN part p ON p.p_partkey = l.l_partkey
+                        WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'),
+            t AS (SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_limit
+                  FROM lp GROUP BY l_partkey)
+            SELECT ROUND(CAST(SUM(CAST(ROUND(lp.l_extendedprice, 2)
+                                       AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+                         2) AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM lp JOIN t ON lp.l_partkey = t.l_partkey
+            WHERE lp.l_quantity < t.qty_limit
+        """,
+        "tpch_q20": """
+            WITH shipped AS (
+                SELECT l.l_suppkey, SUM(l.l_quantity) AS total_qty
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE 'blue%'
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l.l_suppkey
+                HAVING SUM(l.l_quantity) > 300)
+            SELECT s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+            FROM supplier s
+            WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped)
+        """,
+        "tpch_q21": """
+            WITH late AS (
+                SELECT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM late l1
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 10
+        """,
+        "tpch_q22": """
+            WITH c AS (SELECT * FROM customer
+                       WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            thr AS (SELECT CAST(SUM(CAST(ROUND(c_acctbal, 2)
+                                         AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS avg_bal
+                    FROM c WHERE c_acctbal > 0.0)
+            SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+                   ROUND(CAST(SUM(CAST(ROUND(c.c_acctbal, 2)
+                                       AS DECIMAL(18,2))) AS DOUBLE),
+                         2) AS totacctbal
+            FROM c, thr
+            WHERE c.c_acctbal > thr.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c.c_nationkey
         """,
         **_corpus_oracles(),
     }
