@@ -1489,6 +1489,66 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (operators/text.py PII_PATTERNS): per-pattern audit
+    counts + redacted text fingerprint. The corpus has no organic PII, so a
+    deterministic synthetic suffix (email / SSN / IPv4 derived from doc_id,
+    built identically in the oracle SQL) is appended first — the scrubber
+    then has real spans to find. Map-only (chained regexp codegen), no
+    shuffle at any scale."""
+    _prep(spark)
+    from streamjoin_spark.functions import content_fingerprint
+    from streamjoin_spark.operators.text import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@mail.example.com ssn "),
+        F.lpad((F.col("doc_id") * 7 % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-42-"),
+        F.lpad((F.col("doc_id") * 13 % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") * 3 % 256).cast("string"),
+    )
+    wdf = d.select("doc_id", synth.alias("__synth"))
+    cts = pii_counts(F.col("__synth"))
+    clean = scrub_pii(F.col("__synth"))
+    return wdf.select(
+        "doc_id",
+        cts["email"].alias("n_email"),
+        cts["phone"].alias("n_phone"),
+        cts["ssn"].alias("n_ssn"),
+        cts["ipv4"].alias("n_ip"),
+        F.length(clean).cast("long").alias("clean_len"),
+        content_fingerprint(clean).alias("clean_fp"),
+    )
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition signals (operators/text.py
+    repetition_profile): top-bigram share + distinct-token ratio per doc —
+    the boilerplate/degenerate-text gate of a pretraining pipeline."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval top-k (operators/retrieval.py bm25_topk):
+    corpus filtered to query terms before any shuffle, df/N/avgdl broadcast,
+    distributed TakeOrdered tail."""
+    _prep(spark)
+    from streamjoin_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "hash", "merge"], k=15
+    )
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -1682,6 +1742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "pii_scrub": q_pii_scrub,
+        "repetition_profile": q_repetition_profile,
+        "bm25_topk": q_bm25_topk,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -2542,6 +2605,111 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c.c_nationkey
+        """,
+        "pii_scrub": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com ssn '
+                            || lpad(CAST(doc_id * 7 % 900 + 100 AS VARCHAR), 3, '0')
+                            || '-42-'
+                            || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) AS synth
+                FROM documents),
+            r AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(synth,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS n_email,
+                       CAST(len(regexp_extract_all(synth,
+                           '\(\d{3}\) \d{3}-\d{4}|\d{3}-\d{3}-\d{4}'))
+                           AS BIGINT) AS n_phone,
+                       CAST(len(regexp_extract_all(synth,
+                           '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssn,
+                       CAST(len(regexp_extract_all(synth,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                           AS BIGINT) AS n_ip,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(synth,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\(\d{3}\) \d{3}-\d{4}|\d{3}-\d{3}-\d{4}',
+                           '<PHONE>', 'g'),
+                           '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS clean
+                FROM s)
+            SELECT doc_id, n_email, n_phone, n_ssn, n_ip,
+                   CAST(len(clean) AS BIGINT) AS clean_len,
+                   md5(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g'))
+                       AS clean_fp
+            FROM r
+        """,
+        "repetition_profile": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+                       CAST(len(list_distinct(
+                               regexp_split_to_array(lower(trim(text)), '\s+')))
+                            AS DOUBLE)
+                       / greatest(len(regexp_split_to_array(lower(trim(text)),
+                                                            '\s+')), 1) AS dr
+                FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS bigram
+                   FROM base WHERE len(w) >= 2),
+            pb AS (SELECT doc_id, bigram, COUNT(*) AS cnt
+                   FROM bg GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                           MAX(cnt) AS top
+                    FROM pb GROUP BY 1)
+            SELECT b.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   FLOOR(COALESCE(CAST(a.top AS DOUBLE)
+                                  / greatest(a.n_bigrams, 1), 0.0)
+                         * 1000000) / 1000000.0 AS top_bigram_share,
+                   FLOOR(b.dr * 1000000) / 1000000.0 AS distinct_token_ratio
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "bm25_topk": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          lower(trim(text)), '\s+'))
+                            END AS DOUBLE) AS dl
+                FROM documents),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                             SUM(dl) / COUNT(*) AS avgdl
+                      FROM base),
+            m AS (SELECT doc_id, dl,
+                         unnest(list_filter(w,
+                                x -> x IN ('spark', 'hash', 'merge'))) AS term
+                  FROM base),
+            tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM m GROUP BY 1, 2, 3),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                      FROM tf GROUP BY 1),
+            scored AS (
+                SELECT tf.doc_id,
+                       COUNT(*) AS n_terms_matched,
+                       ROUND(CAST(SUM(CAST(ROUND(
+                           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * tf.dl / s.avgdl)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+                FROM tf
+                JOIN dfreq d USING (term)
+                CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, n_terms_matched, score
+            FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 15
         """,
         **_corpus_oracles(),
     }

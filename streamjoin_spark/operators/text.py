@@ -118,6 +118,101 @@ def detect_lang(col: Column, min_score: float = 0.05) -> Column:
     return result
 
 
+# PII patterns shared between the Spark expressions and the oracle SQL.
+# Regex subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround; alternation preference and
+# \b word boundaries agree between the engines. Replacement order matters
+# (email before IP so the address never partially matches a later pattern).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\(\d{3}\) \d{3}-\d{4}|\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern match counts on the raw text (pre-redaction), each a
+    single JVM ``regexp_count`` — the audit side of the scrubber."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact PII spans in pattern order. Pure chained ``regexp_replace``
+    (codegen, no Python) — at 100 TB this is a map-only pass, no shuffle."""
+    out = col
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total bigrams, the most
+    frequent bigram's share, and the distinct-token ratio. High top-bigram
+    share / low distinct ratio → boilerplate or degenerate text.
+
+    Scale: bigrams explode → groupBy(doc, bigram) → groupBy(doc) — two
+    shuffles on uniform keys (doc id dominates the key), no all-pairs and no
+    global ordering. The distinct-token ratio is a pure scalar expression
+    (``array_distinct``) computed in the scan stage.
+
+    Ratios are canonicalized with FLOOR(x·10⁶)/10⁶ rather than ROUND: counts
+    per document are often powers of two, putting m/2^k exactly on a .5
+    rounding boundary where Spark (HALF_UP) and DuckDB (nearbyint) disagree;
+    floor of the identical double is bit-reproducible.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__w"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("__distinct_ratio"),
+    )
+    bigrams = base.select(
+        id_col,
+        "__distinct_ratio",
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat(
+                        F.element_at("__w", i), F.lit(" "), F.element_at("__w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array(F.lit("")))
+        ).alias("__bigram"),
+    )
+    per_bigram = bigrams.groupBy(id_col, "__distinct_ratio", "__bigram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    flo = lambda c: F.floor(c * 1000000) / F.lit(1000000.0)  # noqa: E731
+    return (
+        per_bigram.groupBy(id_col, "__distinct_ratio")
+        .agg(
+            F.sum(F.when(F.col("__bigram") != "", F.col("__cnt"))
+                  .otherwise(F.lit(0))).alias("n_bigrams"),
+            F.max(F.when(F.col("__bigram") != "", F.col("__cnt"))
+                  .otherwise(F.lit(0))).alias("__top"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            flo(
+                F.col("__top") / F.greatest(F.col("n_bigrams"), F.lit(1))
+            ).alias("top_bigram_share"),
+            flo(F.col("__distinct_ratio")).alias("distinct_token_ratio"),
+        )
+    )
+
+
 def profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

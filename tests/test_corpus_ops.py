@@ -229,3 +229,70 @@ def test_pack_sequences_semantics(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, out2.collect()))
     # packs fill: at least one bucket has multiple packs
     assert out.select("bucket", "pack_id").distinct().count() > 4
+
+
+def test_pii_scrub_and_counts(spark):
+    """Each PII family is counted pre-redaction and replaced post-redaction;
+    clean text is untouched."""
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org or call 555-123-4567"),
+        (2, "ssn 123-45-6789 from host 192.168.0.1"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cts = text.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[cts[k].alias(k) for k in ("email", "phone", "ssn", "ipv4")],
+            text.scrub_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert (out[1]["email"], out[1]["phone"]) == (1, 1)
+    assert out[1]["clean"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[2]["ssn"], out[2]["ipv4"]) == (1, 1)
+    assert out[2]["clean"] == "ssn <SSN> from host <IP>"
+    assert out[3]["clean"] == "nothing sensitive here"
+    assert sum(out[3][k] for k in ("email", "phone", "ssn", "ipv4")) == 0
+
+
+def test_repetition_profile_signals(spark):
+    """Degenerate text maxes the top-bigram share; varied text stays low;
+    sub-bigram docs report zeros instead of vanishing."""
+    rows = [
+        (1, "spam spam spam spam spam"),
+        (2, "one two three four five six"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_profile(df).collect()}
+    assert len(out) == 3
+    assert out[1]["n_bigrams"] == 4 and out[1]["top_bigram_share"] == 1.0
+    assert out[1]["distinct_token_ratio"] == 0.2
+    assert out[2]["n_bigrams"] == 5
+    assert out[2]["top_bigram_share"] == 0.2  # all bigrams distinct
+    assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_share"] == 0.0
+
+
+def test_bm25_ranking(spark):
+    """More on-topic docs rank higher; rare terms outweigh common ones;
+    output is capped at k with id tiebreak."""
+    from streamjoin_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine room"),
+        (3, "zebra in the room"),          # rare term
+        (4, "engine engine engine engine"),
+        (5, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["spark", "zebra"], k=3).collect()
+    assert [r["doc_id"] for r in out][:1] == [3] or out[0]["score"] > 0
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert len(out) == 3 and 5 not in scores
+    # doc 1 (3x spark) beats doc 2 (1x spark)
+    assert scores[1] > scores[2]
+    # rare 'zebra' idf beats single common-term hits
+    assert scores[3] > scores[2]
