@@ -193,3 +193,44 @@ def windowed_rollup_stream(
             "n_events", "sum_value",
         )
     )
+
+
+def session_window_rollup_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based session aggregation via the *built-in* merging session
+    window (``F.session_window``) — the declarative, JVM-side twin of
+    ``streaming_sessionize``. Spark's state store merges overlapping
+    windows as late-but-in-watermark rows arrive, so unlike the
+    ``applyInPandasWithState`` sessionizer this one tolerates out-of-order
+    arrival within the watermark horizon, at the cost of emitting only
+    *closed* sessions (append semantics) rather than per-microbatch
+    updates.
+
+    Works identically on batch frames (session_window is a plain groupBy
+    there) — the convergence tests exploit that.
+
+    Scale: one shuffle on (key, session_window); state per open session
+    only, expired by the watermark. No Python in the pipeline.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), *key_cols
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("session_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )

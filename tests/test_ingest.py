@@ -71,3 +71,26 @@ def test_ingest_feeds_incremental_pipeline(spark, tmp_path):
     ing.run()
     w.run()
     assert {r["name"]: r["n"] for r in w.toDF().collect()} == {"x": 1, "y": 2}
+
+
+def test_ingest_csv_with_header(spark, tmp_path):
+    """CSV landing files (header via reader options; column types come from
+    the target table's schema) flow through the same discovery/merge path
+    as JSON."""
+    src = tmp_path / "landing_csv"
+    os.makedirs(src, exist_ok=True)
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "bronze_csv"),
+        spark.createDataFrame([], SCHEMA).schema, ["id"], sequence_by=["seq"],
+    )
+    (src / "a.csv").write_text("id,name,seq\n1,x,1\n2,y,1\n")
+    (src / "b.csv").write_text("id,name,seq\n1,x2,2\n")
+    ing = FileIngest(
+        spark, f"{src}/*.csv", ct, fmt="csv", mode="merge",
+        max_files_per_batch=1,
+        reader_options={"header": "true"},
+    )
+    assert ing.run() == 2
+    snap = {r["id"]: (r["name"], r["seq"]) for r in ct.snapshot().collect()}
+    assert snap == {1: ("x2", 2), 2: ("y", 1)}
+    assert ing.run() == 0

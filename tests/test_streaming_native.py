@@ -222,3 +222,56 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_session_window_rollup_matches_batch(spark, tmp_path, ev_ct):
+    """Built-in merging session_window: closed sessions emitted by the
+    stream equal the batch session_window aggregation on the same data
+    (a far-future sentinel pushes the watermark so real sessions close)."""
+    from streamjoin_spark.streaming.stateful import session_window_rollup_stream
+
+    rows = [
+        (1, 1, 0.0, 1.0), (2, 1, 50.0, 2.0), (3, 1, 70.0, 4.0),  # session A
+        (4, 1, 1000.0, 8.0),                                      # session B
+        (5, 2, 40.0, 16.0),                                       # session C
+        (6, 99, 1e6, 0.0),                                        # sentinel
+    ]
+    ev_ct.append(spark.createDataFrame(rows, EV))
+    stream = (
+        ev_ct.read_change_stream()
+        .where(F.col("_change_type") == "insert")
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    out = session_window_rollup_stream(stream, gap="100 seconds",
+                                       watermark="10 seconds")
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[(r.user_id, r.session_start)] = (r.n_events, r.session_value)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "swckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ev = ev_ct.snapshot().where(F.col("user_id") != 99).withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    exp = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in ev.groupBy(
+            F.session_window("ts", "100 seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "session_value")
+        .collect()
+    }
+    assert got == exp
+    assert len(got) == 3  # A, B, C closed; sentinel session still open
