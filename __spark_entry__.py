@@ -1549,6 +1549,24 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py) over the symmetrized
+    supplier↔customer order graph (customer nodes offset by 10⁶ to
+    disambiguate the id spaces). 3 rounds, each two |E|-bounded shuffles;
+    contributions summed as exact integer micro-units so the oracle's
+    unrolled-CTE ranks hash-match bit-for-bit."""
+    _prep(spark)
+    from streamjoin_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000000) + F.col("o_custkey")).alias("dst"),
+    )
+    return pagerank(edges, iters=3, symmetrize=True)
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -1745,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_profile": q_repetition_profile,
         "bm25_topk": q_bm25_topk,
+        "pagerank": q_pagerank,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -2710,6 +2729,63 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 15
+        """,
+        "pagerank": """
+            WITH e0 AS (SELECT DISTINCT l.l_suppkey AS src,
+                               1000000 + o.o_custkey AS dst
+                        FROM lineitem l
+                        JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            e AS (SELECT src, dst FROM e0
+                  UNION
+                  SELECT dst AS src, src AS dst FROM e0),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM e
+                       UNION ALL SELECT dst FROM e)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY src),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(FLOOR(r.rank / d.deg * 1000000000000) AS BIGINT)
+                              AS u
+                   FROM e JOIN r0 r ON r.node = e.src
+                          JOIN deg d ON d.src = e.src),
+            s1 AS (SELECT node, CAST(SUM(u) AS BIGINT) AS s
+                   FROM c1 GROUP BY node),
+            r1 AS (SELECT nd.node,
+                          (1.0 - 0.85) / nn.n
+                          + 0.85 * (CAST(COALESCE(s1.s, 0) AS DOUBLE)
+                                    / 1000000000000.0) AS rank
+                   FROM nodes nd CROSS JOIN nn
+                   LEFT JOIN s1 ON s1.node = nd.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(FLOOR(r.rank / d.deg * 1000000000000) AS BIGINT)
+                              AS u
+                   FROM e JOIN r1 r ON r.node = e.src
+                          JOIN deg d ON d.src = e.src),
+            s2 AS (SELECT node, CAST(SUM(u) AS BIGINT) AS s
+                   FROM c2 GROUP BY node),
+            r2 AS (SELECT nd.node,
+                          (1.0 - 0.85) / nn.n
+                          + 0.85 * (CAST(COALESCE(s2.s, 0) AS DOUBLE)
+                                    / 1000000000000.0) AS rank
+                   FROM nodes nd CROSS JOIN nn
+                   LEFT JOIN s2 ON s2.node = nd.node),
+            c3 AS (SELECT e.dst AS node,
+                          CAST(FLOOR(r.rank / d.deg * 1000000000000) AS BIGINT)
+                              AS u
+                   FROM e JOIN r2 r ON r.node = e.src
+                          JOIN deg d ON d.src = e.src),
+            s3 AS (SELECT node, CAST(SUM(u) AS BIGINT) AS s
+                   FROM c3 GROUP BY node),
+            r3 AS (SELECT nd.node,
+                          (1.0 - 0.85) / nn.n
+                          + 0.85 * (CAST(COALESCE(s3.s, 0) AS DOUBLE)
+                                    / 1000000000000.0) AS rank
+                   FROM nodes nd CROSS JOIN nn
+                   LEFT JOIN s3 ON s3.node = nd.node)
+            SELECT node, FLOOR(rank * 100000000) / 100000000.0 AS rank
+            FROM r3
         """,
         **_corpus_oracles(),
     }

@@ -296,3 +296,20 @@ def test_bm25_ranking(spark):
     assert scores[1] > scores[2]
     # rare 'zebra' idf beats single common-term hits
     assert scores[3] > scores[2]
+
+
+def test_pagerank_semantics(spark):
+    """Hub node dominates a symmetrized star; ranks sum to ~1 (no dangling
+    mass after symmetrization); deterministic under repartition."""
+    from streamjoin_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9), (5, 6)], "src long, dst long"
+    )
+    out = pagerank(edges, iters=5, symmetrize=True)
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert max(ranks, key=ranks.get) == 9          # the hub
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6   # mass conserved
+    assert ranks[5] == ranks[6]                    # symmetric pair ties
+    out2 = pagerank(edges.repartition(5), iters=5, symmetrize=True)
+    assert {r["node"]: r["rank"] for r in out2.collect()} == ranks
