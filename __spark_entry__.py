@@ -1567,6 +1567,30 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3, symmetrize=True)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/text.py contamination_report):
+    training docs sharing a 4-gram with the held-out eval slice
+    (doc_id % 50 == 0). Eval shingles broadcast — the corpus is never
+    shuffled for the check."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    tr = d.where(F.col("doc_id") % 50 != 0)
+    return contamination_report(tr, ev, n=4)
+
+
+def q_lm_logprob(spark, sf_dir):
+    """Unigram-LM fluency scores (operators/text.py unigram_logprob) — the
+    cheap tier of CCNet-style perplexity filtering, self-trained on the
+    corpus."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -1764,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
+        "decontaminate": q_decontaminate,
+        "lm_logprob": q_lm_logprob,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -2786,6 +2812,47 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN s3 ON s3.node = nd.node)
             SELECT node, FLOOR(rank * 100000000) / 100000000.0 AS rank
             FROM r3
+        """,
+        "decontaminate": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\s+') AS w
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+3], ' ')))
+                              AS shingle
+                   FROM d WHERE len(w) >= 4),
+            ev AS (SELECT doc_id AS eval_id, shingle
+                   FROM sh WHERE doc_id % 50 = 0),
+            tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+            SELECT tr.doc_id,
+                   COUNT(DISTINCT tr.shingle) AS n_shared_shingles,
+                   COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+            FROM tr JOIN ev USING (shingle)
+            GROUP BY tr.doc_id
+        """,
+        "lm_logprob": r"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_split_to_array(
+                                     lower(trim(text)), '\s+')) AS tok
+                          FROM documents),
+            dt AS (SELECT doc_id, tok, COUNT(*) AS c
+                   FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cnt
+                      FROM dt GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+            lp AS (SELECT tok,
+                          CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total), 6)
+                               AS DECIMAL(18,6)) AS lp
+                   FROM vocab CROSS JOIN tot),
+            s AS (SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+                         SUM(CAST(dt.c AS DECIMAL(18,0)) * lp.lp) AS s
+                  FROM dt JOIN lp USING (tok) GROUP BY 1)
+            SELECT doc_id, n_tokens,
+                   FLOOR(CAST(s AS DOUBLE) / n_tokens * 1000000)
+                       / 1000000.0 AS avg_logprob
+            FROM s
         """,
         **_corpus_oracles(),
     }

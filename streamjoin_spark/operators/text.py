@@ -213,6 +213,94 @@ def repetition_profile(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share at least one
+    word n-gram with any evaluation document — the overlap check every
+    pretraining pipeline runs against its eval sets before training.
+
+    Returns one row per contaminated training doc: ``(id_col,
+    n_shared_shingles, n_eval_docs)`` — how many distinct n-grams leak and
+    how many eval docs they touch.
+
+    Scale: the eval side is shingled and *broadcast* (eval sets are tiny
+    relative to the corpus — millions of n-grams at most), so the check is
+    a map-side broadcast join over the training shingles: no shuffle of
+    the corpus at all, then one groupBy on the (small) hit set.
+    """
+    from .dedup import _shingle_frame
+
+    tr = _shingle_frame(train, text_col, id_col, n)
+    ev = (
+        _shingle_frame(eval_df, text_col, id_col, n)
+        .select(F.col("__id").alias("__eval_id"), "shingle")
+    )
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return hits.groupBy(F.col("__id").alias(id_col)).agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("__eval_id").alias("n_eval_docs"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM fluency score (the cheap end of CCNet-style perplexity
+    filtering): train a unigram model on the corpus itself, score each
+    document by its average token log-probability. Outliers (very negative
+    = rare-token soup, near-zero = degenerate repetition of common tokens)
+    are filter candidates.
+
+    Returns ``(id_col, n_tokens, avg_logprob)``.
+
+    Cross-engine determinism: per-token-type log-probs are ROUNDed to 6 dp
+    and multiplied by exact integer in-doc counts as DECIMAL, so the
+    per-doc sum is order-insensitive; the final average is
+    floor-canonicalized. A 1-ulp ``ln`` divergence cannot move a 6 dp
+    rounding of an irrational value in practice.
+
+    Scale: one shuffle to count (doc, token) pairs, one map-side-combined
+    vocab aggregation, vocab log-probs broadcast back (a web-scale vocab is
+    ~10⁷ rows — comfortably broadcastable; swap for a shuffle join beyond
+    that). No full-corpus re-shuffle for scoring.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    dt = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = dt.groupBy("__tok").agg(F.sum("__c").alias("__cnt"))
+    tot = vocab.agg(F.sum("__cnt").cast("double").alias("__total"))
+    lp = vocab.join(F.broadcast(tot)).select(
+        "__tok",
+        F.round(
+            F.log(F.col("__cnt").cast("double") / F.col("__total")), 6
+        ).cast("decimal(18,6)").alias("__lp"),
+    )
+    scored = (
+        dt.join(F.broadcast(lp), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__c").cast("decimal(18,0)") * F.col("__lp")).alias("__s"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (
+            F.floor(
+                F.col("__s").cast("double") / F.col("n_tokens") * 1000000
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_logprob"),
+    )
+
+
 def profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

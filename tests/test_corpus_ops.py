@@ -313,3 +313,35 @@ def test_pagerank_semantics(spark):
     assert ranks[5] == ranks[6]                    # symmetric pair ties
     out2 = pagerank(edges.repartition(5), iters=5, symmetrize=True)
     assert {r["node"]: r["rank"] for r in out2.collect()} == ranks
+
+
+def test_contamination_report(spark):
+    """A training doc embedding an eval 4-gram is flagged; clean docs are
+    not; counts reflect distinct leaked shingles and touched eval docs."""
+    ev = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [(1, "prefix words the secret eval answer is hidden here"),
+         (2, "completely unrelated clean training text")],
+        "doc_id long, text string",
+    )
+    out = text.contamination_report(tr, ev, n=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # "the secret eval answer" and "secret eval answer is" both leak
+    assert (r["doc_id"], r["n_shared_shingles"], r["n_eval_docs"]) == (1, 2, 1)
+
+
+def test_unigram_logprob_ordering(spark):
+    """Docs made of corpus-common tokens score higher (less negative) than
+    rare-token docs; token counts are exact."""
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common common rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
