@@ -116,3 +116,34 @@ def test_query_oracle_key_parity():
 def test_q8_dimensions_broadcast(spark, sf_dir):
     p = plan_of(entry.q_tpch_q8(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 4   # part, supplier-nation, cust-nation, region
+
+
+def test_bm25_broadcasts_stats_and_topk(spark, sf_dir):
+    """df/N/avgdl legs must broadcast and the tail must be a distributed
+    TakeOrdered — BM25's only full-corpus pass is the scan+explode map."""
+    p = plan_of(entry.q_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_decontaminate_broadcasts_eval(spark, sf_dir):
+    """The eval shingle set must broadcast: the training corpus is never
+    shuffled for the overlap check."""
+    p = plan_of(entry.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q17_threshold_broadcast(spark, sf_dir):
+    """The per-part avg-quantity threshold (correlated-subquery analog)
+    must come back as a broadcast, not a shuffled join."""
+    p = plan_of(entry.q_tpch_q17(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q21_no_cartesian(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS correlation must lower to semi/anti hash or
+    sort-merge joins keyed on the order — never a nested-loop over
+    lineitem."""
+    p = plan_of(entry.q_tpch_q21(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
