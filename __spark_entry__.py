@@ -1591,6 +1591,33 @@ def q_lm_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_profile_orders(spark, sf_dir):
+    """ANALYZE-style column profile (operators/profiling.py
+    profile_columns): nulls / exact distinct / min / max / mean for three
+    orders columns in ONE scan (multi-DISTINCT lowers to a single Expand +
+    two-level partial agg); the long-form unpivot runs on the 1-row
+    aggregate."""
+    _prep(spark)
+    from streamjoin_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"), ["o_totalprice", "o_orderkey", "o_custkey"]
+    )
+
+
+def q_histogram_totalprice(spark, sf_dir):
+    """Equal-width value histogram (operators/profiling.py histogram):
+    clamped bucket assignment in pure double arithmetic, one
+    map-side-combined groupBy on a ≤20-value key."""
+    _prep(spark)
+    from streamjoin_spark.operators.profiling import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", lo=0.0, hi=500000.0,
+        n_buckets=20,
+    )
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -1790,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "decontaminate": q_decontaminate,
         "lm_logprob": q_lm_logprob,
+        "profile_orders": q_profile_orders,
+        "histogram_totalprice": q_histogram_totalprice,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -2853,6 +2882,58 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(s AS DOUBLE) / n_tokens * 1000000)
                        / 1000000.0 AS avg_logprob
             FROM s
+        """,
+        "profile_orders": """
+            SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_totalprice) AS n_distinct,
+                   ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS min_val,
+                   ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS max_val,
+                   FLOOR(CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 4)
+                                       AS DECIMAL(28,4))) AS DOUBLE)
+                         / (COUNT(*) - SUM(CASE WHEN o_totalprice IS NULL
+                                                THEN 1 ELSE 0 END))
+                         * 10000) / 10000.0 AS mean_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   COUNT(DISTINCT o_orderkey),
+                   ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 2),
+                   ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 2),
+                   FLOOR(CAST(SUM(CAST(ROUND(CAST(o_orderkey AS DOUBLE), 4)
+                                       AS DECIMAL(28,4))) AS DOUBLE)
+                         / (COUNT(*) - SUM(CASE WHEN o_orderkey IS NULL
+                                                THEN 1 ELSE 0 END))
+                         * 10000) / 10000.0
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   COUNT(DISTINCT o_custkey),
+                   ROUND(CAST(MIN(o_custkey) AS DOUBLE), 2),
+                   ROUND(CAST(MAX(o_custkey) AS DOUBLE), 2),
+                   FLOOR(CAST(SUM(CAST(ROUND(CAST(o_custkey AS DOUBLE), 4)
+                                       AS DECIMAL(28,4))) AS DOUBLE)
+                         / (COUNT(*) - SUM(CASE WHEN o_custkey IS NULL
+                                                THEN 1 ELSE 0 END))
+                         * 10000) / 10000.0
+            FROM orders
+        """,
+        "histogram_totalprice": """
+            WITH h AS (SELECT LEAST(GREATEST(FLOOR(
+                           (CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0),
+                           0), 19) AS bucket
+                       FROM orders WHERE o_totalprice IS NOT NULL)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(0.0 AS DOUBLE)
+                   + CAST(bucket AS BIGINT) * CAST(25000.0 AS DOUBLE)
+                       AS bucket_lo,
+                   COUNT(*) AS n
+            FROM h GROUP BY bucket
         """,
         **_corpus_oracles(),
     }
