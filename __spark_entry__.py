@@ -1559,7 +1559,14 @@ def q_pagerank(spark, sf_dir):
     from streamjoin_spark.operators.graph import pagerank
 
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
     edges = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
         F.col("l_suppkey").alias("src"),
         (F.lit(1000000) + F.col("o_custkey")).alias("dst"),
@@ -2789,7 +2796,9 @@ def oracle_sql() -> dict[str, str]:
             WITH e0 AS (SELECT DISTINCT l.l_suppkey AS src,
                                1000000 + o.o_custkey AS dst
                         FROM lineitem l
-                        JOIN orders o ON o.o_orderkey = l.l_orderkey),
+                        JOIN orders o ON o.o_orderkey = l.l_orderkey
+                        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                          AND o.o_orderdate < TIMESTAMP '1997-01-01'),
             e AS (SELECT src, dst FROM e0
                   UNION
                   SELECT dst AS src, src AS dst FROM e0),

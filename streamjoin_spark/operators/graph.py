@@ -58,6 +58,9 @@ def pagerank(
         .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+    # degree is attached to the edge list ONCE — iterations then pay a single
+    # join against the current ranks instead of re-deriving degrees each round
+    ed = e.join(deg, "src").persist()
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     base = F.lit(1.0 - damping) / F.col("__n")
 
@@ -66,8 +69,7 @@ def pagerank(
     )
     for _ in range(iters):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("rank") / F.col("__deg") * _UNIT).alias("__u"),
