@@ -1625,6 +1625,22 @@ def q_histogram_totalprice(spark, sf_dir):
     )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order clustering key (operators/layout.py): OPTIMIZE ZORDER
+    analog — min/max-normalize each clustered column (one agg pass, 1-row
+    broadcast), bit-interleave into one key. The follow-up
+    repartitionByRange(z_key) gives every file tight min/max zones on ALL
+    clustered columns; here the key itself is hash-verified."""
+    _prep(spark)
+    from streamjoin_spark.operators.layout import with_zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = with_zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    return out.select("o_orderkey", "z_key")
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -1826,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logprob": q_lm_logprob,
         "profile_orders": q_profile_orders,
         "histogram_totalprice": q_histogram_totalprice,
+        "zorder_key": q_zorder_key,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -1836,6 +1853,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """Oracle twin of operators/layout.py with_zorder_key on
+    (o_custkey, o_totalprice): bit i of column j lands at position
+    i·n_cols + j — the interleave unrolled as a |-chain of shift/mask
+    terms, mirroring the Spark expression tree exactly."""
+    top = (1 << bits) - 1
+    terms = " | ".join(
+        f"(((b{j} >> {i}) & 1) << {i * 2 + j})"
+        for j in (0, 1)
+        for i in range(bits)
+    )
+    return f"""
+        WITH s AS (SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo0,
+                          MAX(CAST(o_custkey AS DOUBLE)) AS hi0,
+                          MIN(CAST(o_totalprice AS DOUBLE)) AS lo1,
+                          MAX(CAST(o_totalprice AS DOUBLE)) AS hi1
+                   FROM orders),
+        b AS (SELECT o_orderkey,
+                     CAST(CASE WHEN hi0 = lo0 THEN 0
+                          ELSE LEAST(FLOOR((CAST(o_custkey AS DOUBLE) - lo0)
+                                           / (hi0 - lo0) * {top + 1}),
+                                     {top}) END AS BIGINT) AS b0,
+                     CAST(CASE WHEN hi1 = lo1 THEN 0
+                          ELSE LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo1)
+                                           / (hi1 - lo1) * {top + 1}),
+                                     {top}) END AS BIGINT) AS b1
+              FROM orders CROSS JOIN s)
+        SELECT o_orderkey, CAST({terms} AS BIGINT) AS z_key FROM b
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2944,5 +2992,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM h GROUP BY bucket
         """,
+        "zorder_key": _zorder_sql(bits=8),
         **_corpus_oracles(),
     }

@@ -1,0 +1,89 @@
+"""Data-layout operators: Z-order clustering keys (OPTIMIZE ZORDER analog).
+
+Multi-dimensional clustering for scan pruning: rows close in Z-order are
+close in every interleaved dimension, so range-partitioned files carry
+tight min/max stats on ALL the clustered columns at once — point/range
+predicates on any of them prune files, not just the lead sort key.
+
+Everything is integer/double Column arithmetic (codegen, deterministic
+across engines); the normalization min/max pass is one aggregation whose
+1-row result broadcasts back.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "with_zorder_key", "repartition_by_zorder"]
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of each (already 0..2^bits-1 normalized)
+    integer column into one Z-value: bit *i* of column *j* lands at
+    position ``i·n_cols + j``. Pure shift/mask expression tree — 2·bits·n
+    JVM ops inside whole-stage codegen, no UDF."""
+    n = len(cols)
+    parts = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "z_key",
+) -> DataFrame:
+    """Attach a Z-order key over ``cols``: each column is min/max-normalized
+    to ``[0, 2^bits)`` (one aggregation pass, 1-row broadcast back), then
+    bit-interleaved. Constant columns map to bucket 0.
+
+    Scale: one scan for the min/max, one map-only pass for the key; the
+    typical follow-up is ``repartitionByRange(out_col)`` + write, giving
+    every file tight min/max zones on all clustered columns.
+    """
+    top = (1 << bits) - 1
+    stats = df.agg(
+        *[
+            m
+            for c in cols
+            for m in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    )
+    bucketed = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        x = F.col(c).cast("double")
+        b = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.floor((x - lo) / (hi - lo) * F.lit(float(top + 1))),
+                F.lit(top),
+            )
+        )
+        bucketed.append(b.cast("long").alias(f"__b_{c}"))
+    keyed = df.join(F.broadcast(stats)).select(df["*"], *bucketed)
+    z = zorder_key([F.col(f"__b_{c}") for c in cols], bits=bits)
+    return keyed.select(df["*"], z.alias(out_col))
+
+
+def repartition_by_zorder(
+    df: DataFrame, cols: list[str], n_partitions: int, bits: int = 16
+) -> DataFrame:
+    """Range-partition by the Z-key (each output file = one contiguous
+    Z-range = a tight hyper-rectangle in the clustered dimensions), key
+    column dropped after partitioning."""
+    keyed = with_zorder_key(df, cols, bits=bits)
+    return keyed.repartitionByRange(n_partitions, F.col("z_key")).drop("z_key")

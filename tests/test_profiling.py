@@ -29,3 +29,45 @@ def test_histogram_clamps_out_of_range(spark):
     got = {r["bucket"]: (r["bucket_lo"], r["n"])
            for r in histogram(df, "x", lo=0.0, hi=20.0, n_buckets=2).collect()}
     assert got == {0: (0.0, 3), 1: (10.0, 2)}   # nulls dropped, edges clamped
+
+
+def test_zorder_interleave_corners(spark):
+    """Known corners of an exactly-[0,255] 2-D space interleave to the
+    classic Z-values; locality: quadrant prefixes match."""
+    from pyspark.sql import functions as F
+
+    from streamjoin_spark.operators.layout import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 255, 0), (3, 0, 255), (4, 255, 255)],
+        "id long, x long, y long",
+    )
+    z = {r["id"]: r["z_key"]
+         for r in with_zorder_key(df, ["x", "y"], bits=8).collect()}
+    assert z[1] == 0
+    assert z[2] == 0x5555          # x occupies even bit positions
+    assert z[3] == 0xAAAA          # y occupies odd bit positions
+    assert z[4] == 0xFFFF
+
+
+def test_zorder_range_partition_clusters(spark):
+    """repartitionByRange on the Z-key yields partitions whose x/y spans
+    are narrow hyper-rectangles, not full-range slices."""
+    from pyspark.sql import functions as F
+
+    from streamjoin_spark.operators.layout import with_zorder_key
+
+    rows = [(i, i % 64, (i * 7) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    keyed = with_zorder_key(df, ["x", "y"], bits=6)
+    parts = (
+        keyed.repartitionByRange(16, F.col("z_key"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("x") - F.min("x")).alias("dx"),
+             (F.max("y") - F.min("y")).alias("dy"))
+        .collect()
+    )
+    # every Z-range partition spans at most half of each dimension —
+    # a plain sort by x would give dy == full range (63) everywhere
+    assert all(p["dx"] <= 32 and p["dy"] <= 32 for p in parts)
