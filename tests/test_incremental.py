@@ -876,3 +876,96 @@ def test_stage_progress_surface(spark, tmp_path, cust_ct, ord_ct):
     assert len(prog) == 1
     assert prog[0]["stage"] == "JoinStage"
     assert prog[0]["versions"] == [1, 1]
+
+
+def test_randomized_union_agg_fuzz(spark, tmp_path, cust_ct, ord_ct):
+    """Seeded randomized CDC over the deepest union topology: (customer ⋈
+    orders) ∪ external leg → groupBy aggregation. Interleaves inserts,
+    updates, FK moves and deletes on all THREE roots, converging to the
+    batch twin after every drain — hardens the union-leg slice scoping
+    the systematic U1 test can't reach."""
+    import random
+
+    rnd = random.Random(7)
+    leg_schema = "id long, name string, seg string, oid long, cid long, price double"
+    leg_ct = ChangeTable.create(
+        spark, str(tmp_path / "fuzzleg"),
+        spark.createDataFrame([], leg_schema).schema, ["id", "oid"],
+    )
+
+    def build():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        leg = Stream.fromChangeTable(leg_ct, "leg").primaryKeys("id", "oid")
+        return (
+            c.join(o, "inner").on(c["id"] == o["cid"]).union(leg)
+            .groupBy("seg")
+            .agg(
+                F.sum("price").alias("total"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    w = build().writeToPath(str(tmp_path / "fuzz_union_out"))
+    segs = ["A", "B", "C"]
+    custs, orders, legs = {}, {}, {}
+    next_c, next_o, next_l = 1, 100, 1000
+    for step in range(8):
+        crows = []
+        for _ in range(rnd.randint(0, 2)):
+            if not custs or rnd.random() < 0.5:
+                custs[next_c] = rnd.choice(segs)
+                crows.append((next_c, f"c{next_c}", custs[next_c]))
+                next_c += 1
+            else:
+                k = rnd.choice(list(custs))
+                custs[k] = rnd.choice(segs)
+                crows.append((k, f"c{k}v{step}", custs[k]))
+        if crows:
+            cust_ct.merge(c_rows(spark, crows))
+        if custs and rnd.random() < 0.2:
+            k = rnd.choice(list(custs))
+            del custs[k]
+            cust_ct.delete_where(F.col("id") == k)
+
+        orows = []
+        for _ in range(rnd.randint(0, 3)):
+            cid = rnd.choice(list(custs) + [999]) if custs else 999
+            price = round(rnd.uniform(1, 50), 2)
+            if not orders or rnd.random() < 0.6:
+                orders[next_o] = cid
+                orows.append((next_o, cid, price))
+                next_o += 1
+            else:
+                k = rnd.choice(list(orders))
+                orders[k] = cid
+                orows.append((k, cid, price))
+        if orows:
+            ord_ct.merge(o_rows(spark, orows))
+        if orders and rnd.random() < 0.2:
+            k = rnd.choice(list(orders))
+            del orders[k]
+            ord_ct.delete_where(F.col("oid") == k)
+
+        lrows = []
+        for _ in range(rnd.randint(0, 2)):
+            if not legs or rnd.random() < 0.6:
+                legs[next_l] = rnd.choice(segs)
+                lrows.append((next_l, f"l{next_l}", legs[next_l],
+                              next_l + 5000, next_l, round(rnd.uniform(1, 9), 2)))
+                next_l += 1
+            else:
+                k = rnd.choice(list(legs))
+                legs[k] = rnd.choice(segs)
+                lrows.append((k, f"l{k}v{step}", legs[k],
+                              k + 5000, k, round(rnd.uniform(1, 9), 2)))
+        if lrows:
+            leg_ct.merge(spark.createDataFrame(lrows, leg_schema))
+        if legs and rnd.random() < 0.2:
+            k = rnd.choice(list(legs))
+            del legs[k]
+            leg_ct.delete_where(F.col("id") == k)
+
+        w.run()
+        r6 = lambda df: df.withColumn("total", F.round("total", 6))
+        assert_same(r6(w.toDF()), r6(build().toDF()))
