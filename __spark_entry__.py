@@ -1625,6 +1625,16 @@ def q_histogram_totalprice(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/text.py collocations): top
+    adjacent-pair PMI with floor-canonicalized scores and bigram
+    tiebreak."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), k=30, min_count=5)
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order clustering key (operators/layout.py): OPTIMIZE ZORDER
     analog — min/max-normalize each clustered column (one agg pass, 1-row
@@ -1843,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "histogram_totalprice": q_histogram_totalprice,
         "zorder_key": q_zorder_key,
+        "collocations": q_collocations,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
@@ -2993,5 +3004,34 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY bucket
         """,
         "zorder_key": _zorder_sql(bits=8),
+        "collocations": r"""
+            WITH w AS (SELECT regexp_split_to_array(lower(trim(text)),
+                                                    '\s+') AS w
+                       FROM documents),
+            uni AS (SELECT t AS tok, CAST(COUNT(*) AS DOUBLE) AS n
+                    FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+            tot AS (SELECT SUM(n) AS T FROM uni),
+            bi AS (SELECT unnest(list_transform(
+                              generate_series(1, len(w) - 1),
+                              i -> struct_pack(a := w[i], b := w[i + 1])))
+                       AS p
+                   FROM w WHERE len(w) >= 2),
+            pairs AS (SELECT p.a AS a, p.b AS b,
+                             CAST(COUNT(*) AS DOUBLE) AS nab
+                      FROM bi GROUP BY 1, 2
+                      HAVING COUNT(*) >= 5),
+            btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM bi)
+            SELECT pairs.a || ' ' || pairs.b AS bigram,
+                   CAST(nab AS BIGINT) AS n_pair,
+                   FLOOR(ln((nab / btot.bt)
+                            / ((ua.n / tot.T) * (ub.n / tot.T)))
+                         * 1000000) / 1000000.0 AS pmi
+            FROM pairs
+            JOIN uni ua ON ua.tok = pairs.a
+            JOIN uni ub ON ub.tok = pairs.b
+            CROSS JOIN tot CROSS JOIN btot
+            ORDER BY pmi DESC, bigram
+            LIMIT 30
+        """,
         **_corpus_oracles(),
     }

@@ -301,6 +301,80 @@ def unigram_logprob(
     )
 
 
+def collocations(
+    df: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation mining: the top-k adjacent token pairs by pointwise
+    mutual information ``ln((n_ab/B) / ((n_a/T)·(n_b/T)))`` — the classic
+    multiword-expression detector (tokenizer vocabulary curation, stopword
+    discovery).
+
+    Ranking compares the floor-canonicalized PMI (6 dp) with the bigram as
+    tiebreaker, so a 1-ulp ``ln`` divergence between engines cannot
+    reorder the result. ``min_count`` suppresses noise pairs.
+
+    Scale: bigram and unigram counting are two map-side-combined shuffles;
+    the unigram table broadcasts back onto the (min_count-filtered) bigram
+    frame; the tail is a distributed TakeOrdered.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("__w"))
+    uni = (
+        toks.select(F.explode("__w").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    tot = uni.agg(F.sum("__n").alias("__T"))
+    bi = toks.select(
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__w", i).alias("a"),
+                        F.element_at("__w", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+    pairs = (
+        bi.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__nab"))
+        .where(F.col("__nab") >= min_count)
+    )
+    btot = bi.agg(F.count(F.lit(1)).cast("double").alias("__btot"))
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("__t", "__a")
+                   .withColumnRenamed("__n", "__na")), "__a")
+        .join(F.broadcast(uni.withColumnRenamed("__t", "__b")
+              .withColumnRenamed("__n", "__nb")), "__b")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            F.concat(F.col("__a"), F.lit(" "), F.col("__b")).alias("bigram"),
+            F.col("__nab").cast("long").alias("n_pair"),
+            (
+                F.floor(
+                    F.log(
+                        (F.col("__nab") / F.col("__btot"))
+                        / (
+                            (F.col("__na") / F.col("__T"))
+                            * (F.col("__nb") / F.col("__T"))
+                        )
+                    )
+                    * 1000000
+                )
+                / F.lit(1000000.0)
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
 def profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -345,3 +345,14 @@ def test_unigram_logprob_ordering(spark):
     out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
     assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_collocations_pmi_ordering(spark):
+    """A pair that always co-occurs outranks pairs of independent common
+    tokens; min_count suppresses one-off pairs."""
+    rows = [(i, "hong kong " + ("x y " if i % 2 == 0 else "y x ") * 3)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.collocations(df, k=5, min_count=5).collect()
+    assert out[0]["bigram"] == "hong kong"      # perfect collocation wins
+    assert all(r["n_pair"] >= 5 for r in out)
