@@ -37,12 +37,19 @@ def _prep(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-        # read nanos as long and convert (lossless here: sub-µs parts are 0).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's reader rejects without the legacy conf) and TIMESTAMP(µs);
+        # adapt to whichever physical type this dataset carries.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: ns magnitudes overflow double precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            # nanos-as-long: integer division — ns magnitudes overflow double
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dict(df.dtypes)["ts"] == "timestamp_ntz":
+            # keep output schemas on TIMESTAMP (LTZ) as in the nanos path;
+            # session tz is UTC so the instants are identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
