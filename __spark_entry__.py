@@ -1789,6 +1789,122 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per event_type — the
+    mergeable bottom-k estimator (operators/sketches.py). Deterministic
+    across engines: md5-parity hashing, exact-double division."""
+    _prep(spark)
+    from streamjoin_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series densify + forward fill: hourly rollup per event_type with
+    missing hours materialized and sum_value carried forward
+    (operators/temporal.py gap_fill — Pandas ffill / InfluxDB
+    fill(previous) analog)."""
+    _prep(spark)
+    from streamjoin_spark.operators.temporal import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    filled = gap_fill(
+        hourly,
+        keys=["event_type"],
+        time_col="hour",
+        step=F.expr("INTERVAL 1 HOUR"),
+        agg_cols=["sum_value"],
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "sum_value",
+        "is_gap",
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) — all 2^2 grouping
+    combinations with grouping_id disambiguating aggregated-away NULLs
+    (ROLLUP twin: q_rollup_agg)."""
+    _prep(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Graph analytics: triangles in the part co-purchase graph (edge =
+    two parts co-ordered in >= 2 distinct orders; operators/graph.py
+    cooccurrence_edges + triangles). Support thresholding keeps the edge
+    list hub-free before the wedge-closure joins."""
+    _prep(spark)
+    from streamjoin_spark.operators.graph import cooccurrence_edges, triangles
+
+    l = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(l, "l_orderkey", "l_partkey", min_support=2)
+    return triangles(edges)
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy matching over documents: Levenshtein <= 5 on 32-char
+    normalized prefixes, compared only within (lang, length-band) blocks
+    with a hot-block cap (operators/dedup.py fuzzy_pairs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 16).cast("long")
+    )
+    return fuzzy_pairs(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        block_cols=["lang", "len_band"],
+        prefix_len=32,
+        max_dist=5,
+        max_block=1000,
+    )
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """NTILE quartile stats per order priority — partitioned ranking window
+    (never a global single-partition sort), decimal-sum avg
+    canonicalization per the float invariants."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    q = o.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(100.0)
+            )
+            / F.lit(100.0)
+        ).alias("avg_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -1868,6 +1984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
+        "kmv_distinct": q_kmv_distinct,
+        "gap_fill": q_gap_fill,
+        "cube_agg": q_cube_agg,
+        "triangle_count": q_triangle_count,
+        "fuzzy_match": q_fuzzy_match,
+        "ntile_quartiles": q_ntile_quartiles,
     }
 
 
@@ -3039,6 +3161,104 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot CROSS JOIN btot
             ORDER BY pmi DESC, bigram
             LIMIT 30
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+                FROM events),
+            r AS (
+                SELECT event_type, hv,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                FROM h),
+            g AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn = 64 THEN hv END) AS kth,
+                       COUNT(*) AS n
+                FROM r GROUP BY event_type)
+            SELECT event_type,
+                   CAST(CASE WHEN kth IS NOT NULL
+                             THEN FLOOR(63.0 * 1152921504606846976.0
+                                        / CAST(kth AS DOUBLE))
+                             ELSE n END AS BIGINT) AS est_distinct,
+                   CAST(n AS BIGINT) AS exact_distinct
+            FROM g
+        """,
+        "gap_fill": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       COUNT(*) AS n_events,
+                       ROUND(SUM(value), 4) AS sum_value
+                FROM events GROUP BY 1, 2),
+            bounds AS (
+                SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+                FROM hourly GROUP BY 1),
+            spine AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                FROM bounds)
+            SELECT s.event_type, s.hour,
+                   CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+                   last_value(h.sum_value IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sum_value,
+                   h.n_events IS NULL AS is_gap
+            FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "triangle_count": """
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT x.l_partkey AS p1, y.l_partkey AS p2
+                FROM pp x JOIN pp y
+                  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+            FROM e e1
+            JOIN e e2 ON e2.p1 = e1.p2
+            JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        """,
+        "fuzzy_match": """
+            WITH base AS (
+                SELECT doc_id,
+                       lang,
+                       CAST(FLOOR(n_chars / 16) AS BIGINT) AS len_band,
+                       substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              1, 32) AS pfx
+                FROM documents),
+            sized AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY lang, len_band) AS bn
+                FROM base)
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(levenshtein(x.pfx, y.pfx) AS INTEGER) AS dist
+            FROM sized x JOIN sized y
+              ON x.lang = y.lang AND x.len_band = y.len_band
+             AND x.doc_id < y.doc_id
+            WHERE x.bn <= 1000 AND y.bn <= 1000
+              AND levenshtein(x.pfx, y.pfx) <= 5
+        """,
+        "ntile_quartiles": """
+            WITH q AS (
+                SELECT o_orderpriority, o_totalprice,
+                       NTILE(4) OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS quartile
+                FROM orders)
+            SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+                   COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 100.0) / 100.0 AS avg_price
+            FROM q GROUP BY 1, 2
         """,
         **_corpus_oracles(),
     }

@@ -428,3 +428,51 @@ def simhash_pairs(
         "doc_b",
         _hamming(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    prefix_len: int = 32,
+    max_dist: int = 5,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs whose normalized-text prefixes
+    are within ``max_dist`` Levenshtein edits, compared only inside blocks
+    (``block_cols``, e.g. language + length band) — the classic blocking
+    trade: recall is bounded by the blocking key (pairs split across blocks
+    are never compared), in exchange for never running edit distance across
+    the full cross product. Output: ``id_a < id_b, dist``.
+
+    Scale posture: the self-join is per-block, and blocks larger than
+    ``max_block`` rows are dropped entirely (the hot-block guard — same
+    physics as the hot-shingle document-frequency cap above: a degenerate
+    block, e.g. empty-text docs, would otherwise go quadratic). Levenshtein
+    runs on fixed-length prefixes so each comparison is O(prefix_len^2)
+    JVM-side (`levenshtein` is codegen; no Python).
+    """
+    block_cols = list(block_cols)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
+        F.substring(normalize_text(F.col(text_col)), 1, prefix_len).alias("__pfx"),
+    )
+    bkeys = [f"__b{i}" for i in range(len(block_cols))]
+    sized = base.withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy(*bkeys))
+    ).where(F.col("__bn") <= max_block)
+    left = sized.select(
+        *bkeys, F.col("__id").alias("id_a"), F.col("__pfx").alias("__pa")
+    )
+    right = sized.select(
+        *bkeys, F.col("__id").alias("id_b"), F.col("__pfx").alias("__pb")
+    )
+    return (
+        left.join(right, bkeys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__pa", "__pb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "cooccurrence_edges", "triangles"]
 
 # ranks are carried between iterations in integer "micro-rank" units
 # (FLOOR(x·10¹²)) so the per-destination summation is exact long arithmetic
@@ -96,3 +96,53 @@ def pagerank(
         "node", (F.floor(F.col("rank") * 100000000) / F.lit(100000000.0)).alias("rank")
     )
     return out
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    context_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edge list: an edge (p1 < p2) for every item
+    pair appearing in the same context (order, document, session, …) in at
+    least ``min_support`` distinct contexts. Output: ``p1, p2, support``.
+
+    Scale posture: the per-context self-join is bounded by the square of the
+    per-context item count (TPC-H orders: <= 7 lineitems -> <= 21 pairs), so
+    the blowup factor is a small constant, not corpus-quadratic; the
+    pair-count groupBy is map-side combinable and the support filter prunes
+    the long random-co-occurrence tail before anything downstream joins on
+    the edges.
+    """
+    pairs = df.select(
+        F.col(context_col).alias("__ctx"), F.col(item_col).alias("p1")
+    ).distinct()
+    other = pairs.select(F.col("__ctx"), F.col("p1").alias("p2"))
+    return (
+        pairs.join(other, "__ctx")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def triangles(edges: DataFrame, p1: str = "p1", p2: str = "p2") -> DataFrame:
+    """Enumerate triangles in an undirected edge list whose endpoints are
+    stored ordered (``p1 < p2``). Output one row (a, b, c) with a < b < c
+    per triangle — each triangle exactly once, by the standard oriented
+    wedge-closure join: wedge (a<b, b<c) closed by edge (a, c).
+
+    Scale posture: two shuffled equi-joins on single node keys. Ordering
+    edges low->high is the classic degeneracy trick that caps wedge counts
+    (a high-degree hub only extends wedges toward higher ids); for skewed
+    graphs, orient by (degree, id) before calling and the bound tightens to
+    O(E^1.5) candidate wedges — the edge list here should already be
+    support-thresholded (``cooccurrence_edges``), which removes the hubs
+    that make triangle counting quadratic on raw co-occurrence graphs.
+    """
+    e1 = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
+    e2 = edges.select(F.col(p1).alias("b"), F.col(p2).alias("c"))
+    e3 = edges.select(F.col(p1).alias("a"), F.col(p2).alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")

@@ -165,3 +165,50 @@ def range_join(
     lo_ok = F.col(point) >= F.col(lower) if include_lower else F.col(point) > F.col(lower)
     hi_ok = F.col(point) <= F.col(upper) if include_upper else F.col(point) < F.col(upper)
     return lhs.join(rhs, keys + ["__bucket"]).where(lo_ok & hi_ok).drop("__bucket")
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    step,
+    agg_cols: Sequence[str],
+    fill: str = "ffill",
+) -> DataFrame:
+    """Densify a per-key regular time series and fill the gaps: for every
+    key, emit one row per ``step`` between that key's min and max
+    ``time_col``; rows absent from the input get NULL measures, then
+    ``fill='ffill'`` carries the last observed value forward (Pandas
+    ``ffill`` / InfluxDB ``fill(previous)`` analog; ``fill='none'`` keeps
+    the NULLs). ``step`` is a Column interval (e.g. ``F.expr("INTERVAL 1
+    HOUR")``) for timestamp axes or a numeric literal for numeric axes.
+    Adds ``is_gap`` (true for generated rows).
+
+    Scale posture: the spine is built per-key from that key's own bounds
+    (`groupBy` min/max — map-side combinable) and exploded key-locally, so
+    spine size is Σ_key span/step — never global-range × keys. The fill is
+    an ordered per-key window: ONE shuffle on the keys shared by the
+    spine-join and the window. ANSI-safe: min <= max by construction, so
+    ``sequence()`` cannot get a negative range.
+    """
+    keys = list(keys)
+    agg_cols = list(agg_cols)
+    bounds = df.groupBy(*keys).agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(time_col),
+    )
+    joined = spine.join(df, keys + [time_col], "left").withColumn(
+        "is_gap", F.col(agg_cols[0]).isNull()
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in agg_cols:
+            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return joined

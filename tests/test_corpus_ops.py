@@ -356,3 +356,68 @@ def test_collocations_pmi_ordering(spark):
     out = text.collocations(df, k=5, min_count=5).collect()
     assert out[0]["bigram"] == "hong kong"      # perfect collocation wins
     assert all(r["n_pair"] >= 5 for r in out)
+
+
+def test_cooccurrence_edges_support_threshold(spark):
+    """Edge iff the pair shares >= min_support distinct contexts; pairs are
+    stored ordered p1 < p2; duplicate items within a context count once."""
+    from streamjoin_spark.operators.graph import cooccurrence_edges
+
+    rows = [(10, "a"), (10, "b"), (10, "c"), (10, "a"),
+            (11, "b"), (11, "a"), (12, "c")]
+    df = spark.createDataFrame(rows, "ctx long, item string")
+    out = {(r["p1"], r["p2"]): r["support"]
+           for r in cooccurrence_edges(df, "ctx", "item", min_support=2).collect()}
+    assert out == {("a", "b"): 2}
+    all_edges = {(r["p1"], r["p2"]): r["support"]
+                 for r in cooccurrence_edges(df, "ctx", "item").collect()}
+    assert all_edges == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_triangles_each_once(spark):
+    """A 4-clique has exactly C(4,3)=4 triangles, each enumerated once with
+    a < b < c; an attached pendant edge adds none."""
+    from streamjoin_spark.operators.graph import triangles
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(clique + [(4, 9)], "p1 long, p2 long")
+    out = sorted(tuple(r) for r in triangles(edges).collect())
+    assert out == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    """Groups under k values report exact counts; a 1000-distinct group's
+    estimate lands within 35% (k=64 => ~12.5% stddev); deterministic under
+    repartition (no RNG, md5-parity hashing)."""
+    from streamjoin_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", i % 10) for i in range(50)] + [
+        ("big", i) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: (r["est_distinct"], r["exact_distinct"])
+           for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert out["small"] == (10, 10)
+    est, exact = out["big"]
+    assert exact == 1000
+    assert 650 <= est <= 1350
+    out2 = {r["g"]: (r["est_distinct"], r["exact_distinct"])
+            for r in kmv_distinct(df.repartition(7), ["g"], "v", k=64).collect()}
+    assert out2 == out
+
+
+def test_fuzzy_pairs_blocking_and_cap(spark):
+    """Near-identical texts pair inside a block; different-block docs are
+    never compared (recall bound, by design); an over-cap block is dropped
+    entirely (the hot-block guard)."""
+    from streamjoin_spark.operators.dedup import fuzzy_pairs
+
+    rows = [(1, "b1", "the quick brown fox"), (2, "b1", "the quick brown fux"),
+            (3, "b2", "the quick brown fox")]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+    out = [(r["id_a"], r["id_b"], r["dist"])
+           for r in fuzzy_pairs(df, block_cols=["blk"], max_dist=3).collect()]
+    assert out == [(1, 2, 1)]
+    capped = fuzzy_pairs(df.withColumn("blk", df.blk.substr(1, 1)),
+                         block_cols=["blk"], max_dist=3, max_block=2)
+    assert capped.count() == 0

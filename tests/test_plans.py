@@ -147,3 +147,29 @@ def test_q21_no_cartesian(spark, sf_dir):
     p = plan_of(entry.q_tpch_q21(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_gap_fill_window_partitioned(spark, sf_dir):
+    """The forward-fill window must partition by event_type — a global
+    ordered window would single-task the densified series."""
+    p = plan_of(entry.q_gap_fill(spark, sf_dir))
+    assert "Window" in p and "event_type" in p
+
+
+def test_fuzzy_match_blocked_no_cross_product(spark, sf_dir):
+    """Blocked fuzzy matching must be a (block-key) equi-join — never a
+    corpus cross product."""
+    p = plan_of(entry.q_fuzzy_match(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Wedge closure must run as node-keyed equi-joins on the thresholded
+    edge list — no nested-loop anywhere in the plan."""
+    p = plan_of(entry.q_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_ntile_window_partitioned(spark, sf_dir):
+    p = plan_of(entry.q_ntile_quartiles(spark, sf_dir))
+    assert "Window" in p and "o_orderpriority" in p

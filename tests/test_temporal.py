@@ -112,3 +112,33 @@ def test_range_join_clash_rejected(spark):
     with pytest.raises(ValueError, match="clash"):
         range_join(df, df, keys=["k"], lower="lo", upper="hi", point="p",
                    bucket_width=1.0)
+
+
+def test_gap_fill_ffill_and_flags(spark):
+    """Missing steps materialize with is_gap=true and the measure carried
+    forward; per-key spine bounds come from that key's own min/max."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from streamjoin_spark.operators.temporal import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(hours=3), 4.0),
+        ("b", t0 + dt.timedelta(hours=1), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, h timestamp, v double")
+    out = gap_fill(df, ["k"], "h", F.expr("INTERVAL 1 HOUR"), ["v"])
+    got = {(r["k"], r["h"].hour): (r["v"], r["is_gap"]) for r in out.collect()}
+    assert got == {
+        ("a", 0): (1.0, False),
+        ("a", 1): (1.0, True),
+        ("a", 2): (1.0, True),
+        ("a", 3): (4.0, False),
+        ("b", 1): (9.0, False),
+    }
+    none_filled = gap_fill(df, ["k"], "h", F.expr("INTERVAL 1 HOUR"), ["v"],
+                           fill="none")
+    assert none_filled.where("v IS NULL").count() == 2
