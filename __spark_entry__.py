@@ -1905,6 +1905,49 @@ def q_ntile_quartiles(spark, sf_dir):
     )
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters over document tokens
+    (operators/sketches.py): depth-3 × width-1024 counter table (broadcast),
+    estimates = min over seeds, never below the true count; exact counts
+    carried for the accuracy audit."""
+    _prep(spark)
+    from streamjoin_spark.functions import tokens
+    from streamjoin_spark.operators.sketches import cms_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    return cms_topk(toks, "tok", k=20, depth=3, width=1024)
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter runtime-prune (operators/sketches.py): lineitem probe
+    filtered by a Bloom filter built over urgent orders' keys; per-flag
+    candidate counts vs exact semi-join counts expose the false-positive
+    margin the exact join would then resolve."""
+    _prep(spark)
+    from streamjoin_spark.operators.sketches import bloom_positions, bloom_prune
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    l = _t(spark, sf_dir, "lineitem")
+    pos = bloom_positions(o, "o_orderkey", m=8192, k=3)
+    cand = bloom_prune(l, pos, "l_orderkey", m=8192, k=3)
+    n_cand = cand.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_true = (
+        l.join(
+            o.select("o_orderkey"),
+            l["l_orderkey"] == o["o_orderkey"],
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return n_cand.join(n_true, "l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -1990,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "fuzzy_match": q_fuzzy_match,
         "ntile_quartiles": q_ntile_quartiles,
+        "cms_topk": q_cms_topk,
+        "bloom_prune": q_bloom_prune,
     }
 
 
@@ -3259,6 +3304,65 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE) * 100.0) / 100.0 AS avg_price
             FROM q GROUP BY 1, 2
+        """,
+        "cms_topk": """
+            WITH t AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents),
+            tk AS (SELECT tok FROM t WHERE tok <> ''),
+            seeds AS (SELECT unnest(['cms0', 'cms1', 'cms2']) AS seed),
+            cnt AS (
+                SELECT seed,
+                       ('0x' || substr(md5(seed || tok), 1, 15))::BIGINT % 1024
+                           AS bucket,
+                       COUNT(*) AS n
+                FROM tk CROSS JOIN seeds GROUP BY 1, 2),
+            exact AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY 1),
+            probe AS (
+                SELECT e.tok, e.n AS exact_n, MIN(c.n) AS est_n
+                FROM exact e
+                CROSS JOIN seeds s
+                JOIN cnt c
+                  ON c.seed = s.seed
+                 AND c.bucket =
+                     ('0x' || substr(md5(s.seed || e.tok), 1, 15))::BIGINT % 1024
+                GROUP BY 1, 2)
+            SELECT tok AS value,
+                   CAST(est_n AS BIGINT) AS est_n,
+                   CAST(exact_n AS BIGINT) AS exact_n
+            FROM probe ORDER BY est_n DESC, value LIMIT 20
+        """,
+        "bloom_prune": """
+            WITH bk AS (
+                SELECT DISTINCT o_orderkey::VARCHAR AS kk
+                FROM orders WHERE o_orderpriority = '1-URGENT'),
+            pos AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(s.seed || bk.kk), 1, 15))::BIGINT % 8192
+                           AS position
+                FROM bk CROSS JOIN
+                     (SELECT unnest(['bloom0', 'bloom1', 'bloom2']) AS seed) s),
+            probe AS (
+                SELECT l_returnflag, l_orderkey,
+                       ('0x' || substr(md5('bloom0' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 8192 AS p0,
+                       ('0x' || substr(md5('bloom1' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 8192 AS p1,
+                       ('0x' || substr(md5('bloom2' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 8192 AS p2
+                FROM lineitem),
+            cand AS (
+                SELECT l_returnflag FROM probe
+                WHERE p0 IN (SELECT position FROM pos)
+                  AND p1 IN (SELECT position FROM pos)
+                  AND p2 IN (SELECT position FROM pos)),
+            nc AS (SELECT l_returnflag, COUNT(*) AS n_candidates
+                   FROM cand GROUP BY 1),
+            nt AS (SELECT l_returnflag, COUNT(*) AS n_true FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                        WHERE o_orderpriority = '1-URGENT')
+                   GROUP BY 1)
+            SELECT nc.l_returnflag,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(n_true AS BIGINT) AS n_true
+            FROM nc JOIN nt USING (l_returnflag)
         """,
         **_corpus_oracles(),
     }

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from ..functions import hash64
 
-__all__ = ["kmv_distinct"]
+__all__ = [
+    "kmv_distinct",
+    "cms_counters",
+    "cms_topk",
+    "bloom_positions",
+    "bloom_prune",
+]
 
 # functions.hash64 yields 15 hex digits = 60 bits, uniform on [0, 2**60).
 _HASH_SPACE = float(2**60)
@@ -75,3 +81,132 @@ def kmv_distinct(
         est.cast("long").alias("est_distinct"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min-sketch counter table for a value stream: ``(seed, bucket,
+    n)`` with one counter row per (hash row, bucket). depth × width longs
+    total — the whole sketch broadcasts.
+
+    Mergeable by counter addition (sum matching (seed, bucket) cells), which
+    is the 100 TB story: per-partition partial counters combine map-side in
+    the groupBy, and day-over-day sketches union by the same addition —
+    no re-scan of history to maintain running heavy-hitter estimates.
+    """
+    # seed participates through the md5 payload prefix (one hash family),
+    # mirroring the DuckDB twin md5(seed || value); the seed fan-out is an
+    # explode of a literal array — a projection, not a join
+    exploded = df.select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.array(*[F.lit(f"cms{i}") for i in range(depth)])).alias("seed"),
+    )
+    return (
+        exploded.withColumn(
+            "bucket", hash64(F.concat(F.col("seed"), F.col("__v"))) % F.lit(width)
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters by count-min estimate: for each distinct value, the
+    estimate is min over seeds of its counter cell (never an underestimate —
+    CMS collisions only inflate). Output top-k by (est_n desc, value), with
+    the exact count carried for accuracy audits (drop at true scale: the
+    exact groupBy is precisely the full shuffle CMS exists to avoid).
+
+    Deterministic across engines: md5-parity hashing, integer counters, full
+    tiebreak ordering. The counter table broadcasts (depth × width rows);
+    the probe is one groupBy over distinct values and a distributed top-k.
+    """
+    counters = cms_counters(df, value_col, depth, width)
+    exact = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probe = exact.select(
+        "value",
+        "exact_n",
+        F.explode(F.array(*[F.lit(f"cms{i}") for i in range(depth)])).alias("seed"),
+    ).withColumn(
+        "bucket", hash64(F.concat(F.col("seed"), F.col("value"))) % F.lit(width)
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("value", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.select("value", "est_n", "exact_n").orderBy(
+        F.desc("est_n"), F.asc("value")
+    ).limit(k)
+
+
+def bloom_positions(
+    df: DataFrame, key_col: str, m: int = 8192, k: int = 3
+) -> DataFrame:
+    """The set bit positions of a Bloom filter over ``key_col`` — the
+    DataFrame analog of the bitset (``position`` long, distinct). k hash
+    functions via seeded md5-parity hashing, so membership checks are
+    bit-reproducible across engines."""
+    return (
+        df.select(F.col(key_col).cast("string").alias("__k"))
+        .distinct()
+        .select(
+            "__k",
+            F.explode(
+                F.array(*[F.lit(f"bloom{i}") for i in range(k)])
+            ).alias("__seed"),
+        )
+        .select(
+            (hash64(F.concat(F.col("__seed"), F.col("__k"))) % F.lit(m)).alias(
+                "position"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    positions: DataFrame,
+    key_col: str,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Runtime-filter analog: keep probe rows whose key passes the Bloom
+    membership test (all k positions set). Survivors are a superset of the
+    true matches — false positives at the classic (1-e^{-kn/m})^k rate — so
+    follow with the exact join; the sketch's job is to drop the bulk of
+    non-matching rows *before* the shuffle.
+
+    Scale posture: ``positions`` is at most m rows (a few KB) and is
+    broadcast; the prune is k broadcast semi-joins on the probe side — no
+    shuffle of the probe, which is the entire point. (Spark's native
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the same
+    filter as a JVM bitset; this operator is the declarative, engine-checkable
+    form with deterministic hashing.)
+    """
+    out = probe
+    for i in range(k):
+        pos_i = hash64(
+            F.concat(F.lit(f"bloom{i}"), F.col(key_col).cast("string"))
+        ) % F.lit(m)
+        out = out.join(
+            F.broadcast(positions),
+            pos_i == positions["position"],
+            "left_semi",
+        )
+    return out

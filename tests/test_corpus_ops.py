@@ -421,3 +421,30 @@ def test_fuzzy_pairs_blocking_and_cap(spark):
     capped = fuzzy_pairs(df.withColumn("blk", df.blk.substr(1, 1)),
                          block_cols=["blk"], max_dist=3, max_block=2)
     assert capped.count() == 0
+
+
+def test_cms_never_underestimates(spark):
+    """CMS estimates dominate exact counts (collisions only inflate); the
+    heaviest value surfaces first; deterministic under repartition."""
+    from streamjoin_spark.operators.sketches import cms_topk
+
+    rows = [("hot",)] * 50 + [(f"v{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    out = cms_topk(df, "v", k=5, width=64).collect()
+    assert out[0]["value"] == "hot" and out[0]["exact_n"] == 50
+    assert all(r["est_n"] >= r["exact_n"] for r in out)
+    out2 = cms_topk(df.repartition(7), "v", k=5, width=64).collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Every true match survives the Bloom prune (no false negatives —
+    the defining guarantee); with a roomy filter most non-members drop."""
+    from streamjoin_spark.operators.sketches import bloom_positions, bloom_prune
+
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    pos = bloom_positions(build, "k", m=4096, k=3)
+    kept = {r["k"] for r in bloom_prune(probe, pos, "k", m=4096, k=3).collect()}
+    assert set(range(50)) <= kept          # no false negatives
+    assert len(kept) < 400                 # bulk of non-members pruned

@@ -173,3 +173,18 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
 def test_ntile_window_partitioned(spark, sf_dir):
     p = plan_of(entry.q_ntile_quartiles(spark, sf_dir))
     assert "Window" in p and "o_orderpriority" in p
+
+
+def test_cms_counters_broadcast_and_topk(spark, sf_dir):
+    """The counter table (depth x width rows) must broadcast to the probe
+    and the tail must be a distributed top-k."""
+    p = plan_of(entry.q_cms_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
+    """The Bloom membership checks must be broadcast semi-joins on the
+    probe side — the probe is never shuffled for the prune."""
+    p = plan_of(entry.q_bloom_prune(spark, sf_dir))
+    assert p.count("LeftSemi") >= 3
