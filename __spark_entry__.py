@@ -1948,6 +1948,26 @@ def q_bloom_prune(spark, sf_dir):
     return n_cand.join(n_true, "l_returnflag")
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events JSON payload JVM-side
+    (get_json_object — codegen, no Python) and aggregate the extracted
+    field per event_type. The scan prunes to (event_type, props); at scale
+    this is a map-only parse feeding a map-side-combinable agg."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2035,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_quartiles": q_ntile_quartiles,
         "cms_topk": q_cms_topk,
         "bloom_prune": q_bloom_prune,
+        "json_props": q_json_props,
     }
 
 
@@ -3363,6 +3384,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_candidates AS BIGINT) AS n_candidates,
                    CAST(n_true AS BIGINT) AS n_true
             FROM nc JOIN nt USING (l_returnflag)
+        """,
+        "json_props": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(json_extract_string(props, '$.k')::BIGINT)
+                        AS BIGINT) AS sum_k,
+                   CAST(MIN(json_extract_string(props, '$.k')::BIGINT)
+                        AS BIGINT) AS min_k,
+                   CAST(MAX(json_extract_string(props, '$.k')::BIGINT)
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         **_corpus_oracles(),
     }

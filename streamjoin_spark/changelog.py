@@ -314,6 +314,35 @@ class ChangeTable:
         reader = reader.option("recursiveFileLookup", "true")
         return reader.parquet(os.path.join(self.path, "changes"))
 
+    def history(self) -> DataFrame:
+        """SCD Type-2 history derived from the change feed: one row per
+        version a primary key has ever held, with ``valid_from`` /
+        ``valid_to`` commit versions and ``is_current``. A key's interval is
+        closed by the next insert/update/delete touching it (deletes close
+        the previous interval without emitting a row of their own; a later
+        re-insert opens a fresh one), so gaps in a key's timeline are
+        exactly its deleted spans.
+
+        The classic warehouse SCD2 build is a MERGE maintaining open/closed
+        rows; with a change feed it reduces to one per-key ordered window —
+        ONE shuffle on the primary keys, no join. The reference has no
+        analog (its CDF drops deletes, elzyme/streams.py:132,142); this is
+        the payoff of the substrate's delete-carrying feed.
+        """
+        feed = self.read_change_feed()
+        touched = feed.where(F.col(CHANGE_TYPE) != UPDATE_PRE)
+        w = Window.partitionBy(
+            *[F.col(f"`{k}`") for k in self.primary_keys]
+        ).orderBy(F.col(COMMIT_VERSION))
+        nxt = F.lead(COMMIT_VERSION).over(w)
+        return (
+            touched.withColumn("valid_to", nxt)
+            .where(F.col(CHANGE_TYPE) != DELETE)
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .withColumnRenamed(COMMIT_VERSION, "valid_from")
+            .drop(CHANGE_TYPE)
+        )
+
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------

@@ -267,3 +267,24 @@ def test_generated_columns_computed_and_pruned(spark, tmp_path):
     assert str(buckets[2]) in changed
     if buckets[1] != buckets[2]:
         assert str(buckets[1]) not in changed
+
+
+def test_history_scd2_intervals(ct, spark):
+    """history() rebuilds SCD2 validity intervals from the feed: updates
+    close the prior interval, deletes close without emitting, re-inserts
+    open fresh intervals; exactly one current row per live key."""
+    schema = "id long, name string, amount double, seq int"
+    ct.merge(spark.createDataFrame([(1, "a2", 11.0, 2)], schema))   # v2: update 1
+    ct.delete_where(F.col("id") == 2)                               # v3: delete 2
+    ct.merge(spark.createDataFrame([(2, "b*", 99.0, 3)], schema))   # v4: re-insert 2
+    hist = ct.history().collect()
+    ivals = {(r["id"], r["valid_from"]): (r["valid_to"], r["is_current"], r["name"])
+             for r in hist}
+    assert ivals == {
+        (1, 1): (2, False, "a"),
+        (1, 2): (None, True, "a2"),
+        (2, 1): (3, False, "b"),       # closed by the delete, no delete row
+        (2, 4): (None, True, "b*"),    # re-insert opens a fresh interval
+    }
+    current = [r for r in hist if r["is_current"]]
+    assert sorted(r["id"] for r in current) == [1, 2]
