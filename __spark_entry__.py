@@ -1968,6 +1968,50 @@ def q_json_props(spark, sf_dir):
     )
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (operators/retrieval.py
+    rrf_fuse): a BM25 lexical top-15 and a cosine vector top-15 (query =
+    embedding 0; doc ids align with vec ids) fused by 1/(60+rank).
+    Per-leg rank windows run over k-bounded lists (15 rows) — the global
+    orderBy there is bounded by k, not corpus size."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    from streamjoin_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from streamjoin_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "hash", "merge"], k=15).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    vec = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=15).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), F.asc("neighbor_id")))
+        .alias("rank"),
+    )
+    # fuse ALL candidates (<= 30 rows), canonicalize the score, THEN take the
+    # top-10 by the floored value — the oracle selects by the same floored
+    # key, so a floor-tie at the boundary resolves identically on both sides
+    fused = rrf_fuse([lex, vec], id_col="doc_id", k=30, c=60)
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_0").alias("rank_lex"),
+            F.col("rank_1").alias("rank_vec"),
+            (F.floor(F.col("rrf_score") * 1000000) / F.lit(1000000.0)).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2056,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "bloom_prune": q_bloom_prune,
         "json_props": q_json_props,
+        "hybrid_retrieval": q_hybrid_retrieval,
     }
 
 
@@ -2210,6 +2255,65 @@ def _corpus_oracles() -> dict[str, str]:
     cos_qc = _COS.format(a="q", b="c")
     cos_ab = _COS.format(a="a", b="b")
     return {
+        "hybrid_retrieval": rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          lower(trim(text)), '\s+'))
+                            END AS DOUBLE) AS dl
+                FROM documents),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                             SUM(dl) / COUNT(*) AS avgdl
+                      FROM base),
+            m AS (SELECT doc_id, dl,
+                         unnest(list_filter(w,
+                                x -> x IN ('spark', 'hash', 'merge'))) AS term
+                  FROM base),
+            tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM m GROUP BY 1, 2, 3),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                      FROM tf GROUP BY 1),
+            lexscored AS (
+                SELECT tf.doc_id,
+                       ROUND(CAST(SUM(CAST(ROUND(
+                           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * tf.dl / s.avgdl)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+                FROM tf
+                JOIN dfreq d USING (term)
+                CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            lex AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                            AS INTEGER) AS r
+                FROM (SELECT * FROM lexscored
+                      ORDER BY score DESC, doc_id LIMIT 15)),
+            {_VEC_CTE.strip()},
+            q AS (SELECT * FROM n WHERE vec_id = 0),
+            vecscored AS (
+                SELECT c.vec_id AS doc_id, {cos_qc} AS sim
+                FROM q JOIN n c ON c.vec_id <> q.vec_id),
+            vec AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                            AS INTEGER) AS r
+                FROM (SELECT * FROM vecscored
+                      ORDER BY sim DESC, doc_id LIMIT 15)),
+            f AS (
+                SELECT COALESCE(l.doc_id, ve.doc_id) AS doc_id,
+                       l.r AS rank_lex, ve.r AS rank_vec
+                FROM lex l FULL OUTER JOIN vec ve ON ve.doc_id = l.doc_id)
+            SELECT doc_id, rank_lex, rank_vec,
+                   FLOOR((COALESCE(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0)
+                          + COALESCE(1.0 / (60.0 + CAST(rank_vec AS DOUBLE)),
+                                     0.0)) * 1000000) / 1000000.0 AS rrf_score
+            FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
                    min(doc_id) AS keep_id, count(*) AS n_copies

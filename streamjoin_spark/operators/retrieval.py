@@ -15,12 +15,14 @@ subset.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import token_count, tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -89,3 +91,40 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (hybrid
+    retrieval: lexical BM25 + vector ANN, the standard fusion in RAG
+    pipelines; Cormack et al. 2009): ``score(d) = Σ_legs 1/(c + rank)``,
+    with a missing leg contributing 0. Each input carries (id_col, rank)
+    with rank 1-based; output: id, per-leg ranks (``rank_0``..), raw
+    ``rrf_score``, top-k by (score desc, id).
+
+    Deterministic: ranks are integers, every engine evaluates the identical
+    1/(c+r) doubles in the same left-to-right addition order; callers that
+    need bit-stable output floor-canonicalize the score (the driver query
+    does).
+
+    Scale posture: the legs are already top-k lists (bounded by k·n_legs
+    rows, bytes not gigabytes), so the fusion joins are broadcast-trivial —
+    the heavy lifting happened inside each leg's own distributed top-k.
+    """
+    fused = None
+    for i, leg in enumerate(ranked):
+        leg_i = leg.select(F.col(id_col), F.col("rank").alias(f"rank_{i}"))
+        fused = leg_i if fused is None else fused.join(leg_i, id_col, "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    out = fused.withColumn("rrf_score", score)
+    return out.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

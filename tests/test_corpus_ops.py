@@ -448,3 +448,21 @@ def test_bloom_prune_no_false_negatives(spark):
     kept = {r["k"] for r in bloom_prune(probe, pos, "k", m=4096, k=3).collect()}
     assert set(range(50)) <= kept          # no false negatives
     assert len(kept) < 400                 # bulk of non-members pruned
+
+
+def test_rrf_fuse_semantics(spark):
+    """Docs on both lists dominate; a missing leg contributes 0; ties break
+    by id; output capped at k."""
+    from streamjoin_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = rrf_fuse([lex, vec], k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 2                      # on both lists → highest fusion
+    assert len(out) == 3
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["rank_0"] == 2 and by_id[2]["rank_1"] == 1
+    assert abs(by_id[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    # doc 1 (lex rank 1, no vec) vs doc 4 (vec rank 2, no lex): 1/61 > 1/62
+    assert ids[1] == 1
