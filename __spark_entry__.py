@@ -2012,6 +2012,32 @@ def q_hybrid_retrieval(spark, sf_dir):
     )
 
 
+def q_rank_metrics(spark, sf_dir):
+    """Relative-rank window functions (percent_rank / cume_dist) per order
+    priority — partitioned windows, division-derived floats floor-
+    canonicalized. Restricted to the top-50 orders per priority so the
+    result set stays bounded while still exercising tie semantics."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.floor(F.percent_rank().over(w) * 1000000) / F.lit(1000000.0)
+        ).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / F.lit(1000000.0)).alias(
+            "cume"
+        ),
+    )
+    return ranked.where(F.col("rn") <= 50).drop("rn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2101,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "json_props": q_json_props,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "rank_metrics": q_rank_metrics,
     }
 
 
@@ -3331,6 +3358,16 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot CROSS JOIN btot
             ORDER BY pmi DESC, bigram
             LIMIT 30
+        """,
+        "rank_metrics": """
+            SELECT o_orderpriority, o_orderkey,
+                   FLOOR(PERCENT_RANK() OVER w * 1000000) / 1000000.0
+                       AS pct_rank,
+                   FLOOR(CUME_DIST() OVER w * 1000000) / 1000000.0 AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+            QUALIFY ROW_NUMBER() OVER w <= 50
         """,
         "kmv_distinct": """
             WITH h AS (
