@@ -969,3 +969,24 @@ def test_randomized_union_agg_fuzz(spark, tmp_path, cust_ct, ord_ct):
         w.run()
         r6 = lambda df: df.withColumn("total", F.round("total", 6))
         assert_same(r6(w.toDF()), r6(build().toDF()))
+
+
+def test_history_of_maintained_view(spark, tmp_path, cust_ct, ord_ct):
+    """SCD2 history composes with the IVM runtime: ChangeTable.history() on
+    an incrementally-maintained join target yields the view's temporal
+    lineage — every version each joined row ever held, updates closing the
+    prior interval and the cascade delete closing the last."""
+    w = make_writer(cust_ct, ord_ct, "inner", tmp_path / "hist_out")
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0)]))
+    w.run()                                    # target v1: (10, ann)
+    cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
+    w.run()                                    # target v2: name flows through
+    ord_ct.delete_where(F.col("oid") == 10)
+    w.run()                                    # target v3: row vanishes
+    hist = w.target.history().collect()
+    by_from = {r["valid_from"]: r for r in hist}
+    assert set(by_from) == {1, 2}
+    assert by_from[1]["name"] == "ann" and by_from[1]["valid_to"] == 2
+    assert by_from[2]["name"] == "ann2" and by_from[2]["valid_to"] == 3
+    assert not any(r["is_current"] for r in hist)   # deleted → no open interval
