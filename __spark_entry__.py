@@ -1931,8 +1931,8 @@ def q_bloom_prune(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     l = _t(spark, sf_dir, "lineitem")
-    pos = bloom_positions(o, "o_orderkey", m=8192, k=3)
-    cand = bloom_prune(l, pos, "l_orderkey", m=8192, k=3)
+    pos = bloom_positions(o, "o_orderkey", m=65536, k=3)
+    cand = bloom_prune(l, pos, "l_orderkey", m=65536, k=3)
     n_cand = cand.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_candidates")
     )
@@ -3500,15 +3500,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_orderpriority = '1-URGENT'),
             pos AS (
                 SELECT DISTINCT
-                       ('0x' || substr(md5(s.seed || bk.kk), 1, 15))::BIGINT % 8192
+                       ('0x' || substr(md5(s.seed || bk.kk), 1, 15))::BIGINT % 65536
                            AS position
                 FROM bk CROSS JOIN
                      (SELECT unnest(['bloom0', 'bloom1', 'bloom2']) AS seed) s),
             probe AS (
                 SELECT l_returnflag, l_orderkey,
-                       ('0x' || substr(md5('bloom0' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 8192 AS p0,
-                       ('0x' || substr(md5('bloom1' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 8192 AS p1,
-                       ('0x' || substr(md5('bloom2' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 8192 AS p2
+                       ('0x' || substr(md5('bloom0' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 65536 AS p0,
+                       ('0x' || substr(md5('bloom1' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 65536 AS p1,
+                       ('0x' || substr(md5('bloom2' || l_orderkey::VARCHAR), 1, 15))::BIGINT % 65536 AS p2
                 FROM lineitem),
             cand AS (
                 SELECT l_returnflag FROM probe

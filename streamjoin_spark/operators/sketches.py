@@ -130,12 +130,31 @@ def cms_topk(
     Deterministic across engines: md5-parity hashing, integer counters, full
     tiebreak ordering. The counter table broadcasts (depth × width rows);
     the probe is one groupBy over distinct values and a distributed top-k.
+
+    The counters are built from the deduped (value, count) pairs — counter
+    cell = sum of counts of values hashing into it, identical to counting
+    the raw stream — so the md5 family runs once per distinct value per
+    seed, not once per input row per seed (at 100 TB the distinct-token
+    table is orders of magnitude smaller than the token stream).
     """
-    counters = cms_counters(df, value_col, depth, width)
     exact = (
         df.select(F.col(value_col).cast("string").alias("value"))
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    counters = (
+        exact.select(
+            "value",
+            "exact_n",
+            F.explode(
+                F.array(*[F.lit(f"cms{i}") for i in range(depth)])
+            ).alias("seed"),
+        )
+        .withColumn(
+            "bucket", hash64(F.concat(F.col("seed"), F.col("value"))) % F.lit(width)
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("exact_n").alias("n"))
     )
     probe = exact.select(
         "value",
@@ -192,12 +211,22 @@ def bloom_prune(
     follow with the exact join; the sketch's job is to drop the bulk of
     non-matching rows *before* the shuffle.
 
-    Scale posture: ``positions`` is at most m rows (a few KB) and is
-    broadcast; the prune is k broadcast semi-joins on the probe side — no
-    shuffle of the probe, which is the entire point. (Spark's native
-    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the same
-    filter as a JVM bitset; this operator is the declarative, engine-checkable
-    form with deterministic hashing.)
+    Scale posture: ``positions`` is at most m rows (a few hundred KB even at
+    m=2^20) and is broadcast once; the prune is k broadcast semi-joins on
+    the probe side — no shuffle of the probe, which is the entire point.
+    (Spark's native ``spark.sql.optimizer.runtime.bloomFilter.enabled``
+    injects the same filter as a JVM bitset; this operator is the
+    declarative, engine-checkable form with deterministic hashing. An
+    embedded-bitset variant — array-literal words + ``bit_get`` in a pure
+    Filter — was measured ~1.7x SLOWER than the broadcast semi-joins at
+    sf0.1: the md5 probe hashing dominates either way and the 3 hash-lookup
+    semi-joins beat interpreted array/bit expression eval, so the join form
+    is the shipped one.)
+
+    Sizing: m must give ~2+ bits per distinct build key per hash or the
+    filter saturates and prunes nothing (classic FP rate
+    ``(1-e^{-kn/m})^k``). Callers own m; at true scale derive it from an
+    upstream count/sketch of the build side.
     """
     out = probe
     for i in range(k):

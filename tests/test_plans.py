@@ -188,3 +188,4 @@ def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
     probe side — the probe is never shuffled for the prune."""
     p = plan_of(entry.q_bloom_prune(spark, sf_dir))
     assert p.count("LeftSemi") >= 3
+    assert "BroadcastExchange" in p
