@@ -915,6 +915,20 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "n_tokens", budget=512, n_buckets=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (operators/text.py chunk_tokens):
+    every document split into overlapping 64-token chunks every 48 tokens —
+    the context-window example-construction step of a pretraining pipeline.
+    Pure codegen (tokenize → sequence → explode → slice → array_join), no
+    shuffle, no Python; fan-out is data-proportional (~n_tokens/stride
+    chunks per doc)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "text", "doc_id", window=64, stride=48)
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape (national market share): seven tables — part-filtered
     lineitem fact, supplier-nation leg for the share flag, customer-nation-
@@ -2085,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q4": q_tpch_q4,
@@ -2885,6 +2900,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id,
                    cum_tokens
             FROM c
+        """,
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                              CAST(len({_TOKS}) AS BIGINT) AS n
+                       FROM documents WHERE trim(text) <> ''),
+            s AS (SELECT doc_id, toks, n,
+                         unnest(range(0, n, 48)) AS start
+                  FROM t)
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_idx,
+                   CAST(least(64, n - start) AS BIGINT) AS chunk_tokens,
+                   array_to_string(list_slice(toks, start + 1, start + 64),
+                                   ' ') AS chunk_text
+            FROM s
         """,
         "tpch_q8": """
             SELECT o_year,

@@ -81,6 +81,56 @@ def pack_sequences(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding token-window chunking: split each document into overlapping
+    chunks of ``window`` whitespace tokens every ``stride`` tokens — the
+    example-construction step of a pretraining pipeline (context windows
+    with overlap so no span is seen only at a boundary). The trailing
+    partial chunk is kept.
+
+    Output: id, ``chunk_idx`` (0-based), ``chunk_tokens`` (length of this
+    chunk), ``chunk_text`` (tokens re-joined by single spaces; real
+    pipelines would carry token ids — same shape).
+
+    Scale posture: pure codegen — tokenize, ``sequence`` of start offsets,
+    one ``explode`` (fan-out ~n_tokens/stride per doc, data-proportional),
+    ``slice`` + ``array_join``; no shuffle at all, no Python. ANSI note:
+    ``sequence(0, n-1, stride)`` is guarded by the empty-text filter so the
+    start never exceeds the stop.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    base = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.size(toks).alias("__n"),
+        )
+    )
+    start = F.explode(
+        F.sequence(F.lit(0), F.col("__n") - F.lit(1), F.lit(stride))
+    ).alias("__start")
+    return base.select(id_col, "__toks", "__n", start).select(
+        id_col,
+        (F.col("__start") / F.lit(stride)).cast("long").alias("chunk_idx"),
+        F.least(F.lit(window), F.col("__n") - F.col("__start"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + F.lit(1), F.lit(window)),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def _contains_any(words: list[str]):
     # NB: F.filter treats a two-parameter lambda as (element, index) — a
     # `lambda t, w=words:` default would be silently overridden by the index

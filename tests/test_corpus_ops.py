@@ -466,3 +466,39 @@ def test_rrf_fuse_semantics(spark):
     assert abs(by_id[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
     # doc 1 (lex rank 1, no vec) vs doc 4 (vec rank 2, no lex): 1/61 > 1/62
     assert ids[1] == 1
+
+
+def test_chunk_tokens_windows(spark):
+    """Overlapping windows every `stride` tokens; trailing partial kept;
+    empty/whitespace docs yield no chunks; short docs yield exactly one."""
+    from streamjoin_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "one two"),                             # 2 tokens
+            (3, "   "),                                 # whitespace only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_tokens(docs, "text", "doc_id", window=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 -> lengths 4,4,4,1
+    assert [rows[(1, i)]["chunk_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 3)]["chunk_text"] == "w9"
+    # doc 2: a single partial chunk; doc 3: absent entirely
+    assert rows[(2, 0)]["chunk_text"] == "one two"
+    assert {k[0] for k in rows} == {1, 2}
+
+
+def test_chunk_tokens_no_shuffle(spark, sf_dir):
+    """Chunking is scan -> project -> explode: no Exchange in the plan."""
+    import __spark_entry__ as entry
+
+    df = entry.q_chunk_documents(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Generate explode" in p or "Generate" in p
