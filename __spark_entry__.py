@@ -545,6 +545,21 @@ def q_multimodal_image_features(spark, sf_dir):
     return image_features(docs, decode="fake")
 
 
+def q_multimodal_audio_features(spark, sf_dir):
+    """Windowed audio feature extraction (operators/multimodal.py
+    audio_features): blob → fixed-size analysis windows JVM-side (sequence
+    + explode + binary substr) → Arrow-batched per-window RMS/ZCR. Decode
+    stubbed deterministically (hex-md5); the window plan, byte slicing,
+    batch shape and schema are production-real."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return audio_features(docs, bytes_per_window=100)
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling plan: one row per sampled frame timestamp (declarative
     explode — parallelism across frames, not videos)."""
@@ -2082,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "frame_sample": q_frame_sample,
         "events_hourly_rollup": q_events_hourly_rollup,
         "agg_count_distinct": q_agg_count_distinct,
@@ -2523,6 +2539,26 @@ def _corpus_oracles() -> dict[str, str]:
                    CAST(1 + (('0x' || substr(md5(text), 16, 15))::BIGINT % 4096) AS INT) AS height,
                    (('0x' || substr(md5(text), 18, 15))::BIGINT % 256000) / 1000.0 AS mean_luma
             FROM documents
+        """,
+        "multimodal_audio_features": """
+            WITH a AS (SELECT doc_id, hex(encode(text)) AS hx
+                       FROM documents),
+            w AS (SELECT doc_id, hx,
+                         unnest(range(0, CAST(greatest(
+                             ceil((length(hx) / 2) / 100.0), 1) AS BIGINT)))
+                             AS widx
+                  FROM a),
+            c AS (SELECT doc_id, CAST(widx AS INT) AS window_idx,
+                         substr(hx, CAST(widx * 200 + 1 AS BIGINT), 200)
+                             AS chunk_hex
+                  FROM w)
+            SELECT doc_id, window_idx,
+                   CAST(length(chunk_hex) / 2 AS BIGINT) AS n_bytes,
+                   (('0x' || substr(md5(chunk_hex), 1, 15))::BIGINT
+                    % 100000) / 1000.0 AS rms,
+                   (('0x' || substr(md5(chunk_hex), 16, 15))::BIGINT
+                    % 1000) / 1000.0 AS zcr
+            FROM c
         """,
         "frame_sample": """
             SELECT doc_id, frame_idx, CAST(frame_idx AS DOUBLE) AS frame_ts_s

@@ -48,6 +48,17 @@ IMAGE_FEATURES = T.StructType(
 )
 
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
 def attach_media(
     df: DataFrame, payload_col: str, media_type: str, fmt: str
 ) -> DataFrame:
@@ -117,6 +128,90 @@ def image_features(
             )
 
     return src.mapInPandas(run, schema=IMAGE_FEATURES)
+
+
+def _fake_audio_decode(chunk: bytes) -> tuple[float, float]:
+    """Deterministic pseudo audio features from the chunk's hex-md5 —
+    stands in for an ffmpeg/torchaudio decode + RMS/zero-crossing pass.
+    Hashing the UPPERCASE HEX of the bytes (not the raw bytes) keeps an
+    exact ANSI-SQL twin possible: SQL md5() takes strings, and arbitrary
+    byte windows of utf-8 text are not valid strings."""
+    h = hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+    rms = (int(h[:15], 16) % 100000) / 1000.0
+    zcr = (int(h[15:30], 16) % 1000) / 1000.0
+    return rms, zcr
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bytes_per_window: int = 4000,
+    decode: str = "fake",
+) -> DataFrame:
+    """Windowed audio feature extraction: split each audio blob into
+    fixed-size analysis windows and compute per-window features (RMS,
+    zero-crossing rate) via Arrow-batched ``mapInPandas``.
+
+    The window plan is declarative — ``sequence`` + ``explode`` — and the
+    byte slice happens JVM-side (``substr`` on the binary column) BEFORE
+    the Python stage, so parallelism is across windows, not blobs, and no
+    Python call ever sees more than ``bytes_per_window`` bytes: an
+    hour-long recording becomes thousands of independent bounded tasks
+    instead of one unbounded decode (same physics as
+    ``frame_sample_plan`` for video).
+
+    Output: (doc_id, window_idx, n_bytes, rms, zcr); the trailing window
+    is partial, empty payloads yield one empty window.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+    if bytes_per_window <= 0:
+        raise ValueError("bytes_per_window must be positive")
+
+    n_win = F.greatest(
+        F.ceil(F.length(F.col(payload_col)) / F.lit(bytes_per_window)).cast("int"),
+        F.lit(1),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(payload_col).alias("payload"),
+            F.explode(F.sequence(F.lit(0), n_win - F.lit(1))).alias("window_idx"),
+        )
+        .select(
+            "doc_id",
+            "window_idx",
+            F.col("payload")
+            .substr(
+                F.col("window_idx") * F.lit(bytes_per_window) + F.lit(1),
+                F.lit(bytes_per_window),
+            )
+            .alias("chunk"),
+        )
+        .repartition(par)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real audio decode needs ffmpeg/torchaudio — not "
+                    "available in this environment; wire it here"
+                )
+            feats = [_fake_audio_decode(bytes(b)) for b in pdf["chunk"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "window_idx": pdf["window_idx"].astype("int32"),
+                    "n_bytes": pdf["chunk"].map(len).astype("int64"),
+                    "rms": pd.Series([f[0] for f in feats], dtype="float64"),
+                    "zcr": pd.Series([f[1] for f in feats], dtype="float64"),
+                }
+            )
+
+    return exploded.mapInPandas(run, schema=AUDIO_FEATURES)
 
 
 def frame_sample_plan(

@@ -502,3 +502,31 @@ def test_chunk_tokens_no_shuffle(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "Generate explode" in p or "Generate" in p
+
+
+def test_audio_features_windows_and_parity(spark):
+    """Window fan-out = ceil(n_bytes / bytes_per_window) (min 1); each
+    window's features equal the hex-md5 fake decode of exactly its byte
+    slice; the Python stage never sees more than bytes_per_window bytes."""
+    import hashlib
+
+    from streamjoin_spark.operators.multimodal import (
+        _fake_audio_decode,
+        audio_features,
+    )
+
+    payload = bytes(range(256)) * 2  # 512 bytes -> 3 windows of 200/200/112
+    df = spark.createDataFrame([(7, payload), (8, b"")], "doc_id long, payload binary")
+    rows = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in audio_features(df, bytes_per_window=200).collect()
+    }
+    assert [rows[(7, i)]["n_bytes"] for i in range(3)] == [200, 200, 112]
+    assert (8, 0) in rows and rows[(8, 0)]["n_bytes"] == 0
+    for i in range(3):
+        exp_rms, exp_zcr = _fake_audio_decode(payload[i * 200 : (i + 1) * 200])
+        assert rows[(7, i)]["rms"] == exp_rms
+        assert rows[(7, i)]["zcr"] == exp_zcr
+    # decode stub contract: hex-of-bytes md5, uppercase
+    h = hashlib.md5(payload[:200].hex().upper().encode()).hexdigest()
+    assert rows[(7, 0)]["rms"] == (int(h[:15], 16) % 100000) / 1000.0
