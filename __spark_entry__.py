@@ -545,6 +545,35 @@ def q_multimodal_image_features(spark, sf_dir):
     return image_features(docs, decode="fake")
 
 
+def q_token_stats(spark, sf_dir):
+    """Token-budget accounting per language: whitespace token count vs the
+    BPE-ish pre-tokenizer count (functions.subword_token_count — letter
+    runs / digit runs / punctuation singletons, pure regexp_count codegen).
+    The subword/whitespace ratio is the standard cheap estimator for how a
+    corpus will expand under a real BPE tokenizer. Division-derived ratio
+    is FLOOR-canonicalized per the float invariants."""
+    _prep(spark)
+    from streamjoin_spark.functions import subword_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("ws"),
+        subword_token_count(F.col("text")).alias("sw"),
+    )
+    sum_ws = F.sum("ws").cast("long")
+    sum_sw = F.sum("sw").cast("long")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        sum_ws.alias("ws_tokens"),
+        sum_sw.alias("sw_tokens"),
+        F.when(
+            sum_ws > 0,
+            F.floor(sum_sw / sum_ws * F.lit(10000.0)) / F.lit(10000.0),
+        ).alias("subword_ratio"),
+    )
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     """Windowed audio feature extraction (operators/multimodal.py
     audio_features): blob → fixed-size analysis windows JVM-side (sequence
@@ -2098,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "token_stats": q_token_stats,
         "frame_sample": q_frame_sample,
         "events_hourly_rollup": q_events_hourly_rollup,
         "agg_count_distinct": q_agg_count_distinct,
@@ -2539,6 +2569,27 @@ def _corpus_oracles() -> dict[str, str]:
                    CAST(1 + (('0x' || substr(md5(text), 16, 15))::BIGINT % 4096) AS INT) AS height,
                    (('0x' || substr(md5(text), 18, 15))::BIGINT % 256000) / 1000.0 AS mean_luma
             FROM documents
+        """,
+        "token_stats": r"""
+            WITH t AS (
+                SELECT lang,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          lower(trim(text)), '\s+'))
+                            END AS BIGINT) AS ws,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))
+                            AS BIGINT) AS sw
+                FROM documents)
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(sw) AS BIGINT) AS sw_tokens,
+                   CASE WHEN SUM(ws) > 0 THEN
+                       FLOOR(CAST(SUM(sw) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)
+                             * 10000.0) / 10000.0
+                   END AS subword_ratio
+            FROM t GROUP BY lang
         """,
         "multimodal_audio_features": """
             WITH a AS (SELECT doc_id, hex(encode(text)) AS hx

@@ -69,6 +69,22 @@ def token_count(col: Column) -> Column:
     return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+# GPT-2-style pre-tokenizer, simplified to the engine-portable core: a
+# letter run, a digit run, or a single non-alnum-non-space char each count
+# as one token — the standard cheap proxy for BPE token budgets (BPE then
+# splits rare words further; this is the pre-merge floor).
+SUBWORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(col: Column) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex — pure codegen
+    (``regexp_count``). DuckDB twin:
+    ``len(regexp_extract_all(x, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))``
+    (RE2 spells the class with [:space:]; match semantics verified
+    identical)."""
+    return F.regexp_count(col, F.lit(SUBWORD_RE)).cast("long")
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
