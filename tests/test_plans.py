@@ -189,3 +189,13 @@ def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
     p = plan_of(entry.q_bloom_prune(spark, sf_dir))
     assert p.count("LeftSemi") >= 3
     assert "BroadcastExchange" in p
+
+
+def test_audio_features_arrow_batched_windows(spark, sf_dir):
+    """Audio windows are sliced JVM-side ahead of the single Arrow Python
+    stage: the plan has a Generate (explode) feeding MapInPandas, and the
+    Python stage input carries the bounded chunk, not the whole payload."""
+    p = plan_of(entry.q_multimodal_audio_features(spark, sf_dir))
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    assert "Generate" in p
+    assert "BatchEvalPython" not in p
