@@ -545,6 +545,30 @@ def q_multimodal_image_features(spark, sf_dir):
     return image_features(docs, decode="fake")
 
 
+def q_merge_intervals(spark, sf_dir):
+    """Overlap-union of event spans per event type (operators/temporal.py
+    merge_intervals): each event covers [ts, ts+value*60] seconds; touching
+    or overlapping spans merge into the type's coverage windows. One key-partitioned
+    ordered window (running max-end) + one groupBy — no self-join, no
+    explode. Span bounds are epoch-double sums (division-free, identical
+    across engines — the sessionize lesson)."""
+    _prep(spark)
+    from streamjoin_spark.operators.temporal import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("double").alias("span_start"),
+        (F.col("ts").cast("double") + F.col("value") * F.lit(60.0)).alias(
+            "span_end"
+        ),
+    )
+    return merge_intervals(
+        spans, ["event_type"], "span_start", "span_end", "event_id"
+    )
+
+
 def q_token_stats(spark, sf_dir):
     """Token-budget accounting per language: whitespace token count vs the
     BPE-ish pre-tokenizer count (functions.subword_token_count — letter
@@ -2128,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
         "token_stats": q_token_stats,
+        "merge_intervals": q_merge_intervals,
         "frame_sample": q_frame_sample,
         "events_hourly_rollup": q_events_hourly_rollup,
         "agg_count_distinct": q_agg_count_distinct,
@@ -2569,6 +2594,31 @@ def _corpus_oracles() -> dict[str, str]:
                    CAST(1 + (('0x' || substr(md5(text), 16, 15))::BIGINT % 4096) AS INT) AS height,
                    (('0x' || substr(md5(text), 18, 15))::BIGINT % 256000) / 1000.0 AS mean_luma
             FROM documents
+        """,
+        "merge_intervals": """
+            WITH s AS (SELECT event_type, event_id,
+                              epoch(ts) AS span_start,
+                              epoch(ts) + value * 60.0 AS span_end
+                       FROM events),
+            g AS (SELECT *,
+                         CASE WHEN max(span_end) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY span_start, span_end, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) >= span_start
+                              THEN 0 ELSE 1 END AS brk
+                  FROM s),
+            c AS (SELECT *,
+                         SUM(brk) OVER (
+                             PARTITION BY event_type
+                             ORDER BY span_start, span_end, event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM g)
+            SELECT event_type,
+                   MIN(span_start) AS interval_start,
+                   MAX(span_end) AS interval_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM c GROUP BY event_type, grp
         """,
         "token_stats": r"""
             WITH t AS (

@@ -212,3 +212,44 @@ def gap_fill(
         for c in agg_cols:
             joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return joined
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Union overlapping/touching intervals per key — the overlap-based
+    sibling of gap-based sessionization (coverage spans, availability
+    windows, span dedup). An interval joins the running group when its
+    start is <= the max end seen so far; otherwise it opens a new group.
+
+    Output: key cols + ``interval_start``, ``interval_end``, ``n_spans``.
+
+    Scale posture: one key-partitioned ordered window (running max-end via
+    ROWS UNBOUNDED PRECEDING — no self-join, no explode) + one groupBy on
+    the same key partitioning; ``order_col`` breaks start/end ties so the
+    grouping is deterministic under any partitioning. Never a global sort.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc(start_col), F.asc(end_col), F.asc(order_col)
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(prev_max_end >= F.col(start_col), F.lit(0)).otherwise(F.lit(1))
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.select(*keys, start_col, end_col, order_col)
+        .withColumn("__grp", grp)
+        .groupBy(*keys, "__grp")
+        .agg(
+            F.min(start_col).alias("interval_start"),
+            F.max(end_col).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .drop("__grp")
+    )

@@ -142,3 +142,32 @@ def test_gap_fill_ffill_and_flags(spark):
     none_filled = gap_fill(df, ["k"], "h", F.expr("INTERVAL 1 HOUR"), ["v"],
                            fill="none")
     assert none_filled.where("v IS NULL").count() == 2
+
+
+def test_merge_intervals_semantics(spark):
+    """Overlapping and touching spans merge; disjoint spans stay separate;
+    a span contained in the running group extends nothing but still counts;
+    keys never merge across."""
+    from streamjoin_spark.operators.temporal import merge_intervals
+
+    rows = [
+        # key a: [0,10] + [5,20] overlap; [20,25] touches; [40,50] separate
+        ("a", 1, 0.0, 10.0),
+        ("a", 2, 5.0, 20.0),
+        ("a", 3, 20.0, 25.0),
+        ("a", 4, 40.0, 50.0),
+        # contained span: [41,43] inside [40,50]
+        ("a", 5, 41.0, 43.0),
+        # key b: same coords as key a's first span — must not merge with a
+        ("b", 6, 0.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, s double, e double")
+    out = sorted(
+        (r["k"], r["interval_start"], r["interval_end"], r["n_spans"])
+        for r in merge_intervals(df, ["k"], "s", "e", "id").collect()
+    )
+    assert out == [
+        ("a", 0.0, 25.0, 3),
+        ("a", 40.0, 50.0, 2),
+        ("b", 0.0, 10.0, 1),
+    ]
