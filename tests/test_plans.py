@@ -199,3 +199,20 @@ def test_audio_features_arrow_batched_windows(spark, sf_dir):
     assert "MapInPandas" in p or "ArrowEvalPython" in p
     assert "Generate" in p
     assert "BatchEvalPython" not in p
+
+
+def test_merge_intervals_window_partitioned(spark, sf_dir):
+    """The running max-end window must partition by event_type — a global
+    ordered window would single-task all spans; and there is no self-join."""
+    p = plan_of(entry.q_merge_intervals(spark, sf_dir))
+    assert "Window" in p and "event_type" in p
+    assert "Join" not in p
+
+
+def test_chunk_and_token_scans_pruned(spark, sf_dir):
+    """chunk_documents reads only (doc_id, text); token_stats only
+    (text, lang) — projection pruning reaches the parquet scan."""
+    p1 = plan_of(entry.q_chunk_documents(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p1
+    p2 = plan_of(entry.q_token_stats(spark, sf_dir))
+    assert "ReadSchema: struct<text:string,lang:string>" in p2
