@@ -545,6 +545,41 @@ def q_multimodal_image_features(spark, sf_dir):
     return image_features(docs, decode="fake")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week, then
+    distinct active users per (cohort, weeks-since-cohort) cell — the
+    classic growth-analytics triangle. Two shuffles (per-user first-week
+    agg; cell agg); the 150-row cohort map broadcasts back onto the
+    deduped (user, week) activity pairs, and week arithmetic stays on
+    week-truncated dates so the day-diff is exactly divisible by 7."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    firsts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_n",
+            "active_users",
+        )
+    )
+
+
 def q_merge_intervals(spark, sf_dir):
     """Overlap-union of event spans per event type (operators/temporal.py
     merge_intervals): each event covers [ts, ts+value*60] seconds; touching
@@ -2153,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "token_stats": q_token_stats,
         "merge_intervals": q_merge_intervals,
+        "cohort_retention": q_cohort_retention,
         "frame_sample": q_frame_sample,
         "events_hourly_rollup": q_events_hourly_rollup,
         "agg_count_distinct": q_agg_count_distinct,
@@ -2594,6 +2630,20 @@ def _corpus_oracles() -> dict[str, str]:
                    CAST(1 + (('0x' || substr(md5(text), 16, 15))::BIGINT % 4096) AS INT) AS height,
                    (('0x' || substr(md5(text), 18, 15))::BIGINT % 256000) / 1000.0 AS mean_luma
             FROM documents
+        """,
+        "cohort_retention": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              date_trunc('week', ts) AS week
+                       FROM events),
+            f AS (SELECT user_id, MIN(week) AS cohort_week
+                  FROM w GROUP BY user_id)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                                  CAST(w.week AS DATE)) // 7 AS BIGINT)
+                       AS week_n,
+                   COUNT(DISTINCT w.user_id) AS active_users
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "merge_intervals": """
             WITH s AS (SELECT event_type, event_id,
