@@ -549,9 +549,12 @@ def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week, then
     distinct active users per (cohort, weeks-since-cohort) cell — the
     classic growth-analytics triangle. Two shuffles (per-user first-week
-    agg; cell agg); the 150-row cohort map broadcasts back onto the
-    deduped (user, week) activity pairs, and week arithmetic stays on
-    week-truncated dates so the day-diff is exactly divisible by 7."""
+    agg; cell agg). ``firsts`` is PER-USER (unbounded at 100 TB), so it is
+    deliberately NOT broadcast-hinted — both sides shuffle on user_id (the
+    same key the distinct just partitioned by, so the exchange reuses the
+    partitioning) and AQE may still pick broadcast when the user table is
+    actually small. Week arithmetic stays on week-truncated dates so the
+    day-diff is exactly divisible by 7."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
     weeks = ev.select(
@@ -559,7 +562,7 @@ def q_cohort_retention(spark, sf_dir):
     ).distinct()
     firsts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        weeks.join(F.broadcast(firsts), "user_id")
+        weeks.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -674,7 +677,11 @@ def q_events_hourly_rollup(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # per-row-rounded DECIMAL sum (float invariant): exact and
+            # summation-order-free on both engines
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
@@ -1134,6 +1141,31 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     labels = connected_components(minhash_lsh_pairs(docs))
+    return (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def q_dedup_clusters_star(spark, sf_dir):
+    """Duplicate-cluster resolution via alternating large/small-star
+    contraction (operators/dedup.py _cc_star; Kiveris et al. 2014) —
+    O(log² n) rounds on ANY component shape vs min-label's O(diameter),
+    the variant to reach for when pair chains are path-shaped (transitive
+    fuzzy matches) rather than LSH cliques. Identical labeling to
+    q_dedup_clusters, same recursive-CTE oracle."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = connected_components(minhash_lsh_pairs(docs), algorithm="star")
     return (
         docs.select("doc_id")
         .join(labels, docs["doc_id"] == labels["node"], "left")
@@ -1839,6 +1871,26 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Mergeable approx-quantile sketch (operators/sketches.py
+    quantile_sketch — fixed-grid histogram, the KLL/t-digest role with an
+    exact cross-engine oracle): per-returnflag p25/p50/p90/p99 of
+    l_extendedprice from 512-bin partials. No global sort — two map-side
+    combinable group aggs plus one ≤512-row-per-group cumulative window;
+    the partials merge associatively (per-partition/per-day rollup), which
+    exact percentiles (q_percentiles) fundamentally cannot. Division-
+    derived edge doubles are emitted raw on both engines (identical IEEE
+    expression trees), per the float invariant."""
+    _prep(spark)
+    from streamjoin_spark.operators.sketches import approx_quantiles
+
+    l = _t(spark, sf_dir, "lineitem")
+    return approx_quantiles(
+        l, "l_extendedprice", [0.25, 0.5, 0.9, 0.99],
+        group_cols=["l_returnflag"], n_bins=512,
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Corpus token frequency: explode whitespace tokens, count, distributed
     top-20 (TakeOrdered — no global single-partition window); ties broken by
@@ -1930,7 +1982,12 @@ def q_gap_fill(spark, sf_dir):
         F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # sum per-row-ROUNDed DECIMALs, then cast (float invariant): a
+        # direct double SUM rounded afterwards is summation-order-sensitive
+        # at the last ulp and can flip the 4 dp digit across engines
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
     )
     filled = gap_fill(
         hourly,
@@ -2200,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_agg": q_skew_agg,
         "train_val_split": q_train_val_split,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "stratified_sample": q_stratified_sample,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -2235,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
         "percentiles": q_percentiles,
+        "approx_quantiles": q_approx_quantiles,
         "token_topk": q_token_topk,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
@@ -2723,7 +2782,7 @@ def _corpus_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "join_inner": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                    o.o_orderkey, o.o_totalprice, o.o_orderstatus
@@ -2854,7 +2913,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
+                   CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                        AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "agg_count_distinct": """
@@ -3025,6 +3085,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "approx_quantiles": """
+            WITH src AS (
+                SELECT l_returnflag, l_extendedprice AS x FROM lineitem
+                WHERE l_extendedprice IS NOT NULL),
+            bounds AS (
+                SELECT l_returnflag,
+                       CAST(MIN(x) AS DOUBLE) AS lo,
+                       CAST(MAX(x) AS DOUBLE) AS hi
+                FROM src GROUP BY 1),
+            binned AS (
+                SELECT s.l_returnflag,
+                       CASE WHEN b.hi - b.lo > 0
+                            THEN LEAST(CAST(FLOOR(
+                                 (CAST(s.x AS DOUBLE) - b.lo)
+                                 / (b.hi - b.lo) * 512.0) AS BIGINT),
+                                 CAST(511 AS BIGINT))
+                            ELSE 0 END AS bin,
+                       b.lo, b.hi
+                FROM src s JOIN bounds b USING (l_returnflag)),
+            sketch AS (
+                SELECT l_returnflag, bin, COUNT(*) AS cnt,
+                       MIN(lo) AS lo, MIN(hi) AS hi
+                FROM binned GROUP BY 1, 2),
+            cum AS (
+                SELECT l_returnflag, bin, lo, hi,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS c,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+                FROM sketch),
+            qs AS (
+                SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+                       AS q)
+            SELECT l_returnflag, q,
+                   MIN(CASE WHEN hi > lo
+                       THEN lo + CAST(bin + 1 AS DOUBLE) * (hi - lo) / 512.0
+                       ELSE lo END) AS value
+            FROM cum CROSS JOIN qs
+            WHERE c >= CEIL(q * total)
+            GROUP BY 1, 2
         """,
         "token_topk": """
             SELECT tok, COUNT(*) AS n FROM (
@@ -3611,7 +3713,8 @@ def oracle_sql() -> dict[str, str]:
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS hour,
                        COUNT(*) AS n_events,
-                       ROUND(SUM(value), 4) AS sum_value
+                       CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                            AS DOUBLE) AS sum_value
                 FROM events GROUP BY 1, 2),
             bounds AS (
                 SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
@@ -3755,3 +3858,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_corpus_oracles(),
     }
+    # the star-contraction CC variant computes the identical labeling —
+    # same transitive-closure oracle
+    out["dedup_clusters_star"] = out["dedup_clusters"]
+    return out

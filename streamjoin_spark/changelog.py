@@ -301,6 +301,22 @@ class ChangeTable:
             & (F.col(COMMIT_VERSION) <= F.lit(self.version()))
         )
 
+    def change_bytes(self, version: int) -> int:
+        """Driver-side size probe of one commit's change files — the byte
+        input of the IVM microbatch governor (the reference caps every CDF
+        microbatch at 1 GB via ``maxBytesPerTrigger``, elzyme/streams.py:
+        128,138; this is the same on-disk-bytes currency). Pure directory
+        walk, no Spark job — O(files in one commit)."""
+        d = os.path.join(self.path, "changes", f"c{version}")
+        if not os.path.isdir(d):
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+
     def read_change_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """The change feed as a Structured Streaming source. Every commit's
         files become (part of) a microbatch — the open-source equivalent of
@@ -621,7 +637,11 @@ class ChangeTable:
         return v
 
     def replace_keys(
-        self, scope_keys: DataFrame, key_cols: Sequence[str], new_rows: DataFrame
+        self,
+        scope_keys: DataFrame,
+        key_cols: Sequence[str],
+        new_rows: DataFrame,
+        hint_broadcast: bool = True,
     ) -> int:
         """Replace every row whose ``key_cols`` tuple appears in ``scope_keys``
         with the rows of ``new_rows``, emitting a minimal change feed
@@ -635,15 +655,20 @@ class ChangeTable:
         rows, FK moves, and deletes uniformly, where the reference needs the
         combinatorial outer-merge resolution (elzyme/joins.py:584-744).
 
-        Scale: ``scope_keys`` is delta-derived and broadcast; locating
-        affected rows is one snapshot scan (never shuffled); the rewrite is
-        bounded to the parts holding affected rows.
+        Scale: ``scope_keys`` is delta-derived and broadcast *when it fits*
+        — the IVM governor passes ``hint_broadcast=False`` for
+        over-threshold scopes (bulk loads, backlog catch-up) so the key
+        probe shuffles instead of OOM-ing the driver; locating affected
+        rows is one snapshot scan; the rewrite is bounded to the parts
+        holding affected rows.
         """
         v = self.version() + 1
         manifest = self._manifest(v - 1)
         cur_all = self.snapshot(v - 1)
         key_cols = list(key_cols)
-        scope = F.broadcast(scope_keys.select(*key_cols).dropDuplicates(key_cols))
+        scope = scope_keys.select(*key_cols).dropDuplicates(key_cols)
+        if hint_broadcast:
+            scope = F.broadcast(scope)
 
         def scope_cond(a: str, b: str):
             cond = None

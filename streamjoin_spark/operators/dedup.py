@@ -290,24 +290,45 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into duplicate clusters:
     ``(node, label)`` where label = the minimum node id in the connected
     component — the canonical-representative step every dedup pipeline
-    needs after pair-finding (keep ``label``, drop the rest).
+    needs after pair-finding (keep ``label``, drop the rest). Works for
+    any orderable id type — long doc ids *and* the string ids a real
+    corpus usually carries (min/least order strings lexicographically).
 
-    Min-label propagation: each round every node takes the min of its own
-    and its neighbors' labels; converges in O(component diameter) rounds.
-    Near-dup components are clique-ish (an LSH bucket pairs all members),
-    so 2-4 rounds is typical; raises after ``max_iter`` instead of
-    returning a partially-converged labeling.
+    ``algorithm="label"`` (default) is min-label propagation: each round
+    every node takes the min of its own and its neighbors' labels;
+    converges in O(component diameter) rounds. Near-dup components are
+    clique-ish (an LSH bucket pairs all members), so 2-4 rounds is
+    typical. ``algorithm="star"`` is alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): O(log² n) rounds on ANY graph shape — use it when
+    components can be long paths/trees (e.g. transitive fuzzy-match
+    chains) rather than LSH cliques.
 
-    Scale: each round is two key-partitioned shuffles bounded by |E|
-    (edges and labels, both delta-free); the convergence probe is a
-    limit-1 count — the only driver action, O(1) rows. For adversarially
-    long path-shaped components switch to alternating large/small-star
-    (same join primitives, fewer rounds).
+    Both raise after ``max_iter`` instead of returning a partially
+    converged labeling. Scale: each round is two key-partitioned
+    shuffles bounded by |E|; the convergence probe is a limit-1
+    existence check — O(1) driver rows, type-agnostic (an earlier
+    label-SUM probe was silently wrong for string ids: SUM of strings
+    is NULL, exiting after one round unconverged).
     """
+    if algorithm == "star":
+        labels, _ = _cc_star(pairs, src, dst, max_iter)
+    elif algorithm == "label":
+        labels, _ = _cc_label(pairs, src, dst, max_iter)
+    else:
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    return labels
+
+
+def _cc_label(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Min-label propagation; returns (labels, rounds)."""
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -321,17 +342,17 @@ def connected_components(
         .persist()
     )
     try:
-        # labels only ever decrease (least of self and neighbors), so the
-        # label sum strictly decreases until the fixpoint — one tiny
-        # aggregate per round detects convergence, no diff join needed
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             nbr = (
                 edges.alias("e")
                 .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
                 .groupBy(F.col("e.a").alias("node"))
                 .agg(F.min("label").alias("nbr_min"))
             )
+            # localCheckpoint (not persist): iterative loops grow the
+            # LOGICAL plan every round — persist truncates re-execution but
+            # analysis cost still compounds; checkpointing truncates lineage
+            # so round r+1 plans against a flat scan
             new_labels = (
                 labels.alias("l")
                 .join(nbr.alias("n"), "node", "left")
@@ -342,19 +363,127 @@ def connected_components(
                         F.coalesce(F.col("n.nbr_min"), F.col("l.label")),
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels.unpersist()
+            # labels only ever decrease and are never null, so the fixpoint
+            # is exactly "no row changed" — an equi-join + limit-1 probe,
+            # exact for every id type (numeric, string, binary)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
             labels = new_labels
-            if new_sum == prev_sum:
-                return labels
-            prev_sum = new_sum
+            if changed == 0:
+                return labels, rounds
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
         edges.unpersist()
+
+
+def _cc_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al. 2014);
+    returns (labels, rounds). Each round:
+
+    - **large-star**: every node u hangs its strictly-larger neighbors off
+      ``m = min(Γ(u) ∪ {u})`` — long tails collapse toward component
+      minima at doubling speed;
+    - **small-star**: every node u re-points its ≤-neighbors (and itself)
+      at that same m — flattening the partial trees into stars.
+
+    Fixpoint = the edge set stops changing, at which point edges form
+    stars centered at component minima and the labeling is one
+    ``min(neighbor)`` aggregate. O(log² n) rounds worst case vs
+    O(diameter) for min-label propagation — the right tool when pair
+    chains are path-shaped (transitive fuzzy matches), not LSH cliques.
+
+    Scale: every step is an |E|-bounded groupBy/join on node keys; the
+    convergence probe is two limit-1 ``exceptAll`` existence checks.
+    """
+    raw = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .dropDuplicates(["node"])
+        .persist()
+    )
+    edges = raw.dropDuplicates(["u", "v"]).persist()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).dropDuplicates(["u", "v"])
+
+    def _min_nbr(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nbr_min"))
+            .withColumn("m", F.least(F.col("u"), F.col("nbr_min")))
+        )
+
+    try:
+        for rounds in range(1, max_iter + 1):
+            # large-star: (v, m) for v ∈ Γ(u), v > u
+            sym = _sym(edges)
+            large = (
+                sym.join(_min_nbr(sym).select("u", "m"), "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates(["u", "v"])
+            )
+            # small-star on larger→smaller directed edges: (v, m) for the
+            # ≤-neighborhood ∪ {u} of each u
+            directed = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).dropDuplicates(["u", "v"])
+            mn = _min_nbr(directed).select("u", "m")
+            small = (
+                directed.join(mn, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates(["u", "v"])
+                .localCheckpoint(eager=True)
+            )
+            stable = (
+                small.exceptAll(edges).limit(1).count() == 0
+                and edges.exceptAll(small).limit(1).count() == 0
+            )
+            edges = small
+            if stable:
+                sym = _sym(edges)
+                labels = (
+                    nodes.join(
+                        sym.groupBy(F.col("u").alias("node")).agg(
+                            F.min("v").alias("nbr_min")
+                        ),
+                        "node",
+                        "left",
+                    )
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("node"), F.coalesce("nbr_min", "node")
+                        ).alias("label"),
+                    )
+                )
+                return labels, rounds
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} rounds"
+        )
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
 
 
 def _hamming(sa: Column, sb: Column) -> Column:
@@ -452,8 +581,19 @@ def fuzzy_pairs(
     block, e.g. empty-text docs, would otherwise go quadratic). Levenshtein
     runs on fixed-length prefixes so each comparison is O(prefix_len^2)
     JVM-side (`levenshtein` is codegen; no Python).
+
+    Blocking keys are required: with no ``block_cols`` the whole corpus is
+    one block, so the hot-block cap would silently drop EVERY row (any
+    input > max_block) and return zero pairs — that foot-gun is a
+    ValueError instead.
     """
     block_cols = list(block_cols)
+    if not block_cols:
+        raise ValueError(
+            "fuzzy_pairs requires block_cols (e.g. language + length band): "
+            "an unblocked corpus is one global block — quadratic below "
+            f"max_block and silently empty above it (max_block={max_block})"
+        )
     base = df.select(
         F.col(id_col).alias("__id"),
         *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],

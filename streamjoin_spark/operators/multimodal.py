@@ -5,12 +5,21 @@ typed metadata structs; decode/feature-extraction runs as Arrow-batched
 pandas stages over ``mapInPandas`` — the only place Python belongs in the
 hot path, because the work is per-blob CPU, not relational.
 
-The decode step itself needs codec libraries (PIL/ffmpeg/torchaudio) that
-are NOT in this environment, so decoding is stubbed: ``decode=\"fake\"``
-(default) derives deterministic pseudo-features from the blob's md5 —
-making the Spark-side plumbing (schema, batch iteration, partitioning,
-output shape) fully real and testable — while ``decode=\"real\"`` raises
-``NotImplementedError`` where the codec call belongs.
+Decode modes (the Spark-side plumbing — schema, batch iteration,
+partitioning, output shape — is identical in all of them):
+
+- ``decode="fake"`` (default): deterministic pseudo-features from the
+  blob's md5 — no codec libs needed, exact SQL oracle twin possible.
+- ``decode="real"`` images: Pillow behind an import guard — decodes
+  width/height/mean-luma when PIL is importable, raises
+  ``NotImplementedError`` with install guidance otherwise (this
+  environment has no PIL; a real cluster pip-installs it and the same
+  code lights up).
+- ``decode="real"`` audio: raw little-endian 16-bit PCM windows via
+  numpy — RMS and zero-crossing rate computed for real, no codec lib
+  required (the contract is PCM windows, e.g. a WAV file's data
+  section; container/codec demux belongs upstream or behind
+  soundfile/ffmpeg on a real cluster).
 
 Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × mean blob
@@ -75,6 +84,46 @@ def attach_media(
     )
 
 
+def _real_image_decode(blob: bytes) -> tuple[int, int, float]:
+    """PIL decode behind an import guard: width, height, mean luminance.
+    Raises NotImplementedError (not ImportError) when Pillow is absent so
+    the caller's error reads as an environment gap, not a bug."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — guarded optional dep
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode='real' for images needs Pillow (pip install pillow); "
+            "not available in this environment — use decode='fake' for "
+            "plumbing tests"
+        ) from e
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(blob)) as img:
+        width, height = img.size
+        luma = float(np.asarray(img.convert("L"), dtype=np.float64).mean())
+    return width, height, luma
+
+
+def _real_audio_decode(chunk: bytes) -> tuple[float, float]:
+    """Real per-window features for raw s16le PCM: RMS (in sample units)
+    and zero-crossing rate — numpy only, no codec lib. A trailing odd byte
+    (partial sample at a window boundary) is dropped."""
+    import numpy as np
+
+    pcm = np.frombuffer(chunk[: len(chunk) - (len(chunk) % 2)], dtype="<i2")
+    if pcm.size == 0:
+        return 0.0, 0.0
+    x = pcm.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x)))
+    if pcm.size == 1:
+        return rms, 0.0
+    signs = np.signbit(x)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / (pcm.size - 1)
+    return rms, zcr
+
+
 def _fake_decode(blob: bytes) -> tuple[int, int, float]:
     """Deterministic pseudo-decode from md5 — stands in for PIL/ffmpeg.
     width = 1 + h[:15] % 4096, height = 1 + h[15:30] % 4096,
@@ -95,8 +144,10 @@ def image_features(
     """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
 
     Output: (doc_id, n_bytes, width, height, mean_luma). The batch loop,
-    schema contract and partition behavior are production-shaped; only the
-    innermost decode call is stubbed.
+    schema contract and partition behavior are production-shaped;
+    ``decode="real"`` uses Pillow behind an import guard (install it and
+    this path lights up unchanged), ``decode="fake"`` is the
+    deterministic md5 stub with an exact SQL oracle twin.
     """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
@@ -110,13 +161,9 @@ def image_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _real_image_decode if decode == "real" else _fake_decode
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image decode needs PIL/libvips — not available in "
-                    "this environment; wire it here"
-                )
-            feats = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            feats = [decoder(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -162,7 +209,10 @@ def audio_features(
     ``frame_sample_plan`` for video).
 
     Output: (doc_id, window_idx, n_bytes, rms, zcr); the trailing window
-    is partial, empty payloads yield one empty window.
+    is partial, empty payloads yield one empty window. ``decode="real"``
+    computes true RMS/ZCR treating windows as raw s16le PCM (numpy only —
+    works in this environment; container demux belongs upstream);
+    ``decode="fake"`` is the md5 stub with an exact SQL oracle twin.
     """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
@@ -194,13 +244,9 @@ def audio_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _real_audio_decode if decode == "real" else _fake_audio_decode
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real audio decode needs ffmpeg/torchaudio — not "
-                    "available in this environment; wire it here"
-                )
-            feats = [_fake_audio_decode(bytes(b)) for b in pdf["chunk"]]
+            feats = [decoder(bytes(b)) for b in pdf["chunk"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -37,6 +37,10 @@ __all__ = [
     "cms_topk",
     "bloom_positions",
     "bloom_prune",
+    "quantile_sketch",
+    "merge_quantile_sketches",
+    "quantiles_from_sketch",
+    "approx_quantiles",
 ]
 
 # functions.hash64 yields 15 hex digits = 60 bits, uniform on [0, 2**60).
@@ -55,7 +59,11 @@ def kmv_distinct(
     carry here and useful for accuracy audits; drop at true scale).
 
     Estimate = floor((k-1) * 2^60 / kth_min_hash) when the group has >= k
-    distinct hashes, else the exact distinct count.
+    distinct hashes, else the exact distinct count. The divisor is clamped
+    to >= 1: hash64 can yield 0 (p ≈ 2^-60), which would otherwise give
+    +inf and an undefined long cast. ``exact_distinct`` counts distinct
+    *hashes*, not distinct values — under a (astronomically rare, 60-bit)
+    hash collision two values collapse to one; fine for accuracy audits.
     """
     group_cols = list(group_cols)
     hashes = df.select(
@@ -73,7 +81,8 @@ def kmv_distinct(
     est = F.when(
         F.col("__kth").isNotNull(),
         F.floor(
-            F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("__kth").cast("double")
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+            / F.greatest(F.col("__kth"), F.lit(1)).cast("double")
         ),
     ).otherwise(F.col("exact_distinct"))
     return per_group.select(
@@ -239,3 +248,149 @@ def bloom_prune(
             "left_semi",
         )
     return out
+
+
+# ----------------------------------------------------------------------
+# Mergeable approx-quantile sketch (fixed-grid histogram)
+# ----------------------------------------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_bins: int = 512,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Mergeable per-group quantile sketch: an equi-width histogram over
+    ``[lo, hi]`` with ``n_bins`` buckets. Output: group cols + ``bin``
+    (long), ``cnt`` (long), ``lo``, ``hi`` (double) — partials MERGE by
+    summing ``cnt`` per (group, bin) (see ``merge_quantile_sketches``),
+    which is the property exact percentiles lack and the reason a 100 TB
+    profiling pass wants a sketch (same role as KLL/t-digest in
+    DataSketches; fixed-grid is chosen over KLL for an exact cross-engine
+    oracle: every operation is deterministic IEEE arithmetic, identical
+    in Spark and DuckDB — no RNG, no data-order dependence).
+
+    Rank error ≤ the heaviest bin's mass; value error ≤ (hi-lo)/n_bins.
+    Bounds default to the input's min/max per group (one extra map-side
+    combinable agg pass + a group-key join); pass explicit ``lo``/``hi``
+    to make sketches from DIFFERENT runs mergeable (bounds must match).
+
+    Scale posture: two hash aggregations on the group key (bounds +
+    bin counts), both map-side partial; NO global sort and no per-value
+    shuffle beyond the count agg; sketch size ≤ n_bins rows per group.
+    """
+    group_cols = list(group_cols)
+    x = F.col(value_col)
+    src = df.where(x.isNotNull())
+    if lo is not None and hi is not None:
+        bounded = src.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    else:
+        bounds = src.groupBy(*group_cols).agg(
+            F.min(x).cast("double").alias("__lo"),
+            F.max(x).cast("double").alias("__hi"),
+        )
+        bounded = (
+            src.join(bounds, group_cols) if group_cols
+            else src.crossJoin(F.broadcast(bounds))
+        )
+    width = F.col("__hi") - F.col("__lo")
+    # bin = clamp(floor((x - lo) / (hi - lo) * n_bins), 0, n_bins-1);
+    # degenerate group (hi == lo) → everything in bin 0. All-IEEE, exact
+    # cross-engine: write the oracle with the SAME parenthesization.
+    b = F.when(width > 0.0, F.least(
+        F.floor(
+            (x.cast("double") - F.col("__lo")) / width * F.lit(float(n_bins))
+        ).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )).otherwise(F.lit(0).cast("long"))
+    return (
+        bounded.withColumn("bin", b)
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("__lo").alias("lo"),
+            F.first("__hi").alias("hi"),
+            F.first(F.lit(n_bins).cast("long")).alias("n_bins"),
+        )
+    )
+
+
+def merge_quantile_sketches(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union two sketches built with the SAME bounds/binning: counts add
+    per (group, bin) — the associative merge that lets per-partition /
+    per-day partials roll up without touching raw data."""
+    group_cols = list(group_cols)
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.first("n_bins").alias("n_bins"),
+        )
+    )
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Estimate quantiles from a histogram sketch: for each q, the upper
+    edge of the bin holding the ceil(q·N)-th value (1-indexed). Output:
+    group cols + ``q`` + ``value``.
+
+    The cumulative window orders ≤ n_bins rows per group — bounded state,
+    not a data-scale sort. Edge arithmetic ``lo + (bin+1)·(hi-lo)/n_bins``
+    is reproduced verbatim in the oracle, so the doubles are bit-identical
+    cross-engine (division-derived floats are never rounded, per the
+    repo's float invariant).
+    """
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("bin")
+    wall = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = (
+        sketch.withColumn("__cum", F.sum("cnt").over(w))
+        .withColumn("__total", F.sum("cnt").over(wall))
+    )
+    qdf = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    edge = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo")
+        + (F.col("bin") + 1).cast("double")
+        * (F.col("hi") - F.col("lo"))
+        / F.col("n_bins").cast("double"),
+    ).otherwise(F.col("lo"))
+    return (
+        qdf.where(F.col("__cum") >= F.ceil(F.col("q") * F.col("__total")))
+        .withColumn("__edge", edge)
+        .groupBy(*group_cols, "q")
+        .agg(F.min("__edge").alias("value"))
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    n_bins: int = 512,
+) -> DataFrame:
+    """One-shot convenience: sketch + estimate. Same distributed shape
+    (two group-key aggs, one n_bins-bounded window), no global sort —
+    compare __spark_entry__'s exact ``percentiles`` query, whose per-key
+    ordered window is a per-group sort of the DATA."""
+    return quantiles_from_sketch(
+        quantile_sketch(df, value_col, group_cols, n_bins=n_bins),
+        qs,
+        group_cols,
+    )

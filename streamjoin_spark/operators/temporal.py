@@ -190,6 +190,12 @@ def gap_fill(
     an ordered per-key window: ONE shuffle on the keys shared by the
     spine-join and the window. ANSI-safe: min <= max by construction, so
     ``sequence()`` cannot get a negative range.
+
+    ``is_gap`` comes from a join-presence marker, not from a measure
+    column: a genuine input row whose first measure is NULL is a real
+    observation (is_gap=false), while a generated spine row has no match
+    (marker NULL ⇒ is_gap=true). ffill still fills genuine NULL measures
+    — Pandas ffill semantics — but never mislabels them as gaps.
     """
     keys = list(keys)
     agg_cols = list(agg_cols)
@@ -200,8 +206,11 @@ def gap_fill(
         *keys,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias(time_col),
     )
-    joined = spine.join(df, keys + [time_col], "left").withColumn(
-        "is_gap", F.col(agg_cols[0]).isNull()
+    marked = df.withColumn("__present", F.lit(True))
+    joined = (
+        spine.join(marked, keys + [time_col], "left")
+        .withColumn("is_gap", F.col("__present").isNull())
+        .drop("__present")
     )
     if fill == "ffill":
         w = (

@@ -62,8 +62,82 @@ from ..streams import (
 PROGRESS_FILE = "_progress.json"
 
 
-def _broadcast_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    return F.broadcast(df.select(*cols).dropDuplicates(list(cols)))
+def _parse_bytes(v) -> int | None:
+    """'1g' / '256m' / '64k' / 1048576 → bytes (reference option format,
+    elzyme/streams.py:128: ``maxBytesPerTrigger = "1g"``)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip().lower()
+    for suf, m in (("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024)):
+        if s.endswith(suf):
+            return int(float(s[:-1]) * m)
+    return int(float(s))
+
+
+class _Governor:
+    """Microbatch-size governance for the IVM runtime.
+
+    The reference caps every CDF microbatch at 1 GB (``maxBytesPerTrigger``,
+    elzyme/streams.py:128,138; rationale README.md:105) precisely so its
+    broadcast-the-microbatch join strategy can never overflow an executor.
+    This is the same governor for the affected-slice runtime, with two
+    independent levers:
+
+    - **chunking**: a stage slice covers at most ``maxBytesPerTrigger``
+      bytes (on-disk change files, default 1 GB) or
+      ``maxVersionsPerTrigger`` commits of outstanding backlog per input;
+      ``process_all_available`` loops until drained. The first slice after
+      a restart / bulk load / paused consumer is therefore bounded — it no
+      longer computes the whole backlog at once.
+    - **broadcast guard**: the Δ frame and the affected-key scope are
+      broadcast only while the slice's change bytes stay under
+      ``broadcastThreshold`` (default 256 MB); an over-threshold slice
+      falls back to a shuffle join — slower, never an OOM. (A single
+      commit can exceed the chunk budget — chunk granularity is a whole
+      commit — which is exactly when this guard takes over.)
+
+    At 100 TB: backlog catch-up degrades gracefully into a sequence of
+    bounded slices, and no plan ever carries an unbounded broadcast hint.
+    """
+
+    def __init__(self, options: dict | None = None):
+        o = options or {}
+        self.max_bytes = _parse_bytes(o.get("maxBytesPerTrigger", "1g"))
+        mv = o.get("maxVersionsPerTrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self.broadcast_threshold = _parse_bytes(o.get("broadcastThreshold", "256m"))
+
+    def chunk_end(self, ct: ChangeTable, v0: int, v1: int) -> tuple[int, int]:
+        """(end_version, chunk_bytes): the largest end ≤ v1 keeping
+        ``(v0, end]`` within budget — always at least one commit when
+        backlog exists, so progress is guaranteed."""
+        if v1 <= v0:
+            return v1, 0
+        end, total = v0, 0
+        for v in range(v0 + 1, v1 + 1):
+            b = ct.change_bytes(v)
+            if end > v0:
+                if self.max_versions is not None and end - v0 >= self.max_versions:
+                    break
+                if self.max_bytes is not None and total + b > self.max_bytes:
+                    break
+            end, total = v, total + b
+        return end, total
+
+    def should_hint(self, est_bytes: int) -> bool:
+        return (
+            self.broadcast_threshold is None or est_bytes <= self.broadcast_threshold
+        )
+
+    def hint(self, df: DataFrame, est_bytes: int) -> DataFrame:
+        """Broadcast hint only under the threshold; otherwise return the
+        frame unhinted and let Catalyst/AQE pick a shuffle strategy."""
+        return F.broadcast(df) if self.should_hint(est_bytes) else df
+
+    def keys(self, df: DataFrame, cols: Sequence[str], est_bytes: int) -> DataFrame:
+        return self.hint(df.select(*cols).dropDuplicates(list(cols)), est_bytes)
 
 
 def _null_safe_on(a: str, b: str, cols: Sequence[str]):
@@ -118,13 +192,20 @@ class _Progress:
 class _JoinStage:
     """One incremental join stage: two ChangeTable-backed inputs → one target."""
 
-    def __init__(self, builder, target: ChangeTable | None, progress: _Progress):
+    def __init__(
+        self,
+        builder,
+        target: ChangeTable | None,
+        progress: _Progress,
+        governor: _Governor | None = None,
+    ):
         from ..operators.joins import JoinBuilder  # cycle guard
 
         assert isinstance(builder, JoinBuilder)
         self.builder = builder
         self.target = target
         self.progress = progress
+        self.governor = governor or _Governor()
         self.preserved = builder.left if builder._preserved_side() == "left" else builder.right
         self.other = builder.right if self.preserved is builder.left else builder.left
         self.p_pks = list(self.preserved.primary_keys)
@@ -142,18 +223,25 @@ class _JoinStage:
                 )
 
     def compute_slice(self):
-        """(affected_keys, recomputed_slice, new_versions) for everything
-        outstanding, or None if no input moved."""
+        """(affected_keys, recomputed_slice, new_versions, slice_bytes) for
+        one governed chunk of the outstanding backlog, or None if no input
+        moved. The chunk covers at most the governor's byte/version budget
+        per input (reference 1 GB ``maxBytesPerTrigger``, elzyme/streams.py:
+        128,138); ``process_all_available`` loops until the watermarks reach
+        the heads."""
         b = self.builder
         lct, rct = b.left.change_table, b.right.change_table
         lv0, rv0 = self.progress.versions
-        lv1, rv1 = lct.version(), rct.version()
-        if (lv1, rv1) == (lv0, rv0):
+        if (lct.version(), rct.version()) == (lv0, rv0):
             return None
 
         dP_ct, dO_ct = (lct, rct) if self.preserved is b.left else (rct, lct)
         pv0, ov0 = (lv0, rv0) if self.preserved is b.left else (rv0, lv0)
-        pv1, ov1 = (lv1, rv1) if self.preserved is b.left else (rv1, lv1)
+        # governed chunk: bounded version range per input, never the whole
+        # backlog — the first slice after a bulk load / restart stays small
+        pv1, p_bytes = self.governor.chunk_end(dP_ct, pv0, dP_ct.version())
+        ov1, o_bytes = self.governor.chunk_end(dO_ct, ov0, dO_ct.version())
+        slice_bytes = p_bytes + o_bytes
 
         dP = self.preserved._apply_transforms(
             dP_ct.read_change_feed(pv0 + 1).where(F.col(COMMIT_VERSION) <= pv1)
@@ -184,12 +272,19 @@ class _JoinStage:
             (b.right, rq),
         )
         cond = b._join_condition(binding, lq, rq)
+        # ΔO broadcast is size-guarded: over the governor threshold (a single
+        # oversized commit — chunk granularity is a whole commit) it shuffles
         probe = (
             p_snap.alias(pq)
-            .join(F.broadcast(dO.alias(oq)), cond, "inner")
+            .join(self.governor.hint(dO.alias(oq), o_bytes), cond, "inner")
             .select([F.col(f"{pq}.`{k}`").alias(k) for k in self.p_pks])
         )
-        affected = _broadcast_keys(affected.unionByName(probe), self.p_pks)
+        # the affected-key scope is Δ-derived and narrow (key columns only);
+        # the slice's change bytes upper-bound the ΔP contribution and proxy
+        # the probe's (hot keys can widen it — the guard errs conservative)
+        affected = self.governor.keys(
+            affected.unionByName(probe), self.p_pks, slice_bytes
+        )
 
         # slice recomputation through the builder's own projection logic —
         # identical plan shape to the batch twin, just semi-filtered.
@@ -198,14 +293,18 @@ class _JoinStage:
         # union legs are maintained by their own _UnionLegStage, keyed
         # disjointly — never re-appended to the join's recomputed slice
         new_slice = b._execute(ldf, rdf, apply_unions=False)
-        return affected, new_slice, [lv1, rv1]
+        lv1, rv1 = (pv1, ov1) if self.preserved is b.left else (ov1, pv1)
+        return affected, new_slice, [lv1, rv1], slice_bytes
 
     def process(self) -> bool:
         out = self.compute_slice()
         if out is None:
             return False
-        affected, new_slice, versions = out
-        changed = self.target.replace_keys(affected, self.p_pks, new_slice)
+        affected, new_slice, versions, slice_bytes = out
+        changed = self.target.replace_keys(
+            affected, self.p_pks, new_slice,
+            hint_broadcast=self.governor.should_hint(slice_bytes),
+        )
         self.progress.versions = versions
         self.progress.save()
         return True
@@ -222,15 +321,15 @@ class _ForeachStage(_JoinStage):
     sink call and the progress save redelivers that one batch), exactly as
     the reference's checkpointed foreachBatch does."""
 
-    def __init__(self, builder, func, progress: _Progress):
-        super().__init__(builder, None, progress)
+    def __init__(self, builder, func, progress: _Progress, governor=None):
+        super().__init__(builder, None, progress, governor)
         self.func = func
 
     def process(self) -> bool:
         out = self.compute_slice()
         if out is None:
             return False
-        affected, new_slice, versions = out
+        affected, new_slice, versions, _bytes = out
         self.func(new_slice, self.progress.batch_id)
         self.progress.batch_id += 1
         self.progress.versions = versions
@@ -249,10 +348,17 @@ class _UnionLegStage:
     values disjoint from the other legs' — the same contract the
     reference's keyed MERGE imposes on a unioned pipeline."""
 
-    def __init__(self, stream: Stream, target: ChangeTable, progress: _Progress):
+    def __init__(
+        self,
+        stream: Stream,
+        target: ChangeTable,
+        progress: _Progress,
+        governor: _Governor | None = None,
+    ):
         self.stream = stream
         self.target = target
         self.progress = progress
+        self.governor = governor or _Governor()
         self.pks = list(target.primary_keys)
         missing = [k for k in self.pks if k not in stream.columns()]
         if missing:
@@ -264,18 +370,21 @@ class _UnionLegStage:
     def process(self) -> bool:
         ct = self.stream.change_table
         v0 = self.progress.versions[0]
-        v1 = ct.version()
-        if v1 == v0:
+        if ct.version() == v0:
             return False
+        v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
         images = self.stream._apply_transforms(
             ct.read_change_feed(v0 + 1).where(F.col(COMMIT_VERSION) <= v1)
         )
-        affected = _broadcast_keys(images, self.pks)
+        affected = self.governor.keys(images, self.pks, nbytes)
         snap = self.stream.static(v1)
         # replace_keys projects onto the target schema itself (and computes
         # any generated columns) — don't pre-select here
         new_slice = _semi_filter(snap, affected, self.pks)
-        self.target.replace_keys(affected, self.pks, new_slice)
+        self.target.replace_keys(
+            affected, self.pks, new_slice,
+            hint_broadcast=self.governor.should_hint(nbytes),
+        )
         self.progress.versions = [v1]
         self.progress.save()
         return True
@@ -306,10 +415,17 @@ class _AggStage:
     stays O(delta) while every case stays exact.
     """
 
-    def __init__(self, gb, target: ChangeTable, progress: _Progress):
+    def __init__(
+        self,
+        gb,
+        target: ChangeTable,
+        progress: _Progress,
+        governor: _Governor | None = None,
+    ):
         self.gb = gb
         self.target = target
         self.progress = progress
+        self.governor = governor or _Governor()
         self.group_cols = list(gb.group_cols)
         missing = [k for k in self.group_cols if k not in target._data_cols()]
         if missing:
@@ -334,16 +450,17 @@ class _AggStage:
         src = self.gb.source
         ct = src.change_table
         v0 = self.progress.versions[0]
-        v1 = ct.version()
-        if v1 == v0:
+        if ct.version() == v0:
             return False
+        v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
+        self._slice_bytes = nbytes
 
         images = src._apply_transforms(
             ct.read_change_feed(v0 + 1).where(F.col(COMMIT_VERSION) <= v1)
         )
         # pre AND post images → covers rows moving between groups
         g = self.group_cols
-        affected = _broadcast_keys(images, g)
+        affected = self.governor.keys(images, g, nbytes)
 
         def recompute(keys: DataFrame) -> DataFrame:
             dirty = _semi_filter(src.static(v1), keys, g)
@@ -362,14 +479,19 @@ class _AggStage:
                 # groups seeing any retraction re-aggregate from the snapshot
                 # (additive retraction is unsound for NULL-edge SUM and for
                 # recipe aggs like max); the insert-only majority stays O(Δ)
-                rkeys = _broadcast_keys(retract_imgs, g)
-                ins_affected = F.broadcast(_anti_filter(affected, rkeys, g))
+                rkeys = self.governor.keys(retract_imgs, g, nbytes)
+                ins_affected = self.governor.hint(
+                    _anti_filter(affected, rkeys, g), nbytes
+                )
                 ins_images = _anti_filter(images, rkeys, g)
                 new_slice = self._additive_slice(ins_images, ins_affected).unionByName(
                     recompute(rkeys)
                 )
 
-        changed = self.target.replace_keys(affected, self.group_cols, new_slice)
+        changed = self.target.replace_keys(
+            affected, self.group_cols, new_slice,
+            hint_broadcast=self.governor.should_hint(nbytes),
+        )
         self.progress.versions = [v1]
         self.progress.save()
         return changed > 0 or v1 != v0
@@ -417,7 +539,11 @@ class _AggStage:
         U, D = "stored", "delta"
         stored = _semi_filter(self.target.snapshot(), affected, g)
         merged = stored.alias(U).join(
-            F.broadcast(delta.alias(D)), _null_safe_on(U, D, g), "full_outer"
+            self.governor.hint(
+                delta.alias(D), getattr(self, "_slice_bytes", 0)
+            ),
+            _null_safe_on(U, D, g),
+            "full_outer",
         )
         out_g = [
             F.coalesce(F.col(f"{U}.`{c}`"), F.col(f"{D}.`{c}`")).alias(c) for c in g
@@ -499,14 +625,17 @@ def _build_pipeline(
     partition_by: Sequence[str] = (),
     foreach_batch=None,
     generated_columns: dict[str, str] | None = None,
+    options: dict | None = None,
 ) -> IncrementalPipeline:
     """Recursively materialize staged inputs bottom-up, then create the final
-    target. Staging tables live under ``<path>__stages/``."""
+    target. Staging tables live under ``<path>__stages/``. One governor
+    (built from the writer's options) paces every stage."""
     from ..operators.joins import JoinBuilder, StagedStream
     from ..operators.aggs import GroupByWithAggs
 
     stages: list = []
     roots: list[ChangeTable] = []
+    governor = _Governor(options)
 
     def bind_input(stream: Stream, stage_dir: str) -> None:
         if isinstance(stream, StagedStream) and stream.change_table is None:
@@ -550,7 +679,9 @@ def _build_pipeline(
                     raise ValueError("foreachBatch with .union() is unsupported")
                 os.makedirs(target_path, exist_ok=True)
                 stages.append(
-                    _ForeachStage(op, foreach_batch, _Progress(target_path, 2))
+                    _ForeachStage(
+                        op, foreach_batch, _Progress(target_path, 2), governor
+                    )
                 )
                 return
             schema = op.toDF().schema
@@ -559,12 +690,13 @@ def _build_pipeline(
                 spark, target_path, schema, pks, partition_by=parts,
                 generated_columns=generated_columns if final else None,
             )
-            stages.append(_JoinStage(op, target, _Progress(target_path, 2)))
+            stages.append(_JoinStage(op, target, _Progress(target_path, 2), governor))
             for idx, u in enumerate(op._unions):
                 stages.append(
                     _UnionLegStage(
                         u, target,
                         _Progress(target_path, 1, f"_progress_union{idx}.json"),
+                        governor,
                     )
                 )
         elif isinstance(op, GroupByWithAggs):
@@ -575,7 +707,7 @@ def _build_pipeline(
                 partition_by=parts,
                 generated_columns=generated_columns if final else None,
             )
-            stages.append(_AggStage(op, target, _Progress(target_path, 1)))
+            stages.append(_AggStage(op, target, _Progress(target_path, 1), governor))
         else:
             raise TypeError(f"cannot run {type(op).__name__} incrementally")
 
@@ -643,6 +775,7 @@ class _WriterBase:
                 partition_by=getattr(self, "partition_by", ()),
                 foreach_batch=self._foreach_batch,
                 generated_columns=getattr(self, "generated_columns", None),
+                options=self._options,
             )
         return self._pipeline
 

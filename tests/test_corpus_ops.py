@@ -182,10 +182,72 @@ def test_image_features_plumbing(spark, docs):
     assert again[1] == r
 
 
-def test_image_features_real_decode_raises(spark, docs):
+def test_image_features_real_decode_raises_without_pil(spark, docs):
+    """decode='real' is import-guarded: without Pillow it fails with install
+    guidance; with Pillow installed the same code path decodes for real
+    (covered by test_real_image_decode_with_pil where the lib exists)."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed — the real path is live, not guarded")
+    except ImportError:
+        pass
     payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    with pytest.raises(Exception, match="NotImplementedError|PIL|libvips"):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|PIL"):
         image_features(payloads, decode="real").collect()
+
+
+def test_real_image_decode_with_pil():
+    """Unit-test the real decoder where Pillow exists (skipped otherwise)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from streamjoin_spark.operators.multimodal import _real_image_decode
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3), (255, 255, 255)).save(buf, format="PNG")
+    w, h, luma = _real_image_decode(buf.getvalue())
+    assert (w, h) == (7, 3) and luma == 255.0
+
+
+def test_real_audio_decode_pcm():
+    """The real audio path needs only numpy: RMS and ZCR of raw s16le PCM.
+    A constant-amplitude square wave at Nyquist has RMS = amplitude and
+    ZCR = 1; silence has RMS 0; a trailing odd byte is dropped."""
+    import struct
+
+    from streamjoin_spark.operators.multimodal import _real_audio_decode
+
+    square = struct.pack("<8h", *([1000, -1000] * 4))
+    rms, zcr = _real_audio_decode(square)
+    assert rms == pytest.approx(1000.0) and zcr == pytest.approx(1.0)
+    silence = struct.pack("<4h", 0, 0, 0, 0)
+    rms0, zcr0 = _real_audio_decode(silence)
+    assert rms0 == 0.0 and zcr0 == 0.0
+    assert _real_audio_decode(b"") == (0.0, 0.0)
+    # odd trailing byte dropped, not crashed
+    rms1, _ = _real_audio_decode(struct.pack("<2h", 5, 5) + b"\x01")
+    assert rms1 == pytest.approx(5.0)
+
+
+def test_audio_features_real_pcm_end_to_end(spark):
+    """decode='real' through the full mapInPandas plumbing on PCM payloads:
+    per-window RMS distinguishes a loud from a quiet blob."""
+    import struct
+
+    from streamjoin_spark.operators.multimodal import audio_features
+
+    loud = struct.pack("<100h", *([2000, -2000] * 50))
+    quiet = struct.pack("<100h", *([10, -10] * 50))
+    df = spark.createDataFrame(
+        [(1, loud), (2, quiet)], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in
+           audio_features(df, bytes_per_window=200, decode="real").collect()}
+    assert out[1]["rms"] == pytest.approx(2000.0)
+    assert out[2]["rms"] == pytest.approx(10.0)
+    assert out[1]["zcr"] == pytest.approx(1.0)
 
 
 def test_attach_media_and_frame_plan(spark):
@@ -208,6 +270,43 @@ def test_connected_components_transitivity(spark):
     labels = {r["node"]: r["label"]
               for r in dedup.connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+    star = {r["node"]: r["label"]
+            for r in dedup.connected_components(pairs, algorithm="star").collect()}
+    assert star == labels
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids — the common real-corpus case — must converge to the
+    lexicographic component minimum on BOTH algorithms. (An earlier
+    label-SUM convergence probe returned NULL for strings and silently
+    exited after one round unconverged.)"""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-c", "doc-d"), ("doc-d", "doc-a"),
+         ("zz-1", "zz-2")],
+        "doc_a string, doc_b string",
+    )
+    want = {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+            "doc-d": "doc-a", "zz-1": "zz-1", "zz-2": "zz-1"}
+    for algo in ("label", "star"):
+        got = {r["node"]: r["label"]
+               for r in dedup.connected_components(pairs, algorithm=algo).collect()}
+        assert got == want, algo
+
+
+def test_star_beats_label_on_chain(spark):
+    """A path-shaped component (transitive fuzzy-match chain): min-label
+    needs O(diameter) rounds; large/small-star contracts in O(log² n).
+    Same labels, strictly fewer rounds on a 16-node chain."""
+    n = 16
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    lab, label_rounds = dedup._cc_label(pairs, "doc_a", "doc_b", 60)
+    star, star_rounds = dedup._cc_star(pairs, "doc_a", "doc_b", 60)
+    lab_m = {r["node"]: r["label"] for r in lab.collect()}
+    star_m = {r["node"]: r["label"] for r in star.collect()}
+    assert lab_m == star_m == {i: 0 for i in range(n)}
+    assert star_rounds < label_rounds, (star_rounds, label_rounds)
 
 
 def test_pack_sequences_semantics(spark):
@@ -422,6 +521,12 @@ def test_fuzzy_pairs_blocking_and_cap(spark):
                          block_cols=["blk"], max_dist=3, max_block=2)
     assert capped.count() == 0
 
+    # no block_cols → one global block: the cap would silently drop every
+    # input larger than max_block, so it's a ValueError instead
+    import pytest
+    with pytest.raises(ValueError, match="block_cols"):
+        fuzzy_pairs(df)
+
 
 def test_cms_never_underestimates(spark):
     """CMS estimates dominate exact counts (collisions only inflate); the
@@ -530,3 +635,55 @@ def test_audio_features_windows_and_parity(spark):
     # decode stub contract: hex-of-bytes md5, uppercase
     h = hashlib.md5(payload[:200].hex().upper().encode()).hexdigest()
     assert rows[(7, 0)]["rms"] == (int(h[:15], 16) % 100000) / 1000.0
+
+
+def test_quantile_sketch_merge_and_accuracy(spark):
+    """Sketch quantiles land within one bin-width of exact; two half-corpus
+    sketches merged give EXACTLY the whole-corpus sketch (the mergeability
+    contract that exact percentiles lack)."""
+    from streamjoin_spark.operators.sketches import (
+        approx_quantiles,
+        merge_quantile_sketches,
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    rows = [(i % 2, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    n_bins = 100
+    est = {(r["g"], r["q"]): r["value"]
+           for r in approx_quantiles(df, "x", [0.5, 0.9], ["g"],
+                                     n_bins=n_bins).collect()}
+    # group 0: evens 0..998, group 1: odds 1..999; bin width ≈ 10
+    exact = {(0, 0.5): 498.0, (0, 0.9): 898.0, (1, 0.5): 499.0, (1, 0.9): 899.0}
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= 998.0 / n_bins + 1e-9, (k, est[k], v)
+
+    # mergeability: fixed bounds → sum of partial counts == whole-input sketch
+    half_a = df.where("x < 500"); half_b = df.where("x >= 500")
+    lo, hi = 0.0, 999.0
+    sa = quantile_sketch(half_a, "x", ["g"], n_bins=n_bins, lo=lo, hi=hi)
+    sb = quantile_sketch(half_b, "x", ["g"], n_bins=n_bins, lo=lo, hi=hi)
+    merged = merge_quantile_sketches(sa, sb, ["g"])
+    whole = quantile_sketch(df, "x", ["g"], n_bins=n_bins, lo=lo, hi=hi)
+    m = {(r["g"], r["bin"]): r["cnt"] for r in merged.collect()}
+    w = {(r["g"], r["bin"]): r["cnt"] for r in whole.collect()}
+    assert m == w
+    # quantiles from the merged sketch == quantiles from the whole sketch
+    qm = {(r["g"], r["q"]): r["value"]
+          for r in quantiles_from_sketch(merged, [0.5], ["g"]).collect()}
+    qw = {(r["g"], r["q"]): r["value"]
+          for r in quantiles_from_sketch(whole, [0.5], ["g"]).collect()}
+    assert qm == qw
+
+
+def test_quantile_sketch_degenerate_group(spark):
+    """All-equal group (hi == lo): single bin, every quantile = the value."""
+    from streamjoin_spark.operators.sketches import approx_quantiles
+
+    df = spark.createDataFrame([(1, 7.5)] * 5 + [(2, 1.0), (2, 2.0)],
+                               "g int, x double")
+    out = {(r["g"], r["q"]): r["value"]
+           for r in approx_quantiles(df, "x", [0.5], ["g"], n_bins=4).collect()}
+    assert out[(1, 0.5)] == 7.5
+    assert 1.0 < out[(2, 0.5)] <= 2.0

@@ -1,0 +1,131 @@
+"""Microbatch governor: bounded backlog slices + size-guarded broadcasts.
+
+The reference caps every CDF microbatch at 1 GB (``maxBytesPerTrigger``,
+elzyme/streams.py:128,138) so its broadcast-the-microbatch strategy can never
+overflow. These tests pin the analog in the affected-slice runtime:
+
+- a multi-commit backlog drains in MULTIPLE bounded slices (never one
+  whole-backlog slice) and converges to the batch twin;
+- an over-threshold Δ carries NO broadcast hint in the slice plan (the
+  shuffle fallback), while the default threshold keeps the hint.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamjoin_spark import Stream
+from streamjoin_spark.changelog import ChangeTable
+from streamjoin_spark.streaming.incremental import _Governor, _parse_bytes
+
+from .test_incremental import assert_same, batch_join, c_rows, cust_ct, o_rows, ord_ct
+
+
+def make_writer(cust_ct, ord_ct, path, **options):
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = c.join(o, "left").on(c["id"] == o["cid"]).writeToPath(str(path))
+    for k, v in options.items():
+        w.option(k, v)
+    return w
+
+
+def test_parse_bytes():
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("256m") == 256 * 1024**2
+    assert _parse_bytes("64k") == 64 * 1024
+    assert _parse_bytes(1048576) == 1048576
+    assert _parse_bytes(None) is None
+
+
+def test_version_backlog_drains_in_bounded_slices(spark, tmp_path, cust_ct, ord_ct):
+    """A 20-commit backlog with maxVersionsPerTrigger=5 must take ≥4 join
+    slices (plus the cust-side slice) and still reach the batch fixpoint."""
+    cust_ct.merge(c_rows(spark, [(i, f"c{i}", "A") for i in range(1, 6)]))
+    for i in range(20):
+        ord_ct.merge(o_rows(spark, [(100 + i, 1 + (i % 5), float(i))]))
+    w = make_writer(cust_ct, ord_ct, tmp_path / "out", maxVersionsPerTrigger=5)
+    slices = w.run()
+    assert slices >= 4, f"backlog drained in {slices} slice(s) — governor inert"
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "left"))
+    # watermarks at the heads; nothing left
+    assert w.run() == 0
+    # post-drain incremental step still works and stays chunked
+    ord_ct.merge(o_rows(spark, [(200, 2, 9.0)]))
+    assert w.run() == 1
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "left"))
+
+
+def test_byte_budget_chunks_backlog(spark, tmp_path, cust_ct, ord_ct):
+    """maxBytesPerTrigger smaller than one commit ⇒ one commit per slice
+    (chunking always makes progress: ≥1 commit per slice)."""
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    for i in range(4):
+        ord_ct.merge(o_rows(spark, [(10 + i, 1 + (i % 2), float(i))]))
+    w = make_writer(cust_ct, ord_ct, tmp_path / "out", maxBytesPerTrigger="1k")
+    slices = w.run()
+    # 4 order commits, each its own chunk (every change file > 1 KiB), plus
+    # the first slice also covering the cust commit
+    assert slices >= 4
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "left"))
+
+
+def test_agg_backlog_chunked(spark, tmp_path, ord_ct):
+    """The agg stage is governed too: commit backlog drains in >1 slice and
+    matches the batch aggregate."""
+    for i in range(8):
+        ord_ct.merge(o_rows(spark, [(10 + i, i % 3, float(i))]))
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        o.groupBy("cid")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "agg"))
+        .option("maxVersionsPerTrigger", 3)
+    )
+    slices = w.run()
+    assert slices >= 3
+    expect = (
+        ord_ct.snapshot()
+        .groupBy("cid")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    assert_same(w.toDF(), expect)
+
+
+def test_over_threshold_delta_not_broadcast(spark, tmp_path, cust_ct, ord_ct):
+    """broadcastThreshold=0 ⇒ the recomputed slice plan carries NO broadcast
+    hint anywhere (Δ probe leg, affected-key scope); the default threshold
+    keeps the hints. Asserted on the optimized logical plan — AQE may still
+    *choose* broadcast at runtime for tiny data, which is fine (a runtime
+    decision, not an unbounded forced hint)."""
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+
+    def slice_plan(path, **options):
+        w = make_writer(cust_ct, ord_ct, path, **options)
+        stage = w.pipeline.stages[-1]
+        _affected, new_slice, _versions, _nbytes = stage.compute_slice()
+        return new_slice._jdf.queryExecution().optimizedPlan().toString()
+
+    hinted = slice_plan(tmp_path / "a")
+    assert "broadcast" in hinted.lower(), hinted
+    unhinted = slice_plan(tmp_path / "b", broadcastThreshold=0)
+    assert "broadcast" not in unhinted.lower(), unhinted
+
+
+def test_governed_run_converges_under_cdc_churn(spark, tmp_path, cust_ct, ord_ct):
+    """Updates/deletes/FK moves under a tight version budget behave exactly
+    like the ungoverned runtime (same fixpoint, just more slices)."""
+    w = make_writer(
+        cust_ct, ord_ct, tmp_path / "out",
+        maxVersionsPerTrigger=1, broadcastThreshold=0,
+    )
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B"), (3, "cyd", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0), (12, 99, 1.0)]))
+    cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 2, 5.5)]))   # FK move
+    ord_ct.delete_where(F.col("oid") == 11)
+    cust_ct.delete_where(F.col("id") == 2)
+    slices = w.run()
+    # 3 commits per side; a slice consumes ≤1 version from EACH side
+    assert slices >= 3
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "left"))

@@ -216,3 +216,12 @@ def test_chunk_and_token_scans_pruned(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p1
     p2 = plan_of(entry.q_token_stats(spark, sf_dir))
     assert "ReadSchema: struct<text:string,lang:string>" in p2
+
+
+def test_approx_quantiles_no_global_sort(spark, sf_dir):
+    """The sketch path must never globally sort the data: quantiles come
+    from group-key hash aggregations plus a ≤n_bins-per-group window —
+    a rangepartitioning exchange would mean a data-scale sort crept in."""
+    p = plan_of(entry.q_approx_quantiles(spark, sf_dir))
+    assert "rangepartitioning" not in p.lower(), p
+    assert "HashAggregate" in p

@@ -143,6 +143,15 @@ def test_gap_fill_ffill_and_flags(spark):
                            fill="none")
     assert none_filled.where("v IS NULL").count() == 2
 
+    # a genuine input row whose measure is NULL is a real observation:
+    # is_gap must stay false (join-presence marker, not measure-NULL
+    # inference); ffill still fills its measure (Pandas ffill semantics)
+    rows2 = [("a", t0, 1.0), ("a", t0 + dt.timedelta(hours=1), None)]
+    df2 = spark.createDataFrame(rows2, "k string, h timestamp, v double")
+    out2 = gap_fill(df2, ["k"], "h", F.expr("INTERVAL 1 HOUR"), ["v"])
+    got2 = {r["h"].hour: (r["v"], r["is_gap"]) for r in out2.collect()}
+    assert got2 == {0: (1.0, False), 1: (1.0, False)}
+
 
 def test_merge_intervals_semantics(spark):
     """Overlapping and touching spans merge; disjoint spans stay separate;
