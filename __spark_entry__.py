@@ -1807,6 +1807,48 @@ def q_zorder_key(spark, sf_dir):
     return out.select("o_orderkey", "z_key")
 
 
+def q_zonemap_prune(spark, sf_dir):
+    """Zone-map data skipping (operators/layout.py zone_map/prune_zones):
+    Z-order orders by (custkey, totalprice), cut the Z-range into 64
+    contiguous zones (top 6 bits of the 16-bit key — each zone is a tight
+    hyper-rectangle in both clustered dimensions), compute per-zone
+    min/max/count of o_custkey, and annotate the min/max-pruning verdict
+    for ``o_custkey BETWEEN 100 AND 300`` — the file-skipping decision a
+    scan planner makes from parquet footers after a Z-order write. One
+    map-side combinable agg; the zone map itself is 64 rows."""
+    _prep(spark)
+    from streamjoin_spark.operators.layout import (
+        prune_zones,
+        with_zorder_key,
+        zone_map,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keyed = with_zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    zoned = keyed.withColumn("zone", F.shiftright(F.col("z_key"), 10))
+    zm = zone_map(zoned, "zone", ["o_custkey"])
+    return prune_zones(zm, "o_custkey", 100, 300)
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source document quota (operators/text.py source_quota) — the
+    domain-cap step of web-corpus curation: keep the 50 highest-quality
+    docs per source (quality desc, doc_id tiebreak). One shuffle on
+    source; ranking window holds one source per task."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import profile, source_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    p = profile(docs).join(docs.select("doc_id", "source"), "doc_id")
+    out = source_quota(
+        p.select("doc_id", "source", "quality"),
+        ["source"], 50, "quality", "doc_id",
+    )
+    return out.select("doc_id", "source", "quality", "rnk")
+
+
 def q_rolling_avg(spark, sf_dir):
     """Rolling 3-row window per user (operators/windows.py rolling_agg):
     moving average + sliding sum, ROWS frame with a unique tiebreaker."""
@@ -2289,6 +2331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "histogram_totalprice": q_histogram_totalprice,
         "zorder_key": q_zorder_key,
+        "zonemap_prune": q_zonemap_prune,
+        "source_quota": q_source_quota,
         "collocations": q_collocations,
         "rolling_avg": q_rolling_avg,
         "cumulative_value": q_cumulative_value,
@@ -2314,12 +2358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
-def _zorder_sql(bits: int = 8) -> str:
+def _zorder_sql(bits: int = 8, extra_cols: tuple = ()) -> str:
     """Oracle twin of operators/layout.py with_zorder_key on
     (o_custkey, o_totalprice): bit i of column j lands at position
     i·n_cols + j — the interleave unrolled as a |-chain of shift/mask
-    terms, mirroring the Spark expression tree exactly."""
+    terms, mirroring the Spark expression tree exactly. ``extra_cols``
+    ride along into the output (for the zone-map oracle)."""
     top = (1 << bits) - 1
+    extra_b = "".join(f", {c}" for c in extra_cols)
     terms = " | ".join(
         f"(((b{j} >> {i}) & 1) << {i * 2 + j})"
         for j in (0, 1)
@@ -2331,7 +2377,7 @@ def _zorder_sql(bits: int = 8) -> str:
                           MIN(CAST(o_totalprice AS DOUBLE)) AS lo1,
                           MAX(CAST(o_totalprice AS DOUBLE)) AS hi1
                    FROM orders),
-        b AS (SELECT o_orderkey,
+        b AS (SELECT o_orderkey{extra_b},
                      CAST(CASE WHEN hi0 = lo0 THEN 0
                           ELSE LEAST(FLOOR((CAST(o_custkey AS DOUBLE) - lo0)
                                            / (hi0 - lo0) * {top + 1}),
@@ -2341,7 +2387,7 @@ def _zorder_sql(bits: int = 8) -> str:
                                            / (hi1 - lo1) * {top + 1}),
                                      {top}) END AS BIGINT) AS b1
               FROM orders CROSS JOIN s)
-        SELECT o_orderkey, CAST({terms} AS BIGINT) AS z_key FROM b
+        SELECT o_orderkey{extra_b}, CAST({terms} AS BIGINT) AS z_key FROM b
     """
 
 
@@ -2671,6 +2717,18 @@ def _corpus_oracles() -> dict[str, str]:
                    k.n_copies
             FROM feats f JOIN keep k
               ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep_id
+        """,
+        "source_quota": f"""
+            WITH p AS ({_profile_sql()}),
+            ranked AS (
+                SELECT p.doc_id, d.source, p.quality,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY d.source
+                           ORDER BY p.quality DESC, p.doc_id
+                       ) AS BIGINT) AS rnk
+                FROM p JOIN documents d USING (doc_id))
+            SELECT doc_id, source, quality, rnk
+            FROM ranked WHERE rnk <= 50
         """,
         "text_quality_by_source": f"""
             WITH p AS ({_profile_sql()})
@@ -3648,6 +3706,17 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY bucket
         """,
         "zorder_key": _zorder_sql(bits=8),
+        "zonemap_prune": f"""
+            WITH zk AS ({_zorder_sql(bits=8, extra_cols=("o_custkey",))}),
+            zoned AS (SELECT o_custkey, z_key >> 10 AS zone FROM zk),
+            zm AS (SELECT zone, COUNT(*) AS n_rows,
+                          MIN(o_custkey) AS min_o_custkey,
+                          MAX(o_custkey) AS max_o_custkey
+                   FROM zoned GROUP BY zone)
+            SELECT zone, n_rows, min_o_custkey, max_o_custkey,
+                   NOT (max_o_custkey < 100 OR min_o_custkey > 300) AS scan
+            FROM zm
+        """,
         "collocations": r"""
             WITH w AS (SELECT regexp_split_to_array(lower(trim(text)),
                                                     '\s+') AS w

@@ -17,7 +17,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "with_zorder_key", "repartition_by_zorder"]
+__all__ = ["zorder_key", "with_zorder_key", "repartition_by_zorder",
+           "zone_map", "prune_zones"]
 
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
@@ -87,3 +88,33 @@ def repartition_by_zorder(
     column dropped after partitioning."""
     keyed = with_zorder_key(df, cols, bits=bits)
     return keyed.repartitionByRange(n_partitions, F.col("z_key")).drop("z_key")
+
+
+def zone_map(
+    df: DataFrame,
+    zone_col: str,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Per-zone min/max/count statistics — the file-footer zone map the
+    Z-order layout exists to sharpen (Delta/Iceberg/parquet keep exactly
+    these per file; computing them per Z-range shows what the scan planner
+    would see after ``repartition_by_zorder`` + write). One map-side
+    combinable aggregation on the zone id; output is n_zones rows.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(zone_col).agg(*aggs)
+
+
+def prune_zones(zmap: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Annotate a zone map with the data-skipping verdict for
+    ``col BETWEEN lo AND hi``: a zone whose [min, max] envelope misses the
+    predicate range is skipped without reading a row — min/max pruning,
+    the mechanism behind `PushedFilters` actually saving I/O at 100 TB.
+    Adds ``scan`` (boolean). Driver-free: the verdict is a Column
+    expression over the (tiny) zone-map frame."""
+    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    return zmap.withColumn(
+        "scan", ~((mx < F.lit(lo)) | (mn > F.lit(hi)))
+    )

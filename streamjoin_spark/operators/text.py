@@ -442,3 +442,32 @@ def profile(
         content_fingerprint(t).alias("fingerprint"),
         detect_lang(t).alias("lang_guess"),
     )
+
+
+def source_quota(
+    df: DataFrame,
+    group_cols,
+    n: int,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-source document quota — the domain-cap step of a web-scale
+    curation pipeline (CommonCrawl-style corpora are dominated by a few
+    hot domains; capping per-source keeps the mixture diverse): keep the
+    ``n`` best rows per group by ``score_col`` descending, ties broken by
+    ``id_col`` ascending (deterministic, engine-portable). Adds ``rnk``
+    (1-based within the group).
+
+    Scale: one shuffle on the group columns; the ranking window holds one
+    group per task — the same physics as latest_per_key, generalized to
+    top-n. No global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= n)
+    )

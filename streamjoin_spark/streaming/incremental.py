@@ -166,6 +166,20 @@ def _anti_filter(df: DataFrame, keys: DataFrame, cols: Sequence[str]) -> DataFra
     )
 
 
+
+def _change_images(stream: Stream, ct: ChangeTable, v_from: int, v_to: int) -> DataFrame:
+    """One source's change images for a pinned version range, with the
+    stream's transforms applied — and delete images dropped when the source
+    is in reference-compat ``ignoreDeletes`` mode (the reference's CDF
+    readers skip deletes, elzyme/streams.py:132,142)."""
+    df = stream._apply_transforms(
+        ct.read_change_feed(v_from).where(F.col(COMMIT_VERSION) <= v_to)
+    )
+    if getattr(stream, "_ignore_deletes", False):
+        df = df.where(F.col("_change_type") != DELETE)
+    return df
+
+
 class _Progress:
     """Per-stage watermark: last processed commit version per input, persisted
     next to the target so restarts resume exactly (reference relies on the
@@ -243,12 +257,8 @@ class _JoinStage:
         ov1, o_bytes = self.governor.chunk_end(dO_ct, ov0, dO_ct.version())
         slice_bytes = p_bytes + o_bytes
 
-        dP = self.preserved._apply_transforms(
-            dP_ct.read_change_feed(pv0 + 1).where(F.col(COMMIT_VERSION) <= pv1)
-        )
-        dO = self.other._apply_transforms(
-            dO_ct.read_change_feed(ov0 + 1).where(F.col(COMMIT_VERSION) <= ov1)
-        )
+        dP = _change_images(self.preserved, dP_ct, pv0 + 1, pv1)
+        dO = _change_images(self.other, dO_ct, ov0 + 1, ov1)
         # pinned snapshots at the batch boundary (reference: joins.py:396-433)
         p_snap = self.preserved.static(pv1)
         o_snap = self.other.static(ov1)
@@ -373,9 +383,7 @@ class _UnionLegStage:
         if ct.version() == v0:
             return False
         v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
-        images = self.stream._apply_transforms(
-            ct.read_change_feed(v0 + 1).where(F.col(COMMIT_VERSION) <= v1)
-        )
+        images = _change_images(self.stream, ct, v0 + 1, v1)
         affected = self.governor.keys(images, self.pks, nbytes)
         snap = self.stream.static(v1)
         # replace_keys projects onto the target schema itself (and computes
@@ -455,9 +463,7 @@ class _AggStage:
         v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
         self._slice_bytes = nbytes
 
-        images = src._apply_transforms(
-            ct.read_change_feed(v0 + 1).where(F.col(COMMIT_VERSION) <= v1)
-        )
+        images = _change_images(src, ct, v0 + 1, v1)
         # pre AND post images → covers rows moving between groups
         g = self.group_cols
         affected = self.governor.keys(images, g, nbytes)
@@ -804,10 +810,16 @@ class _WriterBase:
         pipeline = self.pipeline
         spark = pipeline.spark
         ticks = None
+        # the reference paces trigger cadence with maxBytesPerTrigger=1g on
+        # its CDF readStream (elzyme/streams.py:128,138); here the file
+        # source paces by files (maxFilesPerTrigger, default 16) and the
+        # governor bounds the per-slice work by bytes/versions regardless
+        # of how many commits one trigger announces
+        mfpt = self._options.get("maxFilesPerTrigger")
         for ct in pipeline.roots:
-            t = ct.read_change_stream().select(
-                F.lit(ct.name).alias("__src"), F.col(COMMIT_VERSION)
-            )
+            t = ct.read_change_stream(
+                int(mfpt) if mfpt is not None else None
+            ).select(F.lit(ct.name).alias("__src"), F.col(COMMIT_VERSION))
             ticks = t if ticks is None else ticks.unionByName(t)
         writer = (
             ticks.writeStream.foreachBatch(

@@ -63,6 +63,7 @@ class Stream:
         self._primary_keys: tuple[str, ...] = ()
         self._sequence_by: tuple[str, ...] = ()
         self._partition_by: tuple[str, ...] = ()
+        self._ignore_deletes: bool = False
 
     # ------------------------------------------------------------------
     # constructors
@@ -145,6 +146,22 @@ class Stream:
         self._sequence_by = tuple(cols)
         return self
 
+    def ignoreDeletes(self, flag: bool = True) -> "Stream":
+        """Strict reference-compat mode: drop ``delete`` change images from
+        this source's feed before the incremental runtime sees them — the
+        reference's CDF readers silently skip deletes
+        (``ignoreDeletes``/filtered change types, elzyme/streams.py:132,142),
+        so a deleted upstream row never retracts downstream state there.
+        This engine PROPAGATES deletes by default (strictly better — SCD2
+        and cascade-correct views depend on it); flip this on per source
+        only when migrating a reference pipeline that depends on the old
+        keep-stale-rows behavior. Note: if a later change touches the same
+        key, the affected-slice recompute reads the snapshot (where the row
+        is gone) and the stale downstream row is reconciled away then —
+        deletes are deferred, not resurrected."""
+        self._ignore_deletes = bool(flag)
+        return self
+
     def partitionBy(self, *cols: str) -> "Stream":
         self._partition_by = tuple(cols)
         return self
@@ -164,6 +181,7 @@ class Stream:
         clone._primary_keys = self._primary_keys
         clone._sequence_by = self._sequence_by
         clone._partition_by = self._partition_by
+        clone._ignore_deletes = self._ignore_deletes
         return clone
 
     # ------------------------------------------------------------------

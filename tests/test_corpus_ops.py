@@ -687,3 +687,33 @@ def test_quantile_sketch_degenerate_group(spark):
            for r in approx_quantiles(df, "x", [0.5], ["g"], n_bins=4).collect()}
     assert out[(1, 0.5)] == 7.5
     assert 1.0 < out[(2, 0.5)] <= 2.0
+
+
+def test_source_quota_semantics(spark):
+    """Keep the n best per group by (score desc, id asc); rnk is 1-based
+    and deterministic under ties."""
+    from streamjoin_spark.operators.text import source_quota
+
+    rows = [(1, "a", 0.9), (2, "a", 0.9), (3, "a", 0.5), (4, "b", 0.1)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = {(r["doc_id"]): r["rnk"]
+           for r in source_quota(df, ["source"], 2, "q", "doc_id").collect()}
+    # tie at 0.9 broken by doc_id; doc 3 over quota; b keeps its single doc
+    assert out == {1: 1, 2: 2, 4: 1}
+
+
+def test_zone_map_prune_semantics(spark):
+    """Per-zone min/max envelopes and the BETWEEN skip verdict: a zone
+    entirely below or above the range is scan=false, overlap is true."""
+    from streamjoin_spark.operators.layout import prune_zones, zone_map
+
+    rows = [(0, 1), (0, 5), (1, 10), (1, 20), (2, 100)]
+    df = spark.createDataFrame(rows, "zone long, k long")
+    zm = zone_map(df, "zone", ["k"])
+    got = {r["zone"]: (r["n_rows"], r["min_k"], r["max_k"], r["scan"])
+           for r in prune_zones(zm, "k", 8, 30).collect()}
+    assert got == {
+        0: (2, 1, 5, False),     # entirely below the range → skipped
+        1: (2, 10, 20, True),    # overlaps → scanned
+        2: (1, 100, 100, False), # entirely above → skipped
+    }

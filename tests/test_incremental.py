@@ -990,3 +990,32 @@ def test_history_of_maintained_view(spark, tmp_path, cust_ct, ord_ct):
     assert by_from[1]["name"] == "ann" and by_from[1]["valid_to"] == 2
     assert by_from[2]["name"] == "ann2" and by_from[2]["valid_to"] == 3
     assert not any(r["is_current"] for r in hist)   # deleted → no open interval
+
+
+def test_ignore_deletes_reference_compat(spark, tmp_path, cust_ct, ord_ct):
+    """Source-level `.ignoreDeletes()` reproduces the reference's CDF
+    behavior (deletes silently skipped at the source, elzyme/streams.py:
+    132,142): a deleted upstream row does NOT retract downstream state.
+    A later change touching the same preserved key reconciles against the
+    snapshot and the stale row finally drops — deferred, not resurrected."""
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid").ignoreDeletes()
+    w = c.join(o, "inner").on(c["id"] == o["cid"]).writeToPath(
+        str(tmp_path / "compat")
+    )
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 1, 6.0)]))
+    w.run()
+    assert w.toDF().count() == 2
+
+    # default mode would retract the joined row; compat mode keeps it stale
+    ord_ct.delete_where(F.col("oid") == 11)
+    w.run()
+    assert w.toDF().where("oid = 11").count() == 1
+
+    # churn on the preserved key → slice recompute vs the (post-delete)
+    # snapshot reconciles the stale row away
+    cust_ct.merge(c_rows(spark, [(1, "ann2", "A")]))
+    w.run()
+    assert w.toDF().where("oid = 11").count() == 0
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
