@@ -1176,6 +1176,21 @@ def q_dedup_clusters_star(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/skew.py
+    weighted_sample — Efraimidis-Spirakis exponential sort): 100 documents
+    per language sampled ∝ n_chars, deterministic hash-uniform draws, the
+    quality/mixture-weighting primitive of a training-data pipeline. One
+    shuffle on lang; the float rank key never leaves the plan."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample(docs, ["lang"], 100, "n_chars", ["doc_id"])
+
+
 def q_stratified_sample(spark, sf_dir):
     """Stratified sampling: exactly 200 events per event_type, chosen by a
     deterministic engine-portable hash order (operators/skew.py
@@ -2301,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
@@ -2616,6 +2632,23 @@ def _corpus_oracles() -> dict[str, str]:
             lbl AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a)
             SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+        """,
+        "weighted_sample": """
+            WITH k AS (
+                SELECT doc_id, lang, n_chars,
+                       ln((('0x' || substr(md5('wsample' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                          / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, lang, n_chars, rnk FROM (
+                SELECT doc_id, lang, n_chars,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY key DESC, doc_id
+                       ) AS BIGINT) AS rnk
+                FROM k)
+            WHERE rnk <= 100
         """,
         "stratified_sample": """
             SELECT event_id, user_id, event_type, value FROM (

@@ -694,22 +694,33 @@ class ChangeTable:
         ).select(*self._data_cols())
         new_content = survivors.unionByName(new_rows)
 
+        # ONE full-outer diff join classifies inserts / deletes / updates —
+        # three separate anti/inner joins would recompute the same
+        # scope-sized match three times. Presence is tracked by explicit
+        # markers, not PK null-tests: outer-join targets legitimately carry
+        # NULL key parts (the reason _pk_cond is null-safe).
         pk_cond = self._pk_cond(N, O)
-        inserts = new_rows.alias(N).join(
-            old_scope.alias(O), pk_cond, "left_anti"
-        ).select(*self._data_cols())
-        deletes = old_scope.alias(O).join(
-            new_rows.alias(N), self._pk_cond(O, N), "left_anti"
-        ).select(*self._data_cols())
-        data_struct = lambda q: F.struct(*[F.col(f"{q}.`{c}`") for c in self._data_cols()])
-        changed_pairs = (
-            new_rows.alias(N)
-            .join(old_scope.alias(O), pk_cond, "inner")
-            .where(~data_struct(N).eqNullSafe(data_struct(O)))
+        diff = (
+            new_rows.withColumn("__np", F.lit(True)).alias(N)
+            .join(
+                old_scope.withColumn("__op", F.lit(True)).alias(O),
+                pk_cond,
+                "full_outer",
+            )
             .persist()
         )
-        pre = changed_pairs.select(*[F.col(f"{O}.`{c}`").alias(c) for c in self._data_cols()])
-        post = changed_pairs.select(*[F.col(f"{N}.`{c}`").alias(c) for c in self._data_cols()])
+        n_present = F.col(f"{N}.__np").isNotNull()
+        o_present = F.col(f"{O}.__op").isNotNull()
+        n_cols = [F.col(f"{N}.`{c}`").alias(c) for c in self._data_cols()]
+        o_cols = [F.col(f"{O}.`{c}`").alias(c) for c in self._data_cols()]
+        data_struct = lambda q: F.struct(*[F.col(f"{q}.`{c}`") for c in self._data_cols()])
+        inserts = diff.where(n_present & ~o_present).select(*n_cols)
+        deletes = diff.where(o_present & ~n_present).select(*o_cols)
+        changed_pairs = diff.where(
+            n_present & o_present & ~data_struct(N).eqNullSafe(data_struct(O))
+        )
+        pre = changed_pairs.select(*o_cols)
+        post = changed_pairs.select(*n_cols)
 
         changes = (
             self._tag(inserts, INSERT, v)
@@ -727,7 +738,7 @@ class ChangeTable:
         finally:
             old_scope.unpersist()
             new_rows.unpersist()
-            changed_pairs.unpersist()
+            diff.unpersist()
             changes.unpersist()
 
     def delete_where(self, condition) -> int:

@@ -455,9 +455,13 @@ def _cc_star(
                 .dropDuplicates(["u", "v"])
                 .localCheckpoint(eager=True)
             )
+            # equal counts + one empty difference ⇒ multiset equality:
+            # the count probes are cheap aggregates over checkpointed
+            # frames and short-circuit the (shuffling) exceptAll entirely
+            # on non-final rounds
             stable = (
-                small.exceptAll(edges).limit(1).count() == 0
-                and edges.exceptAll(small).limit(1).count() == 0
+                small.count() == edges.count()
+                and small.exceptAll(edges).limit(1).count() == 0
             )
             edges = small
             if stable:

@@ -187,3 +187,53 @@ def deterministic_split(
             expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    weight_col: str,
+    id_cols: Sequence[str],
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement, exactly ``min(n, |stratum|)``
+    rows per group — the Efraimidis-Spirakis exponential-sort reservoir
+    (A-ES, IPL 2006): each row draws a deterministic hash-uniform
+    u ∈ (0, 1] and ranks by ``ln(u)/w`` descending, which is the monotone
+    transform of the classic ``u^(1/w)`` key; the per-group top-n is a
+    true weight-proportional sample without replacement. THE primitive for
+    quality-weighted training mixtures (sample documents ∝ quality score,
+    tokens ∝ source mixture weight) — reproducible across runs, engines
+    and partitionings, unlike rand()-based sampling.
+
+    Rows with NULL or non-positive weight are excluded (zero-weight rows
+    cannot be sampled; A-ES requires w > 0).
+
+    Scale: one shuffle on the group columns; ranking streams within each
+    stratum task — identical physics to sample_per_group. No global sort.
+
+    Determinism note: ``ln`` is the one libm call in the engine's oracle
+    surface. Cross-engine last-ulp differences in ln can only flip the
+    sample when two rank keys differ by < 1 ulp relative — with 60-bit
+    distinct hash inputs the expected min key gap is astronomically larger
+    (~2^-40 relative at millions of rows vs 2^-52 ulp), so the selection
+    is stable in practice; the float key itself is never emitted.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import hash64
+
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    u = (hash64(key_str, seed=seed) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    rank_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        rank_key.desc(), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= n)
+    )

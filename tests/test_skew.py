@@ -103,3 +103,26 @@ def test_sample_per_group_exact_and_deterministic(spark):
     # deterministic under physical reordering
     s2 = sample_per_group(df.repartition(13).sortWithinPartitions("g"), ["g"], 5, ["id"])
     assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_weighted_sample_semantics(spark):
+    """A-ES weighted reservoir: exact per-group counts, overwhelming-weight
+    rows always selected, zero/null weights excluded, deterministic."""
+    from streamjoin_spark.operators.skew import weighted_sample
+
+    rows = ([("g1", 0, 1e9)] + [("g1", i, 1.0) for i in range(1, 60)]
+            + [("g2", 100, 2.0), ("g2", 101, 0.0), ("g2", 102, None)])
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+
+    out = weighted_sample(df, ["g"], 5, "w", ["id"])
+    got = {(r["g"], r["id"]): r["rnk"] for r in out.collect()}
+    g1 = [k for k in got if k[0] == "g1"]
+    assert len(g1) == 5                      # exact n when stratum is larger
+    # the 10^9-weight row has rank key ~0 (max) — always sampled, rank 1
+    assert got[("g1", 0)] == 1
+    # zero/null weights are not sampleable; g2 keeps only its valid row
+    assert [k for k in got if k[0] == "g2"] == [("g2", 100)]
+    # deterministic: identical second run
+    again = {(r["g"], r["id"]): r["rnk"]
+             for r in weighted_sample(df, ["g"], 5, "w", ["id"]).collect()}
+    assert again == got
