@@ -1948,6 +1948,44 @@ def q_approx_quantiles(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-size planning: the top-100 corpus tokens with rank and
+    CUMULATIVE coverage share — the curve a tokenizer-budget decision reads
+    ('how much of the stream does a 32k vocab cover?'). Distributed top-k
+    (TakeOrdered) bounds the ranked set to k rows BEFORE the cumulative
+    window, so the only ordered window runs over 100 rows, not the token
+    stream; the corpus total is a 1-row broadcast. Division-derived share
+    is FLOOR-canonicalized per the float invariant."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    from streamjoin_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(100)
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("tok"))).cast("long"))
+        .withColumn(
+            "cum_share",
+            F.floor(
+                F.sum("n").over(w).cast("double") / F.col("__total") * 1e6
+            ) / F.lit(1e6),
+        )
+        .select("rank", "tok", "n", "cum_share")
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Corpus token frequency: explode whitespace tokens, count, distributed
     top-20 (TakeOrdered — no global single-partition window); ties broken by
@@ -2355,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "approx_quantiles": q_approx_quantiles,
         "token_topk": q_token_topk,
+        "vocab_coverage": q_vocab_coverage,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -3227,6 +3266,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY n DESC, tok
             LIMIT 20
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+                SELECT tok FROM (
+                    SELECT unnest(string_split_regex(lower(trim(text)),
+                                                     '\\s+')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''),
+            counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+            top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 100),
+            tot AS (SELECT COUNT(*) AS total FROM toks)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+                        AS BIGINT) AS rank,
+                   tok, n,
+                   FLOOR(CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS DOUBLE)
+                         / total * 1000000.0) / 1000000.0 AS cum_share
+            FROM top CROSS JOIN tot
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -818,6 +818,26 @@ class ChangeTable:
                 removed["manifests"] += 1
         return removed
 
+    def max_dirs_per_part(self) -> int:
+        """Fragmentation probe: the longest per-part dir list in the current
+        manifest. Append-only commits grow this by one per touched part
+        (replace/merge commits consolidate their parts back to one), so it
+        is the OPTIMIZE trigger metric — file-count growth, not bytes."""
+        m = self._manifest(self.version())
+        return max((len(d) for d in m.values()), default=0)
+
+    def maybe_compact(self, max_dirs_per_part: int = 64) -> bool:
+        """Auto-OPTIMIZE policy: compact when any part's dir list exceeds
+        the threshold. Safe mid-pipeline — compaction emits zero change
+        rows, so downstream incremental consumers see an empty change
+        range and advance their watermarks without recomputing anything.
+        At 100 TB this is what keeps an append-heavy ingest table's
+        file count (and scan-planning time) bounded."""
+        if self.max_dirs_per_part() > max_dirs_per_part:
+            self.compact()
+            return True
+        return False
+
     def compact(self) -> int:
         """Consolidate every part to a single file-set (the OPTIMIZE analog:
         bounds manifest growth after many appends). Emits no change rows."""

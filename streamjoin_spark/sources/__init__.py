@@ -43,6 +43,7 @@ class FileIngest:
         mode: str = "merge",
         max_files_per_batch: int = 64,
         reader_options: dict | None = None,
+        auto_compact_threshold: int | None = 64,
     ):
         if mode not in ("merge", "append"):
             raise ValueError("mode must be 'merge' or 'append'")
@@ -53,6 +54,11 @@ class FileIngest:
         self.mode = mode
         self.max_files_per_batch = max_files_per_batch
         self.reader_options = reader_options or {}
+        # append-mode batches each add one dir per touched part; the
+        # auto-OPTIMIZE policy keeps file counts bounded over long-running
+        # ingestion (None disables). Compaction emits no change rows, so
+        # downstream incremental consumers are unaffected.
+        self.auto_compact_threshold = auto_compact_threshold
         self._state_path = os.path.join(target.path, "_ingest_state.json")
 
     # -- progress ------------------------------------------------------
@@ -90,10 +96,14 @@ class FileIngest:
         seen = self._seen()
         seen.update(new)
         self._save_seen(seen)
+        if self.auto_compact_threshold is not None:
+            self.target.maybe_compact(self.auto_compact_threshold)
         return len(new)
 
     def run(self) -> int:
-        """Drain all new files (availableNow semantics); returns total."""
+        """Drain all new files (availableNow semantics); returns total.
+        Fragmentation is checked per batch (``auto_compact_threshold``),
+        so even one giant drain stays file-count bounded."""
         total = 0
         while True:
             n = self.run_once()

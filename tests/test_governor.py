@@ -129,3 +129,60 @@ def test_governed_run_converges_under_cdc_churn(spark, tmp_path, cust_ct, ord_ct
     # 3 commits per side; a slice consumes ≤1 version from EACH side
     assert slices >= 3
     assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "left"))
+
+
+# ---------------------------------------------------------------------------
+# pure-Python property tests for the chunking math (no Spark session)
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    class _FakeCT:
+        def __init__(self, sizes):
+            self.sizes = sizes  # sizes[v] = change bytes of commit v (1-based)
+
+        def change_bytes(self, v):
+            return self.sizes[v - 1]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=10_000),
+                       min_size=1, max_size=50),
+        max_bytes=st.one_of(st.none(), st.integers(min_value=1, max_value=20_000)),
+        max_versions=st.one_of(st.none(), st.integers(min_value=1, max_value=10)),
+    )
+    def test_chunk_end_properties(sizes, max_bytes, max_versions):
+        """Invariants of the governor's chunking: (1) progress is always
+        made when backlog exists; (2) repeated chunking partitions the
+        whole range with no gaps or overlaps; (3) a chunk only exceeds the
+        byte budget when it is a single commit (chunk granularity is a
+        whole commit); (4) the version cap is never exceeded."""
+        gov = _Governor({})
+        gov.max_bytes = max_bytes
+        gov.max_versions = max_versions
+        ct = _FakeCT(sizes)
+        v1 = len(sizes)
+        v0, chunks = 0, []
+        while v0 < v1:
+            end, nbytes = gov.chunk_end(ct, v0, v1)
+            assert end > v0                                   # (1) progress
+            assert nbytes == sum(sizes[v0:end])               # byte account
+            if max_versions is not None:
+                assert end - v0 <= max_versions               # (4)
+            if max_bytes is not None and end - v0 > 1:
+                assert nbytes <= max_bytes                    # (3)
+            chunks.append((v0, end))
+            v0 = end
+        assert chunks[0][0] == 0 and chunks[-1][1] == v1      # (2) cover
+        for (a, b), (c, d) in zip(chunks, chunks[1:]):
+            assert b == c                                     # (2) contiguous
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**40))
+    def test_should_hint_monotone(est):
+        gov = _Governor({"broadcastThreshold": "1m"})
+        assert gov.should_hint(est) == (est <= 1024 * 1024)
+
+except ImportError:  # pragma: no cover - hypothesis always in this env
+    pass

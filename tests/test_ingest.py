@@ -94,3 +94,38 @@ def test_ingest_csv_with_header(spark, tmp_path):
     snap = {r["id"]: (r["name"], r["seq"]) for r in ct.snapshot().collect()}
     assert snap == {1: ("x2", 2), 2: ("y", 1)}
     assert ing.run() == 0
+
+
+def test_auto_compact_bounds_fragmentation(spark, tmp_path):
+    """Append-mode ingestion adds one dir per batch per touched part; the
+    auto-OPTIMIZE policy consolidates once any part exceeds the threshold,
+    emits no change rows, and leaves content + change feed intact."""
+    import json as _json
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.sources import FileIngest
+    from streamjoin_spark.streams import CHANGE_TYPE
+
+    land = tmp_path / "land"
+    land.mkdir()
+    schema = "id long, v string"
+    # single-part table (one bucket) so every append touches the same part
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame([], schema).schema, ["id"], n_buckets=1,
+    )
+    for i in range(8):
+        with open(land / f"f{i:02d}.json", "w") as f:
+            f.write(_json.dumps({"id": i, "v": f"x{i}"}) + "\n")
+
+    ing = FileIngest(spark, str(land / "*.json"), ct, fmt="json",
+                     mode="append", max_files_per_batch=1,
+                     auto_compact_threshold=3)
+    assert ing.run() == 8
+    # fragmentation stayed bounded: compaction ran at least once
+    assert ct.max_dirs_per_part() <= 3 + 1
+    # content complete, change feed has exactly the 8 inserts, no extras
+    assert ct.snapshot().count() == 8
+    feed = ct.read_change_feed()
+    assert feed.count() == 8
+    assert feed.where(F.col(CHANGE_TYPE) != "insert").count() == 0
