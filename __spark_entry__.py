@@ -2307,6 +2307,40 @@ def q_rank_metrics(spark, sf_dir):
     return ranked.where(F.col("rn") <= 50).drop("rn")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """SemDeDup-style semantic clustering: one Lloyd round of k-means (k=8,
+    deterministic lowest-id seeds) over the embedding corpus, profiled per
+    cluster (size, canonical mean distance, smallest member id).
+
+    Scale posture: assignment is map-only (8-row centroid broadcast);
+    recompute is one (cluster, dim)-key shuffle whose reduce side is k·dim
+    rows; the corpus is scanned, never self-joined. Distances are strict
+    left folds rounded 6 dp; centroid means and avg_dist are division-
+    derived → FLOOR-canonicalized per the float invariant.
+    """
+    _prep(spark)
+    from streamjoin_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans(emb, k=8, iters=1)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.floor(
+                    F.sum(F.col("dist").cast("decimal(27,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e4)
+                )
+                / F.lit(1e4)
+            ).alias("avg_dist"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2394,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "token_topk": q_token_topk,
         "vocab_coverage": q_vocab_coverage,
+        "kmeans_clusters": q_kmeans_clusters,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -3285,6 +3320,51 @@ def oracle_sql() -> dict[str, str]:
                               AND CURRENT ROW) AS DOUBLE)
                          / total * 1000000.0) / 1000000.0 AS cum_share
             FROM top CROSS JOIN tot
+        """,
+        "kmeans_clusters": """
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                               AS INT) AS cluster_id, e AS c
+                   FROM v ORDER BY vec_id LIMIT 8),
+            s1 AS (SELECT v.vec_id, v.e, c0.cluster_id,
+                          ROUND(list_sum(list_transform(
+                              generate_series(1, len(v.e)),
+                              i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))),
+                              6) AS dist
+                   FROM v CROSS JOIN c0),
+            a1 AS (SELECT vec_id, e, cluster_id FROM (
+                       SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist, cluster_id) AS rn FROM s1)
+                   WHERE rn = 1),
+            comps AS (SELECT cluster_id, i AS pos, e[i] AS x
+                      FROM a1, UNNEST(generate_series(1, len(e))) AS t(i)),
+            c1 AS (SELECT cluster_id, pos,
+                          FLOOR(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(27,6)))
+                                     AS DOUBLE)
+                                / COUNT(*) * 1000000.0) / 1000000.0 AS m
+                   FROM comps GROUP BY cluster_id, pos),
+            cents AS (SELECT cluster_id, list(m ORDER BY pos) AS c
+                      FROM c1 GROUP BY cluster_id),
+            s2 AS (SELECT v.vec_id, cents.cluster_id,
+                          ROUND(list_sum(list_transform(
+                              generate_series(1, len(v.e)),
+                              i -> (v.e[i] - cents.c[i])
+                                   * (v.e[i] - cents.c[i]))), 6) AS dist
+                   FROM v CROSS JOIN cents),
+            a2 AS (SELECT vec_id, cluster_id, dist FROM (
+                       SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist, cluster_id) AS rn FROM s2)
+                   WHERE rn = 1)
+            SELECT cluster_id, COUNT(*) AS n_members,
+                   FLOOR(CAST(SUM(CAST(dist AS DECIMAL(27,6))) AS DOUBLE)
+                         / COUNT(*) * 10000.0) / 10000.0 AS avg_dist,
+                   MIN(vec_id) AS min_member
+            FROM a2 GROUP BY cluster_id ORDER BY cluster_id
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,145 @@
+"""Distributed k-means clustering over embedding columns (Lloyd rounds).
+
+Beyond the reference surface (SURVEY.md §2 lists no vector ops): semantic
+clustering is the backbone of SemDeDup-style training-data curation
+(Abbas et al. 2023) — cluster the corpus by embedding, then dedup / balance
+/ sample within clusters. The reference engine has no analog; this is the
+missing piece between the ANN operators (similarity.py) and the sampling
+operators (skew.py).
+
+Determinism contract (oracle-checkable, no RNG):
+- Seeds are the embeddings of the ``k`` smallest ids — reproducible
+  everywhere, no sampling.
+- Assignment ranks by the *rounded* (6 dp) squared L2 distance with the
+  centroid id as tiebreak; the distance itself is a strict left fold
+  (``F.aggregate``) so the summation order is pinned.
+- Centroid recompute canonicalizes each component: per-row components are
+  rounded to 6 dp, summed as DECIMAL (exact), divided by the member count
+  and FLOOR-truncated at 6 dp — the per-CLAUDE.md float invariant for
+  division-derived values, bit-identical across Spark and DuckDB.
+
+Scale posture (100 TB): centroids are always a k-row table — broadcast
+into the assignment cross-join, so assignment is a map-only stage over the
+corpus (no corpus shuffle). Recompute is one shuffle of (cluster, dim)
+partial sums — map-side combine applies, the reduce side is k·dim rows.
+Each Lloyd round localCheckpoints the k-row centroid frame (CLAUDE.md
+iterative-operator invariant: plan growth, not data volume, is the risk).
+The corpus itself is never re-shuffled across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["seed_centroids", "assign_clusters", "recompute_centroids", "kmeans"]
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² as a strict left fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def seed_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic seeds: the embeddings of the ``k`` smallest ids,
+    numbered 0..k-1 in id order. Output: ``cluster_id``, ``__cv``.
+
+    k-bounded: the id sort is a distributed top-k (TakeOrderedAndProject),
+    never a global sort of the corpus; the numbering window then runs over
+    the k surviving rows only.
+    """
+    seeds = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+        .orderBy(F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc(id_col))
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cluster_id"), "__cv"
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    score every (row, centroid) pair map-side, keep the argmin (rounded
+    distance, centroid id tiebreak). Output: all input columns +
+    ``cluster_id`` + ``dist`` (rounded 6 dp squared L2).
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.round(sq_dist(_as_double(F.col(vec_col)), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("__arn", F.row_number().over(w))
+        .where(F.col("__arn") == 1)
+        .drop("__arn", "__cv")
+    )
+
+
+def recompute_centroids(
+    assigned: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster component-wise canonical mean. One shuffle of
+    (cluster_id, dim) partial DECIMAL sums; reduce output is k·dim rows.
+
+    ``pos`` is 1-based to line up with DuckDB's generate_series twin.
+    """
+    comps = assigned.select(
+        "cluster_id", F.posexplode(_as_double(F.col(vec_col)))
+    ).select(
+        "cluster_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("__x")
+    )
+    per_dim = comps.groupBy("cluster_id", "pos").agg(
+        (
+            F.floor(
+                F.sum(F.round(F.col("__x"), 6).cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("__m")
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__m"))), lambda s: s["__m"]
+        ).alias("__cv")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``iters`` Lloyd rounds from deterministic seeds, then a final
+    assignment against the last centroids. Returns the assigned frame
+    (input columns + ``cluster_id`` + ``dist``).
+
+    Each round: map-only assignment (broadcast centroids) + one
+    (cluster, dim)-key shuffle to recompute. The k-row centroid frame is
+    eagerly localCheckpointed per round so the logical plan stays flat
+    across rounds (the corpus plan is referenced, never grown).
+    """
+    cents = seed_centroids(df, k, id_col, vec_col).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = assign_clusters(df, cents, id_col, vec_col)
+        cents = recompute_centroids(assigned, vec_col).localCheckpoint(eager=True)
+    return assign_clusters(df, cents, id_col, vec_col)

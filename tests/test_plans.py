@@ -225,3 +225,23 @@ def test_approx_quantiles_no_global_sort(spark, sf_dir):
     p = plan_of(entry.q_approx_quantiles(spark, sf_dir))
     assert "rangepartitioning" not in p.lower(), p
     assert "HashAggregate" in p
+
+
+def test_kmeans_seeds_topk_and_centroids_broadcast(spark, sf_dir):
+    """Seeds come from a distributed top-k (never a full-corpus global
+    window), the k-row centroid table is broadcast into every assignment
+    join (map-only assignment), and the corpus is never sort-shuffled."""
+    from streamjoin_spark.operators.clustering import seed_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # seeds: distributed top-k (the localCheckpoint in kmeans() hides this
+    # stage from the composed query plan, so pin it on the stage itself)
+    assert "TakeOrderedAndProject" in plan_of(seed_centroids(emb, 8))
+    p = plan_of(entry.q_kmeans_clusters(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    # the only range partitioning allowed is the 8-row final ORDER BY on
+    # cluster_id — the corpus itself must never be sort-shuffled
+    import re
+
+    for m in re.findall(r"rangepartitioning\(([^)]*)", p):
+        assert "cluster_id" in m, p
