@@ -2341,6 +2341,26 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-orderkey estimate per returnflag (b=9, m=512
+    registers) with the exact count alongside for the accuracy audit.
+
+    Scale posture: one shuffle of ≤m register rows per group (MAX combines
+    map-side); registers merge across partitions/days by the same MAX — the
+    running-cardinality story exact COUNT(DISTINCT) cannot offer at 100 TB.
+    Estimate math is integer-exact (BIGINT Σ 2^(52-ρ)) except one division
+    between identical doubles; the shipped groups sit on the raw-estimate
+    branch (n ≫ 2.5m), so no ln() is evaluated.
+    """
+    _prep(spark)
+    from streamjoin_spark.operators.sketches import hll_distinct
+
+    l = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(l, ["l_returnflag"], "l_orderkey", b=9).orderBy(
+        "l_returnflag"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2429,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "vocab_coverage": q_vocab_coverage,
         "kmeans_clusters": q_kmeans_clusters,
+        "hll_distinct": q_hll_distinct,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -2506,6 +2527,14 @@ _MINHASH_CTES = f"""{_SHINGLE_CTE},
             bands AS (SELECT doc_id, i // 3 AS band,
                              md5(string_agg(h, ',' ORDER BY i)) AS bh
                       FROM sigs GROUP BY doc_id, i // 3)"""
+
+def _hll_num() -> str:
+    """The α·m²·2^52 literal shared with the Spark path (b=9) — one double,
+    identical on both sides (streamjoin_spark.operators.sketches)."""
+    from streamjoin_spark.operators.sketches import hll_alpha_numerator
+
+    return repr(hll_alpha_numerator(9))
+
 
 _VEC_CTE = """
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3365,6 +3394,37 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*) * 10000.0) / 10000.0 AS avg_dist,
                    MIN(vec_id) AS min_member
             FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "hll_distinct": f"""
+            WITH h AS (SELECT l_returnflag,
+                    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                        ::BIGINT AS hv
+                FROM lineitem),
+            r AS (SELECT l_returnflag, hv % 512 AS bucket,
+                         MAX(CASE WHEN hv // 512 = 0 THEN 52
+                              ELSE 52 - length(bin(hv // 512)) END) AS rho
+                  FROM h GROUP BY l_returnflag, hv % 512),
+            s AS (SELECT l_returnflag,
+                         SUM(1::BIGINT << (52 - rho)) AS s_present,
+                         COUNT(*) AS present
+                  FROM r GROUP BY l_returnflag),
+            e AS (SELECT l_returnflag,
+                         CAST(s_present + (512 - present) * (1::BIGINT << 52)
+                              AS DOUBLE) AS s_total,
+                         512 - present AS v
+                  FROM s),
+            est AS (SELECT l_returnflag, {_hll_num()} / s_total AS est_raw, v
+                    FROM e),
+            fin AS (SELECT l_returnflag,
+                           CAST(FLOOR(CASE WHEN est_raw <= 1280.0 AND v > 0
+                                THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+                                ELSE est_raw END) AS BIGINT) AS est_distinct
+                    FROM est),
+            x AS (SELECT l_returnflag,
+                         COUNT(DISTINCT l_orderkey) AS exact_distinct
+                  FROM lineitem GROUP BY l_returnflag)
+            SELECT fin.l_returnflag, est_distinct, exact_distinct
+            FROM fin JOIN x USING (l_returnflag) ORDER BY l_returnflag
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,

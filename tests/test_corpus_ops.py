@@ -717,3 +717,45 @@ def test_zone_map_prune_semantics(spark):
         1: (2, 10, 20, True),    # overlaps → scanned
         2: (1, 100, 100, False), # entirely above → skipped
     }
+
+
+def test_hll_merge_law_and_accuracy(spark):
+    """Two half-corpus register tables merged by MAX give EXACTLY the
+    whole-corpus registers (the HLL merge law), and the estimate lands
+    within the ~4.6 % standard error band for b=9."""
+    from streamjoin_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+        merge_hll,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    out = hll_distinct(df, ["g"], "v", b=9).collect()[0]
+    assert out["exact_distinct"] == 5000
+    assert abs(out["est_distinct"] - 5000) / 5000 < 0.15
+
+    half_a = df.where(F.col("id") < 3000)
+    half_b = df.where(F.col("id") >= 2000)  # overlapping halves: idempotence
+    merged = merge_hll(
+        hll_registers(half_a, ["g"], "v"), hll_registers(half_b, ["g"], "v"), ["g"]
+    )
+    whole = hll_registers(df, ["g"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est_m = hll_estimate(merged, ["g"]).collect()[0]["est_distinct"]
+    est_w = hll_estimate(whole, ["g"]).collect()[0]["est_distinct"]
+    assert est_m == est_w
+
+
+def test_hll_small_group_linear_counting(spark):
+    """Small cardinalities take the linear-counting branch and stay tight
+    (within a few % — V is large, the branch is near-exact there)."""
+    from streamjoin_spark.operators.sketches import hll_distinct
+
+    df = spark.range(0, 40).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    out = hll_distinct(df, ["g"], "v", b=9).collect()[0]
+    assert abs(out["est_distinct"] - 40) <= 3
