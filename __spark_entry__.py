@@ -2361,6 +2361,19 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_funnel_events(spark, sf_dir):
+    """Strict-order view→click→purchase funnel: users converting at each
+    step (earliest qualifying event strictly after the previous step's
+    conversion time) + conversion share of step 1. Every shuffle in the
+    step chain is on user_id (exchange reuse); rates FLOOR-canonicalized.
+    """
+    _prep(spark)
+    from streamjoin_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2450,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct": q_hll_distinct,
+        "funnel_events": q_funnel_events,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -3394,6 +3408,28 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*) * 10000.0) / 10000.0 AS avg_dist,
                    MIN(vec_id) AS min_member
             FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "funnel_events": """
+            WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.u
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.u
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY e.user_id),
+            tall AS (
+                SELECT 1 AS step_idx, 'view' AS step,
+                       (SELECT COUNT(*) FROM s1) AS users
+                UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+                UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)),
+            base AS (SELECT COUNT(*) AS b FROM s1)
+            SELECT step_idx, step, users,
+                   FLOOR(CAST(users AS DOUBLE) / b * 1000000.0)
+                       / 1000000.0 AS conv_rate
+            FROM tall CROSS JOIN base ORDER BY step_idx
         """,
         "hll_distinct": f"""
             WITH h AS (SELECT l_returnflag,

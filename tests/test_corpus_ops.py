@@ -759,3 +759,30 @@ def test_hll_small_group_linear_counting(spark):
     )
     out = hll_distinct(df, ["g"], "v", b=9).collect()[0]
     assert abs(out["est_distinct"] - 40) <= 3
+
+
+def test_funnel_strict_order_semantics(spark):
+    """A user whose click precedes every view does NOT convert; conversion
+    uses the earliest qualifying event strictly after the previous step."""
+    import datetime as dt
+
+    from streamjoin_spark.operators.funnel import funnel
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1: view@1 click@2 -> converts both steps
+        (1, "view", t(1)), (1, "click", t(2)),
+        # u2: click@1 view@2 -> view only (click not after first view)
+        (2, "click", t(1)), (2, "view", t(2)),
+        # u3: view@1, click@1 (same instant -> NOT strictly after)
+        (3, "view", t(1)), (3, "click", t(1)),
+        # u4: click only -> not even step 1
+        (4, "click", t(5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r.step: (r.users, r.conv_rate) for r in funnel(ev, ["view", "click"]).collect()}
+    assert out["view"] == (3, 1.0)
+    assert out["click"][0] == 1
+    assert abs(out["click"][1] - 0.333333) < 1e-9
