@@ -2374,6 +2374,50 @@ def q_funnel_events(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_expectations_report(spark, sf_dir):
+    """DLT-expectations-style data-quality report over orders: four row
+    rules folded into ONE HashAggregate pass (conditional counts — no
+    per-rule scans) plus a referential-integrity row (lineitem.l_orderkey
+    → orders.o_orderkey, broadcast anti-join). Violation rates are
+    division-derived → FLOOR-canonicalized.
+    """
+    _prep(spark)
+    from streamjoin_spark.operators.expectations import check, fk_check
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    report = check(
+        o,
+        {
+            "orderkey_not_null": "o_orderkey IS NOT NULL",
+            "totalprice_positive": "o_totalprice > 0",
+            "high_value": "o_totalprice >= 200000",
+            "date_before_2000": "o_orderdate < TIMESTAMP'2000-01-01'",
+        },
+    )
+    orphans = fk_check(l, o, {"l_orderkey": "o_orderkey"})
+    fk_row = (
+        l.agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(
+            F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+        )
+        .select(
+            F.lit("fk_lineitem_orderkey").alias("rule"),
+            "n_rows",
+            "n_violations",
+            (
+                F.floor(
+                    F.col("n_violations").cast("double")
+                    / F.col("n_rows")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("violation_rate"),
+        )
+    )
+    return report.unionByName(fk_row).orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2464,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct": q_hll_distinct,
         "funnel_events": q_funnel_events,
+        "expectations_report": q_expectations_report,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -3408,6 +3453,44 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*) * 10000.0) / 10000.0 AS avg_dist,
                    MIN(vec_id) AS min_member
             FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "expectations_report": """
+            WITH o AS (
+                SELECT COUNT(*) AS n_rows,
+                       SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL,
+                                                  FALSE)
+                                THEN 1 ELSE 0 END) AS v_nn,
+                       SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                                THEN 1 ELSE 0 END) AS v_pos,
+                       SUM(CASE WHEN NOT COALESCE(o_totalprice >= 200000,
+                                                  FALSE)
+                                THEN 1 ELSE 0 END) AS v_hv,
+                       SUM(CASE WHEN NOT COALESCE(
+                                o_orderdate < TIMESTAMP '2000-01-01', FALSE)
+                                THEN 1 ELSE 0 END) AS v_date
+                FROM orders),
+            fk AS (SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+                          (SELECT COUNT(*) FROM lineitem l
+                           WHERE l.l_orderkey IS NOT NULL
+                             AND l.l_orderkey NOT IN
+                                 (SELECT o_orderkey FROM orders
+                                  WHERE o_orderkey IS NOT NULL))
+                              AS n_violations),
+            tall AS (
+                SELECT 'orderkey_not_null' AS rule, n_rows,
+                       CAST(v_nn AS BIGINT) AS n_violations FROM o
+                UNION ALL SELECT 'totalprice_positive', n_rows,
+                       CAST(v_pos AS BIGINT) FROM o
+                UNION ALL SELECT 'high_value', n_rows,
+                       CAST(v_hv AS BIGINT) FROM o
+                UNION ALL SELECT 'date_before_2000', n_rows,
+                       CAST(v_date AS BIGINT) FROM o
+                UNION ALL SELECT 'fk_lineitem_orderkey', n_rows,
+                       n_violations FROM fk)
+            SELECT rule, n_rows, n_violations,
+                   FLOOR(CAST(n_violations AS DOUBLE) / n_rows * 1000000.0)
+                       / 1000000.0 AS violation_rate
+            FROM tall ORDER BY rule
         """,
         "funnel_events": """
             WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
