@@ -2418,6 +2418,17 @@ def q_expectations_report(spark, sf_dir):
     return report.unionByName(fk_row).orderBy("rule")
 
 
+def q_passage_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style passage-granular dedup: 20-token non-overlapping
+    passages, first global occurrence survives, documents reassembled from
+    surviving passages. One shuffle on the passage hash + one on doc_id —
+    no self-join (operators/text.py passage_dedup)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import passage_dedup
+
+    return passage_dedup(_t(spark, sf_dir, "documents"), passage_tokens=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2509,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "funnel_events": q_funnel_events,
         "expectations_report": q_expectations_report,
+        "passage_dedup": q_passage_dedup,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -3453,6 +3465,26 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*) * 10000.0) / 10000.0 AS avg_dist,
                    MIN(vec_id) AS min_member
             FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "passage_dedup": r"""
+            WITH base AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '') AS w
+                FROM documents),
+            p AS (SELECT doc_id, i AS pos,
+                     array_to_string(w[((i-1)*20+1):((i-1)*20+20)], ' ')
+                         AS passage
+                  FROM base, UNNEST(generate_series(1,
+                       CAST(CEIL(len(w) / 20.0) AS BIGINT))) AS t(i)),
+            k AS (SELECT doc_id, pos, passage,
+                    ROW_NUMBER() OVER (PARTITION BY md5(passage)
+                                       ORDER BY doc_id, pos) AS rn FROM p)
+            SELECT doc_id, COUNT(*) AS n_passages,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                                       ORDER BY pos), '') AS text_clean
+            FROM k GROUP BY doc_id
         """,
         "expectations_report": """
             WITH o AS (

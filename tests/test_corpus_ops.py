@@ -786,3 +786,24 @@ def test_funnel_strict_order_semantics(spark):
     assert out["view"] == (3, 1.0)
     assert out["click"][0] == 1
     assert abs(out["click"][1] - 0.333333) < 1e-9
+
+
+def test_passage_dedup_first_occurrence_survives(spark):
+    """A passage repeated across (and within) documents survives only at
+    its first global (doc_id, pos) occurrence; docs reassemble in order."""
+    from streamjoin_spark.operators.text import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # passages (P=2): "a b", "c d"
+            (2, "a b x y"),      # "a b" duplicate of doc1 -> dropped
+            (3, "c d c d"),      # both passages duplicate doc1's "c d"
+            (4, "z z"),          # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in passage_dedup(docs, passage_tokens=2).collect()}
+    assert (out[1].n_passages, out[1].n_kept, out[1].text_clean) == (2, 2, "a b c d")
+    assert (out[2].n_passages, out[2].n_kept, out[2].text_clean) == (2, 1, "x y")
+    assert (out[3].n_passages, out[3].n_kept, out[3].text_clean) == (2, 0, "")
+    assert (out[4].n_passages, out[4].n_kept, out[4].text_clean) == (1, 1, "z z")
