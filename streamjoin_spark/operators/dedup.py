@@ -353,29 +353,28 @@ def _cc_label(
             # LOGICAL plan every round — persist truncates re-execution but
             # analysis cost still compounds; checkpointing truncates lineage
             # so round r+1 plans against a flat scan
-            new_labels = (
+            new_label = F.least(
+                F.col("l.label"),
+                F.coalesce(F.col("n.nbr_min"), F.col("l.label")),
+            )
+            # labels only ever decrease and are never null, so the fixpoint
+            # is exactly "no row changed" — carry the changed flag OUT of
+            # the same join instead of re-joining new vs old per round
+            # (saves one |V|-sized equi-join job every round); the probe is
+            # then a limit-1 scan of the checkpointed frame, exact for
+            # every id type (numeric, string, binary)
+            flagged = (
                 labels.alias("l")
                 .join(nbr.alias("n"), "node", "left")
                 .select(
                     F.col("node"),
-                    F.least(
-                        F.col("l.label"),
-                        F.coalesce(F.col("n.nbr_min"), F.col("l.label")),
-                    ).alias("label"),
+                    new_label.alias("label"),
+                    (new_label < F.col("l.label")).alias("__chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            # labels only ever decrease and are never null, so the fixpoint
-            # is exactly "no row changed" — an equi-join + limit-1 probe,
-            # exact for every id type (numeric, string, binary)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = flagged.where(F.col("__chg")).limit(1).count()
+            labels = flagged.drop("__chg")
             if changed == 0:
                 return labels, rounds
         raise RuntimeError(
