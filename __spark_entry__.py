@@ -2429,6 +2429,25 @@ def q_passage_dedup(spark, sf_dir):
     return passage_dedup(_t(spark, sf_dir, "documents"), passage_tokens=20)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture data selection: exactly 60 documents at 40/30/20/10 %
+    shares over four sources (largest-remainder quotas 24/18/12/6),
+    members chosen by deterministic hash order — the DoReMi/Pile-style
+    source-mixing primitive. One shuffle on source; quota lookup is an
+    ANSI-safe literal CASE chain (skew.mixture_sample)."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(
+        docs,
+        "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        total=60,
+        id_cols=["doc_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2521,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "expectations_report": q_expectations_report,
         "passage_dedup": q_passage_dedup,
+        "mixture_sample": q_mixture_sample,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -3465,6 +3485,18 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*) * 10000.0) / 10000.0 AS avg_dist,
                    MIN(vec_id) AS min_member
             FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "mixture_sample": """
+            WITH q AS (SELECT * FROM (VALUES ('src0', 24), ('src1', 18),
+                                             ('src2', 12), ('src3', 6))
+                       AS t(source, quota)),
+            r AS (SELECT d.doc_id, d.source, q.quota,
+                    ROW_NUMBER() OVER (PARTITION BY d.source
+                        ORDER BY ('0x' || substr(md5('mixture' ||
+                                  CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                 doc_id) AS rn
+                  FROM documents d JOIN q USING (source))
+            SELECT doc_id, source FROM r WHERE rn <= quota
         """,
         "passage_dedup": r"""
             WITH base AS (SELECT doc_id,

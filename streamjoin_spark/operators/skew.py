@@ -237,3 +237,59 @@ def weighted_sample(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= n)
     )
+
+
+def mixture_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``total`` rows over ``weights``
+    (normalized): quotas sum to exactly ``total``; ties on fractional part
+    break by group name. Pure driver-side arithmetic on the (small)
+    weights dict — deterministic, no data dependence."""
+    wsum = float(sum(weights.values()))
+    raw = {g: total * w / wsum for g, w in weights.items()}
+    quotas = {g: int(raw[g]) for g in weights}
+    rest = total - sum(quotas.values())
+    for g in sorted(raw, key=lambda g: (-(raw[g] - int(raw[g])), g))[:rest]:
+        quotas[g] += 1
+    return quotas
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    total: int,
+    id_cols: Sequence[str],
+    seed: str = "mixture",
+) -> DataFrame:
+    """Target-mixture sampling: draw exactly ``total`` rows distributed
+    over ``group_col`` values per the ``weights`` shares (largest-remainder
+    quotas), each group's rows chosen by the deterministic hash order of
+    ``sample_per_group``. THE data-mixing primitive (DoReMi/Pile-style
+    source mixtures): 'train on 60 % web, 25 % books, 15 % code' becomes
+    one call. Groups not in ``weights`` are dropped; a group smaller than
+    its quota yields its whole population (the shortfall is reported by
+    the caller comparing counts, not silently re-distributed — mixture
+    arithmetic should be visible, not magic).
+
+    Scale: one shuffle on ``group_col``; ranking streams within each
+    group task; the quota lookup is a literal CASE chain (ANSI-safe — no
+    ``element_at`` on a map, which throws on missing keys in Spark 4).
+    """
+    from pyspark.sql import Window
+
+    from ..functions import hash64
+
+    quotas = mixture_quotas(weights, total)
+    quota = F.lit(0)
+    for g, n in quotas.items():
+        quota = F.when(F.col(group_col) == g, F.lit(n)).otherwise(quota)
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    w = Window.partitionBy(group_col).orderBy(
+        hash64(key_str, seed=seed).asc(), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.where(F.col(group_col).isin(*quotas.keys()))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

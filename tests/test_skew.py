@@ -126,3 +126,36 @@ def test_weighted_sample_semantics(spark):
     again = {(r["g"], r["id"]): r["rnk"]
              for r in weighted_sample(df, ["g"], 5, "w", ["id"]).collect()}
     assert again == got
+
+
+def test_mixture_quotas_largest_remainder():
+    from streamjoin_spark.operators.skew import mixture_quotas
+
+    # 7 rows at 1/3 each: floor gives 2+2+2, largest remainder (tie) breaks
+    # by name -> 'a' gets the extra
+    assert mixture_quotas({"a": 1.0, "b": 1.0, "c": 1.0}, 7) == {
+        "a": 3, "b": 2, "c": 2,
+    }
+    q = mixture_quotas({"x": 0.5, "y": 0.3, "z": 0.2}, 10)
+    assert q == {"x": 5, "y": 3, "z": 2}
+    # unnormalized weights normalize
+    assert mixture_quotas({"x": 5, "y": 3, "z": 2}, 10) == q
+
+
+def test_mixture_sample_exact_quotas_and_shortfall(spark):
+    from streamjoin_spark.operators.skew import mixture_sample
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(
+        df, "src", {"big": 0.5, "tiny": 0.5, "absent": 0.0}, 10, ["id"]
+    )
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # tiny's quota is 5 but only 2 rows exist -> visible shortfall, no
+    # silent redistribution; groups not in weights are dropped
+    assert counts == {"big": 5, "tiny": 2}
+    # determinism
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in mixture_sample(
+        df, "src", {"big": 0.5, "tiny": 0.5, "absent": 0.0}, 10, ["id"]).collect())
+    assert a == b
