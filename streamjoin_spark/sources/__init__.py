@@ -44,6 +44,8 @@ class FileIngest:
         max_files_per_batch: int = 64,
         reader_options: dict | None = None,
         auto_compact_threshold: int | None = 64,
+        rules: dict | None = None,
+        quarantine_target: "ChangeTable | None" = None,
     ):
         if mode not in ("merge", "append"):
             raise ValueError("mode must be 'merge' or 'append'")
@@ -59,6 +61,12 @@ class FileIngest:
         # ingestion (None disables). Compaction emits no change rows, so
         # downstream incremental consumers are unaffected.
         self.auto_compact_threshold = auto_compact_threshold
+        # DLT-expectations gate at the bronze edge: rows failing any rule
+        # are diverted to `quarantine_target` (schema = target schema +
+        # `_violations` string) — or silently dropped when no quarantine
+        # table is given. Map-only; see operators/expectations.py.
+        self.rules = rules
+        self.quarantine_target = quarantine_target
         self._state_path = os.path.join(target.path, "_ingest_state.json")
 
     # -- progress ------------------------------------------------------
@@ -89,6 +97,16 @@ class FileIngest:
         for k, v in self.reader_options.items():
             reader = reader.option(k, v)
         df = reader.load(new)
+        if self.rules:
+            from pyspark.sql import functions as F
+
+            from ..operators.expectations import quarantine as _quarantine
+
+            df, bad = _quarantine(df, self.rules)
+            if self.quarantine_target is not None and not bad.isEmpty():
+                self.quarantine_target.append(
+                    bad.withColumn("_violations", F.concat_ws(",", "_violations"))
+                )
         if self.mode == "merge":
             self.target.merge(df)
         else:

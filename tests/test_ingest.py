@@ -129,3 +129,53 @@ def test_auto_compact_bounds_fragmentation(spark, tmp_path):
     feed = ct.read_change_feed()
     assert feed.count() == 8
     assert feed.where(F.col(CHANGE_TYPE) != "insert").count() == 0
+
+
+def test_medallion_quarantine_gate_e2e(spark, tmp_path):
+    """Bronze-edge expectations gate (the Auto Loader + DLT pattern): rows
+    failing rules divert to a quarantine table with their violation list;
+    clean rows merge into bronze and flow through the incremental silver
+    aggregate; a later batch's bad rows never reach silver either."""
+    src = tmp_path / "landing"
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "bronze"),
+        spark.createDataFrame([], SCHEMA).schema, ["id"], sequence_by=["seq"],
+    )
+    qschema = spark.createDataFrame(
+        [], SCHEMA + ", _violations string"
+    ).schema
+    qt = ChangeTable.create(spark, str(tmp_path / "quarantine"), qschema, ["id"])
+    ing = FileIngest(
+        spark, f"{src}/*.json", ct, fmt="json", mode="merge",
+        rules={"id_present": "id IS NOT NULL", "named": "name <> 'bad'"},
+        quarantine_target=qt,
+    )
+    agg = (
+        Stream.fromChangeTable(ct, "m").primaryKeys("id")
+        .groupBy("name").agg(F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "silver"))
+    )
+
+    write_json(src, "a.json", [
+        {"id": 1, "name": "x", "seq": 1},
+        {"id": 2, "name": "bad", "seq": 1},          # rule violation
+        {"id": None, "name": "y", "seq": 1},         # null id
+        {"id": 3, "name": "x", "seq": 1},
+    ])
+    ing.run()
+    agg.run()
+    assert {r["name"]: r["n"] for r in agg.toDF().collect()} == {"x": 2}
+    q = {r["name"]: r["_violations"] for r in qt.snapshot().collect()}
+    assert q == {"bad": "named", "y": "id_present"}
+
+    # second batch: a clean update + another violation
+    write_json(src, "b.json", [
+        {"id": 1, "name": "z", "seq": 2},
+        {"id": 9, "name": "bad", "seq": 2},
+    ])
+    ing.run()
+    agg.run()
+    assert {r["name"]: r["n"] for r in agg.toDF().collect()} == {"x": 1, "z": 1}
+    assert sorted(
+        r["id"] for r in qt.snapshot().where("id IS NOT NULL").collect()
+    ) == [2, 9]
