@@ -459,6 +459,7 @@ class ChangeTable:
         rewritten: DataFrame | None = None,
         rewritten_parts: Sequence[int] = (),
         appended: DataFrame | None = None,
+        cluster_by: Sequence[str] = (),
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -484,12 +485,19 @@ class ChangeTable:
         content = rewritten if rewritten is not None else appended
         wrote_any = content is not None
         if wrote_any:
-            (
-                self._with_part(content.select(*self._data_cols()))
-                .write.mode("overwrite")
-                .partitionBy(PART)
-                .parquet(commit_abs)
+            out = self._with_part(
+                content.select(*self._data_cols(), *cluster_by)
             )
+            if cluster_by:
+                # one task per part, rows z-sorted inside it → every file's
+                # parquet row groups carry tight stats on the clustered
+                # columns; the transient key is projected away post-sort
+                out = (
+                    out.repartition(F.col(PART))
+                    .sortWithinPartitions(PART, *cluster_by)
+                    .drop(*cluster_by)
+                )
+            out.write.mode("overwrite").partitionBy(PART).parquet(commit_abs)
 
         manifest = dict(self._manifest(v - 1))
         if wrote_any:
@@ -838,12 +846,33 @@ class ChangeTable:
             return True
         return False
 
-    def compact(self) -> int:
+    def compact(self, zorder_by: Sequence[str] = ()) -> int:
         """Consolidate every part to a single file-set (the OPTIMIZE analog:
-        bounds manifest growth after many appends). Emits no change rows."""
+        bounds manifest growth after many appends). Emits no change rows.
+
+        ``zorder_by``: cluster the rewritten files on a Z-order key over
+        the given columns (OPTIMIZE ZORDER analog) — rows are sorted by
+        the interleaved key within each part's rewrite, so parquet
+        row-group min/max stats become tight hyper-rectangles on every
+        clustered column and range predicates prune at row-group level
+        (the layout.zone-map story applied to the table substrate). The
+        key never reaches disk; content and change feed are unaffected,
+        so downstream incremental consumers are not disturbed."""
         v = self.version() + 1
         cur = self.snapshot(v - 1)
+        cluster_by: tuple[str, ...] = ()
+        if zorder_by:
+            from .operators.layout import with_zorder_key
+
+            cur = with_zorder_key(cur, list(zorder_by), out_col="__zkey")
+            cluster_by = ("__zkey",)
         all_parts = [int(p) for p in self._manifest(v - 1)]
         empty_changes = self.spark.createDataFrame([], self.change_schema())
-        self._write_commit(v, empty_changes, rewritten=cur, rewritten_parts=all_parts)
+        self._write_commit(
+            v,
+            empty_changes,
+            rewritten=cur,
+            rewritten_parts=all_parts,
+            cluster_by=cluster_by,
+        )
         return v

@@ -34,6 +34,7 @@ from ..functions import hash64
 __all__ = [
     "kmv_distinct",
     "hll_registers",
+    "hll_row",
     "merge_hll",
     "hll_estimate",
     "hll_distinct",
@@ -117,6 +118,20 @@ def hll_registers(
     One shuffle of at most m rows per group.
     """
     group_cols = list(group_cols)
+    bucket, rho = hll_row(value_col, b)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_row(value_col: str, b: int = 9) -> tuple[Column, Column]:
+    """Per-row ``(bucket, rho)`` column pair — the map-side half of the
+    sketch, exposed so a *streaming* source transform can attach them and
+    an incremental ``groupBy(..., 'bucket').agg(max('rho'))`` maintains the
+    registers through the CDC runtime (inserts fold in via MAX; deletes
+    trigger the runtime's dirty-group recompute)."""
     m = 1 << b
     hv = hash64(F.col(value_col).cast("string"))
     # hv DIV m must be *integer* division — a double round-trip would lose
@@ -131,11 +146,7 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(60 - b + 1)).otherwise(
         F.lit(60 - b) - F.length(F.bin(w)) + F.lit(1)
     )
-    return (
-        df.select(*group_cols, (hv % m).alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return (hv % m), rho.cast("int")
 
 
 def merge_hll(a: DataFrame, b_: DataFrame, group_cols: Sequence[str]) -> DataFrame:

@@ -288,3 +288,51 @@ def test_history_scd2_intervals(ct, spark):
     }
     current = [r for r in hist if r["is_current"]]
     assert sorted(r["id"] for r in current) == [1, 2]
+
+
+def test_compact_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER analog: compact(zorder_by=...) rewrites every part
+    with rows sorted by the interleaved key — verified by recomputing the
+    interleave per physical file with pyarrow — while content, schema and
+    the change feed stay untouched (zero change rows emitted)."""
+    import glob as globlib
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "zt")
+    rows = [(i, (i * 37) % 100, (i * 91) % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"])
+    ct.append(df)
+    before = sorted(map(tuple, ct.snapshot().collect()))
+    v_before = ct.version()
+
+    v = ct.compact(zorder_by=["x", "y"])
+    assert v == v_before + 1
+    assert sorted(map(tuple, ct.snapshot().collect())) == before
+    assert "__zkey" not in ct.snapshot().columns
+    # OPTIMIZE emits no change rows
+    assert ct.read_change_feed(starting_version=v).count() == 0
+
+    # physical clustering: within every rewritten file, the recomputed
+    # z-interleave must be non-decreasing (lo=0, hi=99 -> exact doubles)
+    def zval(x, y, lo=0.0, hi=99.0, bits=16):
+        top = (1 << bits) - 1
+        bx = min(int((x - lo) / (hi - lo) * (top + 1)), top)
+        by = min(int((y - lo) / (hi - lo) * (top + 1)), top)
+        z = 0
+        for i in range(bits):
+            z |= ((bx >> i) & 1) << (i * 2 + 0)
+            z |= ((by >> i) & 1) << (i * 2 + 1)
+        return z
+
+    files = globlib.glob(f"{path}/data/c{v}/*/*.parquet")
+    assert files
+    checked = 0
+    for fp in files:
+        t = pq.read_table(fp, columns=["x", "y"])
+        zs = [zval(x, y) for x, y in zip(t["x"].to_pylist(), t["y"].to_pylist())]
+        if len(zs) > 1:
+            checked += 1
+            assert zs == sorted(zs), fp
+    assert checked > 0
