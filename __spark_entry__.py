@@ -2448,6 +2448,39 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_ppjoin_pairs(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs (n=3, t=0.5): the
+    candidate self-join touches only each doc's rarity-ordered prefix
+    shingles, structurally excluding boilerplate from the k² blow-up; the
+    verify step makes results identical to the brute-force join — which is
+    exactly what the oracle runs (dedup.prefix_jaccard_pairs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pearson correlations for three lineitem column pairs in ONE scan
+    (single 1-row HashAggregate; map-side partials). Decimal-exact sums →
+    identical doubles → IEEE-correctly-rounded sqrt, so r is bit-stable
+    cross-engine (operators/profiling.py pearson_corr)."""
+    _prep(spark)
+    from streamjoin_spark.operators.profiling import pearson_corr
+
+    l = _t(spark, sf_dir, "lineitem")
+    return pearson_corr(
+        l,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2541,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": q_expectations_report,
         "passage_dedup": q_passage_dedup,
         "mixture_sample": q_mixture_sample,
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "corr_matrix": q_corr_matrix,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -2803,6 +2838,83 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.3
+        """,
+        "corr_matrix": """
+            WITH base AS (SELECT
+                CAST(ROUND(CAST(l_quantity AS DOUBLE), 4)
+                     AS DECIMAL(19,6)) AS q,
+                CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 4)
+                     AS DECIMAL(19,6)) AS p,
+                CAST(ROUND(CAST(l_discount AS DOUBLE), 4)
+                     AS DECIMAL(19,6)) AS d,
+                l_quantity IS NOT NULL AS qn,
+                l_extendedprice IS NOT NULL AS pn,
+                l_discount IS NOT NULL AS dn
+                FROM lineitem),
+            w AS (SELECT
+                COUNT(CASE WHEN qn AND pn THEN 1 END) AS n_qp,
+                CAST(SUM(CASE WHEN qn AND pn THEN q END) AS DOUBLE) AS sx_qp,
+                CAST(SUM(CASE WHEN qn AND pn THEN p END) AS DOUBLE) AS sy_qp,
+                CAST(SUM(CASE WHEN qn AND pn THEN q * p END) AS DOUBLE) AS sxy_qp,
+                CAST(SUM(CASE WHEN qn AND pn THEN q * q END) AS DOUBLE) AS sxx_qp,
+                CAST(SUM(CASE WHEN qn AND pn THEN p * p END) AS DOUBLE) AS syy_qp,
+                COUNT(CASE WHEN qn AND dn THEN 1 END) AS n_qd,
+                CAST(SUM(CASE WHEN qn AND dn THEN q END) AS DOUBLE) AS sx_qd,
+                CAST(SUM(CASE WHEN qn AND dn THEN d END) AS DOUBLE) AS sy_qd,
+                CAST(SUM(CASE WHEN qn AND dn THEN q * d END) AS DOUBLE) AS sxy_qd,
+                CAST(SUM(CASE WHEN qn AND dn THEN q * q END) AS DOUBLE) AS sxx_qd,
+                CAST(SUM(CASE WHEN qn AND dn THEN d * d END) AS DOUBLE) AS syy_qd,
+                COUNT(CASE WHEN pn AND dn THEN 1 END) AS n_pd,
+                CAST(SUM(CASE WHEN pn AND dn THEN p END) AS DOUBLE) AS sx_pd,
+                CAST(SUM(CASE WHEN pn AND dn THEN d END) AS DOUBLE) AS sy_pd,
+                CAST(SUM(CASE WHEN pn AND dn THEN p * d END) AS DOUBLE) AS sxy_pd,
+                CAST(SUM(CASE WHEN pn AND dn THEN p * p END) AS DOUBLE) AS sxx_pd,
+                CAST(SUM(CASE WHEN pn AND dn THEN d * d END) AS DOUBLE) AS syy_pd
+                FROM base)
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                   n_qp AS n,
+                   CASE WHEN sqrt((CAST(n_qp AS DOUBLE) * sxx_qp - sx_qp * sx_qp)
+                                  * (CAST(n_qp AS DOUBLE) * syy_qp - sy_qp * sy_qp)) > 0
+                        THEN FLOOR((CAST(n_qp AS DOUBLE) * sxy_qp - sx_qp * sy_qp)
+                             / sqrt((CAST(n_qp AS DOUBLE) * sxx_qp - sx_qp * sx_qp)
+                                    * (CAST(n_qp AS DOUBLE) * syy_qp - sy_qp * sy_qp))
+                             * 1000000.0) / 1000000.0 END AS r
+            FROM w
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', n_qd,
+                   CASE WHEN sqrt((CAST(n_qd AS DOUBLE) * sxx_qd - sx_qd * sx_qd)
+                                  * (CAST(n_qd AS DOUBLE) * syy_qd - sy_qd * sy_qd)) > 0
+                        THEN FLOOR((CAST(n_qd AS DOUBLE) * sxy_qd - sx_qd * sy_qd)
+                             / sqrt((CAST(n_qd AS DOUBLE) * sxx_qd - sx_qd * sx_qd)
+                                    * (CAST(n_qd AS DOUBLE) * syy_qd - sy_qd * sy_qd))
+                             * 1000000.0) / 1000000.0 END
+            FROM w
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', n_pd,
+                   CASE WHEN sqrt((CAST(n_pd AS DOUBLE) * sxx_pd - sx_pd * sx_pd)
+                                  * (CAST(n_pd AS DOUBLE) * syy_pd - sy_pd * sy_pd)) > 0
+                        THEN FLOOR((CAST(n_pd AS DOUBLE) * sxy_pd - sx_pd * sy_pd)
+                             / sqrt((CAST(n_pd AS DOUBLE) * sxx_pd - sx_pd * sx_pd)
+                                    * (CAST(n_pd AS DOUBLE) * syy_pd - sy_pd * sy_pd))
+                             * 1000000.0) / 1000000.0 END
+            FROM w
+        """,
+        "ppjoin_pairs": f"""
+            WITH {_SHINGLE_CTE},
+            -- brute-force exact Jaccard, NO cap and NO prefix filter: the
+            -- oracle thereby PROVES the prefix filter loses no pairs
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b,
+                       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+            ) WHERE jaccard >= 0.5
         """,
         "dedup_minhash_lsh": f"""
             WITH {_MINHASH_CTES}

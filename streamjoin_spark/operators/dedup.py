@@ -619,3 +619,95 @@ def fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ ``threshold`` pairs via PPJoin-style prefix
+    filtering (Xiao et al., WWW 2008) — same output as
+    ``ngram_jaccard_pairs`` with ``max_shingle_df=None`` (no lossy cap),
+    but candidates come only from docs sharing a shingle in their
+    *prefixes*: each doc's shingles are sorted by a global rarity order
+    (document frequency asc, shingle asc) and only the first
+    ``|S| - ceil(t·|S|) + 1`` participate in the candidate self-join.
+    The prefix-filter theorem guarantees no false negatives, so the
+    verification step makes the result exact.
+
+    Scale posture (100 TB): the candidate join runs on prefix shingles
+    only — and a shingle's position in every doc's order GROWS with its
+    document frequency, so boilerplate (the k² blow-up in the naive
+    self-join) is structurally excluded from prefixes of large docs
+    instead of lossily capped. Shuffles: shingle-df groupBy, per-doc rank
+    window, prefix self-join on shingle, candidate-bounded verify joins.
+
+    Output columns: doc_a, doc_b, jaccard (rounded 6 dp).
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_frame(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.asc("__df"), F.asc("shingle")
+                )
+            ),
+        )
+    )
+    prefix = (
+        ranked.join(sizes, "__id")
+        .where(
+            F.col("__rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+        )
+        .select("__id", "shingle")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.__id") < F.col("pb.__id")),
+        )
+        .select(
+            F.col("pa.__id").alias("doc_a"), F.col("pb.__id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification, bounded by the candidate set: intersection counts
+    # via two id-keyed equi-joins against the full shingle frame
+    A, B = sh.alias("va"), sh.alias("vb")
+    inter = (
+        candidates.join(A, F.col("doc_a") == F.col("va.__id"))
+        .join(
+            B,
+            (F.col("doc_b") == F.col("vb.__id"))
+            & (F.col("va.shingle") == F.col("vb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.__id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.__id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

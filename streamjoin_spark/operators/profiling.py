@@ -10,11 +10,12 @@ aggregate, not on data.
 from __future__ import annotations
 
 from functools import reduce
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "histogram"]
+__all__ = ["profile_columns", "histogram", "pearson_corr"]
 
 
 def profile_columns(
@@ -97,3 +98,64 @@ def histogram(
             "n",
         )
     )
+
+
+def pearson_corr(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    round_dp: int = 4,
+) -> DataFrame:
+    """Pearson correlation for the given column pairs in ONE scan: every
+    needed Σx, Σx², Σxy folds into a single 1-row HashAggregate (map-side
+    partials — no shuffle beyond the final combine), then the r formula
+    runs driver-free on that row. Output: ``col_x``, ``col_y``, ``n``,
+    ``r`` (6 dp floor).
+
+    Cross-engine determinism: inputs are per-row ROUNDed to ``round_dp``
+    and summed as DECIMAL(19,6) (exact, order-free; 19-digit operands force DuckDB's int128 path and the 38-digit product stays inside both engines' decimal cap); the sums cast to identical
+    doubles on both engines, and the r arithmetic is plain IEEE ops plus
+    sqrt — which IEEE 754 requires to be correctly rounded (unlike ln/exp),
+    so r is bit-identical without any canonicalization tricks; the final
+    FLOOR is belt-and-braces for the division. NULL rows are excluded
+    per-pair (SQL corr semantics).
+    """
+    cols = sorted({c for p in pairs for c in p})
+    aggs = []
+    for x, y in pairs:
+        k = f"{x}__{y}"
+        xv = F.round(F.col(x).cast("double"), round_dp).cast("decimal(19,6)")
+        yv = F.round(F.col(y).cast("double"), round_dp).cast("decimal(19,6)")
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        xg = F.when(both, xv)
+        yg = F.when(both, yv)
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"__n_{k}"),
+            F.sum(xg).alias(f"__sx_{k}"),
+            F.sum(yg).alias(f"__sy_{k}"),
+            F.sum(xg * yg).alias(f"__sxy_{k}"),
+            F.sum(xg * xg).alias(f"__sxx_{k}"),
+            F.sum(yg * yg).alias(f"__syy_{k}"),
+        ]
+    wide = df.agg(*aggs)
+    tall = None
+    for x, y in pairs:
+        k = f"{x}__{y}"
+        n = F.col(f"__n_{k}").cast("double")
+        sx = F.col(f"__sx_{k}").cast("double")
+        sy = F.col(f"__sy_{k}").cast("double")
+        sxy = F.col(f"__sxy_{k}").cast("double")
+        sxx = F.col(f"__sxx_{k}").cast("double")
+        syy = F.col(f"__syy_{k}").cast("double")
+        denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = F.when(
+            denom > 0,
+            F.floor((n * sxy - sx * sy) / denom * F.lit(1e6)) / F.lit(1e6),
+        )
+        row = wide.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.col(f"__n_{k}").alias("n"),
+            r.alias("r"),
+        )
+        tall = row if tall is None else tall.unionByName(row)
+    return tall

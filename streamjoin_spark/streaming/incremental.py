@@ -108,6 +108,10 @@ class _Governor:
         mv = o.get("maxVersionsPerTrigger")
         self.max_versions = int(mv) if mv is not None else None
         self.broadcast_threshold = _parse_bytes(o.get("broadcastThreshold", "256m"))
+        # over-threshold scope filters get a Bloom pre-reduction (bounded:
+        # ≤ 2^scopeBloomBits positions broadcast) unless disabled
+        self.scope_bloom = str(o.get("scopeBloomFilter", "true")).lower() != "false"
+        self.scope_bloom_bits = int(o.get("scopeBloomBits", 17))
 
     def chunk_end(self, ct: ChangeTable, v0: int, v1: int) -> tuple[int, int]:
         """(end_version, chunk_bytes): the largest end ≤ v1 keeping
@@ -136,8 +140,74 @@ class _Governor:
         frame unhinted and let Catalyst/AQE pick a shuffle strategy."""
         return F.broadcast(df) if self.should_hint(est_bytes) else df
 
-    def keys(self, df: DataFrame, cols: Sequence[str], est_bytes: int) -> DataFrame:
-        return self.hint(df.select(*cols).dropDuplicates(list(cols)), est_bytes)
+    def keys(self, df: DataFrame, cols: Sequence[str], est_bytes: int = 0) -> DataFrame:
+        """Deduplicated affected-key scope, UNHINTED — broadcast decisions
+        happen where the scope is consumed (``scoped`` / ``hint`` /
+        ``replace_keys``' own flag), never baked into the shared frame."""
+        return df.select(*cols).dropDuplicates(list(cols))
+
+    def scoped(
+        self,
+        snap: DataFrame,
+        keys: DataFrame,
+        cols: Sequence[str],
+        est_bytes: int,
+        k: int = 3,
+    ) -> DataFrame:
+        """Slice ``snap`` to the rows whose ``cols`` tuple appears in
+        ``keys`` — with a graceful degradation ladder instead of a cliff:
+
+        - under ``broadcastThreshold``: exact broadcast semi-join (the
+          snapshot never shuffles) — the common small-delta case;
+        - over it: a **Bloom pre-reduction** first — the key scope folds
+          into ≤ m distinct bit positions (a few hundred KB broadcast no
+          matter how many keys), k broadcast semi-joins drop the bulk of
+          unaffected snapshot rows map-side, and only the surviving
+          fraction pays the exact shuffle semi-join. Same physics as
+          Spark's runtime bloomFilter join pruning, in declarative form.
+
+        The Bloom tier is a superset filter (false positives only), so the
+        exact semi-join after it keeps results identical — plans differ,
+        rows never do. ``scopeBloomFilter=false`` disables the tier (plain
+        shuffle semi-join, zero broadcasts of any kind over threshold);
+        ``scopeBloomBits`` sizes the position space.
+        """
+        if self.should_hint(est_bytes):
+            return _semi_filter(snap, F.broadcast(keys), cols)
+        if not self.scope_bloom:
+            return _semi_filter(snap, keys, cols)
+        m = 1 << self.scope_bloom_bits
+        from ..functions import hash64
+
+        def key_str():
+            return F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in cols]
+            )
+
+        positions = (
+            keys.select(key_str().alias("__k"))
+            .select(
+                F.explode(
+                    F.array(*[F.lit(f"scope{i}") for i in range(k)])
+                ).alias("__seed"),
+                "__k",
+            )
+            .select(
+                (hash64(F.concat(F.col("__seed"), F.col("__k"))) % F.lit(m)).alias(
+                    "position"
+                )
+            )
+            .distinct()
+        )
+        reduced = snap
+        for i in range(k):
+            pos_i = hash64(F.concat(F.lit(f"scope{i}"), key_str())) % F.lit(m)
+            reduced = reduced.join(
+                F.broadcast(positions),
+                pos_i == positions["position"],
+                "left_semi",
+            )
+        return _semi_filter(reduced, keys, cols)
 
 
 def _null_safe_on(a: str, b: str, cols: Sequence[str]):
@@ -297,8 +367,9 @@ class _JoinStage:
         )
 
         # slice recomputation through the builder's own projection logic —
-        # identical plan shape to the batch twin, just semi-filtered.
-        p_slice = _semi_filter(p_snap, affected, self.p_pks)
+        # identical plan shape to the batch twin, just semi-filtered (with
+        # the governor's broadcast→bloom degradation ladder over threshold)
+        p_slice = self.governor.scoped(p_snap, affected, self.p_pks, slice_bytes)
         ldf, rdf = (p_slice, o_snap) if self.preserved is b.left else (o_snap, p_slice)
         # union legs are maintained by their own _UnionLegStage, keyed
         # disjointly — never re-appended to the join's recomputed slice
@@ -388,7 +459,7 @@ class _UnionLegStage:
         snap = self.stream.static(v1)
         # replace_keys projects onto the target schema itself (and computes
         # any generated columns) — don't pre-select here
-        new_slice = _semi_filter(snap, affected, self.pks)
+        new_slice = self.governor.scoped(snap, affected, self.pks, nbytes)
         self.target.replace_keys(
             affected, self.pks, new_slice,
             hint_broadcast=self.governor.should_hint(nbytes),
@@ -469,7 +540,7 @@ class _AggStage:
         affected = self.governor.keys(images, g, nbytes)
 
         def recompute(keys: DataFrame) -> DataFrame:
-            dirty = _semi_filter(src.static(v1), keys, g)
+            dirty = self.governor.scoped(src.static(v1), keys, g, nbytes)
             out = dirty.groupBy(*g).agg(*self.gb.aggs)
             for fn in self.gb._maps:
                 out = fn(out)
@@ -485,11 +556,10 @@ class _AggStage:
                 # groups seeing any retraction re-aggregate from the snapshot
                 # (additive retraction is unsound for NULL-edge SUM and for
                 # recipe aggs like max); the insert-only majority stays O(Δ)
-                rkeys = self.governor.keys(retract_imgs, g, nbytes)
-                ins_affected = self.governor.hint(
-                    _anti_filter(affected, rkeys, g), nbytes
-                )
-                ins_images = _anti_filter(images, rkeys, g)
+                rkeys = self.governor.keys(retract_imgs, g)
+                hinted_rkeys = self.governor.hint(rkeys, nbytes)
+                ins_affected = _anti_filter(affected, hinted_rkeys, g)
+                ins_images = _anti_filter(images, hinted_rkeys, g)
                 new_slice = self._additive_slice(ins_images, ins_affected).unionByName(
                     recompute(rkeys)
                 )
@@ -543,7 +613,9 @@ class _AggStage:
         delta = pm.select(*gsel, *deltas)
 
         U, D = "stored", "delta"
-        stored = _semi_filter(self.target.snapshot(), affected, g)
+        stored = self.governor.scoped(
+            self.target.snapshot(), affected, g, getattr(self, "_slice_bytes", 0)
+        )
         merged = stored.alias(U).join(
             self.governor.hint(
                 delta.alias(D), getattr(self, "_slice_bytes", 0)

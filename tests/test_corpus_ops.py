@@ -807,3 +807,31 @@ def test_passage_dedup_first_occurrence_survives(spark):
     assert (out[2].n_passages, out[2].n_kept, out[2].text_clean) == (2, 1, "x y")
     assert (out[3].n_passages, out[3].n_kept, out[3].text_clean) == (2, 0, "")
     assert (out[4].n_passages, out[4].n_kept, out[4].text_clean) == (1, 1, "z z")
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    """The PPJoin prefix filter is lossless: identical pairs + scores to
+    the uncapped brute-force join across thresholds."""
+    from streamjoin_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        # overlapping sliding vocab windows -> a mix of near-dups and misses
+        toks = [words[(i + j) % len(words)] for j in range(6)] + [f"u{i}"]
+        rows.append((i, " ".join(toks)))
+    rows.append((100, rows[0][1]))            # exact duplicate of doc 0
+    rows.append((101, rows[1][1] + " extra")) # near duplicate of doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        brute = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, n=2, threshold=t, max_shingle_df=None).collect()))
+        pp = sorted(map(tuple, prefix_jaccard_pairs(
+            docs, n=2, threshold=t).collect()))
+        assert pp == brute, t
+    assert any(p[:2] == (0, 100) for p in pp) or any(
+        p[:2] == (0, 100) for p in brute
+    )

@@ -108,8 +108,32 @@ def test_over_threshold_delta_not_broadcast(spark, tmp_path, cust_ct, ord_ct):
 
     hinted = slice_plan(tmp_path / "a")
     assert "broadcast" in hinted.lower(), hinted
-    unhinted = slice_plan(tmp_path / "b", broadcastThreshold=0)
+    unhinted = slice_plan(
+        tmp_path / "b", broadcastThreshold=0, scopeBloomFilter="false"
+    )
     assert "broadcast" not in unhinted.lower(), unhinted
+    # default over-threshold path: the Bloom pre-reduction engages — the
+    # only broadcasts are the bounded position sets (≤ 2^scopeBloomBits
+    # rows), recognizable by the position column they produce
+    bloomed = slice_plan(tmp_path / "c", broadcastThreshold=0)
+    assert "position" in bloomed, bloomed
+    assert "broadcast" in bloomed.lower(), bloomed
+
+
+def test_bloom_scope_tier_exact_under_churn(spark, tmp_path, cust_ct, ord_ct):
+    """threshold=0 with the Bloom tier ON: every scope filter goes through
+    bloom-prefilter + exact shuffle semi-join; the fixpoint matches the
+    batch join exactly (the tier is a superset filter, results identical)."""
+    w = make_writer(
+        cust_ct, ord_ct, tmp_path / "out", broadcastThreshold=0,
+    )
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B"), (3, "cyd", "A")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0), (12, 99, 1.0)]))
+    w.run()
+    cust_ct.merge(c_rows(spark, [(2, "bob2", "B")]))
+    ord_ct.delete_where(F.col("oid") == 10)
+    w.run()
+    assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "left"))
 
 
 def test_governed_run_converges_under_cdc_churn(spark, tmp_path, cust_ct, ord_ct):
