@@ -135,6 +135,10 @@ class ChangeTable:
         return dict(self._meta.get("generated_columns", {}))
 
     @property
+    def constraints(self) -> dict[str, str]:
+        return dict(self._meta.get("constraints", {}))
+
+    @property
     def n_buckets(self) -> int:
         return int(self._meta.get("n_buckets", 32))
 
@@ -173,6 +177,7 @@ class ChangeTable:
         overwrite: bool = False,
         n_buckets: int = 32,
         generated_columns: dict[str, str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "ChangeTable":
         """Create an empty change table (reference CREATE TABLE with CDF
         enabled, elzyme/joins.py:642-654). ``n_buckets`` sizes the
@@ -184,7 +189,15 @@ class ChangeTable:
         analog (reference M4, used with ``partition_by`` naming a generated
         column for the reference's derive-then-prune pattern,
         elzyme/joins.py:642-654, 676-682). Types are inferred from the
-        expression; writers never supply these columns."""
+        expression; writers never supply these columns.
+
+        ``constraints`` maps constraint name → SQL boolean expression that
+        every ``append``/``merge`` batch must satisfy on every row — the
+        Delta CHECK-constraint analog (DLT ON VIOLATION FAIL). A violating
+        batch raises before anything is written (one extra conditional-
+        count job per write, only when constraints are configured; use
+        FileIngest's quarantine gate instead when bad rows should divert,
+        not fail)."""
         if isinstance(schema, DataFrame):
             schema = schema.schema
         generated_columns = dict(generated_columns or {})
@@ -233,6 +246,7 @@ class ChangeTable:
             "partition_by": list(partition_by),
             "n_buckets": n_buckets,
             "generated_columns": generated_columns,
+            "constraints": dict(constraints or {}),
             "schema": schema.jsonValue(),
         }
         fd, tmp = tempfile.mkstemp(dir=path, suffix=".json.tmp")
@@ -554,8 +568,29 @@ class ChangeTable:
                     "merge_schema=True to null-fill (and evolve new columns)"
                 )
         batch = self._apply_generated(df).select(*self._data_cols())
+        self._check_constraints(batch)
         self._write_commit(v, self._tag(batch, INSERT, v), appended=batch)
         return v
+
+    def _check_constraints(self, batch: DataFrame) -> None:
+        """CHECK-constraint gate on the write edge: one conditional-count
+        pass (operators/expectations.py physics); raises naming every
+        violated constraint before anything hits disk."""
+        cons = self.constraints
+        if not cons:
+            return
+        from .operators.expectations import check
+
+        bad = [
+            (r["rule"], r["n_violations"])
+            for r in check(batch, cons).collect()
+            if r["n_violations"] > 0
+        ]
+        if bad:
+            detail = ", ".join(f"{name} ({n} rows)" for name, n in bad)
+            raise ValueError(
+                f"CHECK constraint violation on {self.name!r}: {detail}"
+            )
 
     def merge(self, batch: DataFrame, merge_schema: bool = False) -> int:
         """Upsert by primary key with sequence-ordered late/duplicate
@@ -589,6 +624,7 @@ class ChangeTable:
             .select(*self._data_cols())
             .persist()
         )
+        self._check_constraints(staged)
 
         # locate affected parts: staged rows' own parts + parts of current
         # rows with the same PKs (found via a pruned-by-nothing key probe —
@@ -876,3 +912,63 @@ class ChangeTable:
             cluster_by=cluster_by,
         )
         return v
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (the Delta
+        RESTORE analog) — history is never rewritten; the commit carries
+        the minimal *compensating* change feed (inserts for rows the
+        rollback resurrects, deletes for rows it removes, update pre/post
+        for rows it reverts), so downstream incremental consumers converge
+        to the restored state through the normal CDC path instead of
+        requiring a reset.
+
+        Implementation: the restored snapshot replayed through
+        ``replace_keys`` over the union of both versions' key sets — the
+        diff machinery already emits exactly the compensating feed, and a
+        restore to the current state is a no-op (no empty commit).
+
+        Scale: one full-scope diff (both snapshots scanned once); the key
+        scope is table-sized, so it is never broadcast."""
+        cur_v = self.version()
+        if not 0 <= version <= cur_v:
+            raise ValueError(
+                f"cannot restore {self.name!r} to v{version}: "
+                f"valid range is [0, {cur_v}]"
+            )
+        target = self.snapshot(version)
+        pks = list(self.primary_keys)
+        scope = (
+            self.snapshot(cur_v)
+            .select(*pks)
+            .unionByName(target.select(*pks))
+            .dropDuplicates(pks)
+        )
+        return self.replace_keys(scope, pks, target, hint_broadcast=False)
+
+    def clone(self, new_path: str, name: str | None = None) -> "ChangeTable":
+        """Deep-clone the current snapshot into a fresh table at
+        ``new_path`` (the Delta CLONE analog): identical schema, keys,
+        generated columns, constraints and bucketing; the clone starts at
+        v1 = one insert-only commit of the snapshot, so its change feed is
+        self-contained (no shared files with the source — vacuum/compact
+        on either side never corrupts the other)."""
+        base_fields = self._base_cols()
+        schema = T.StructType(
+            [f for f in self.schema().fields if f.name in base_fields]
+        )
+        out = ChangeTable.create(
+            self.spark,
+            new_path,
+            schema,
+            self.primary_keys,
+            sequence_by=self.sequence_by,
+            partition_by=self.partition_by,
+            name=name,
+            n_buckets=self.n_buckets,
+            generated_columns=self.generated_columns,
+            constraints=self.constraints,
+        )
+        snap = self.snapshot()
+        if not snap.isEmpty():
+            out.append(snap.select(*base_fields))
+        return out

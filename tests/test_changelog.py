@@ -336,3 +336,70 @@ def test_compact_zorder_clusters_files(spark, tmp_path):
             checked += 1
             assert zs == sorted(zs), fp
     assert checked > 0
+
+
+def test_check_constraints_block_bad_writes(spark, tmp_path):
+    """Delta CHECK-constraint analog: violating append/merge batches raise
+    BEFORE anything is written; clean batches flow; the constraint set
+    persists in table metadata (a reopened handle still enforces)."""
+    df = spark.createDataFrame([(1, 10.0)], "id long, amount double")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "ck"), df.schema, ["id"],
+        constraints={"amount_positive": "amount > 0"},
+    )
+    ct.append(df)
+    v = ct.version()
+    bad = spark.createDataFrame([(2, -1.0)], "id long, amount double")
+    with pytest.raises(ValueError, match="amount_positive"):
+        ct.append(bad)
+    with pytest.raises(ValueError, match="amount_positive"):
+        ct.merge(bad)
+    assert ct.version() == v            # nothing committed
+    reopened = ChangeTable(spark, str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="amount_positive"):
+        reopened.merge(bad)
+    reopened.merge(spark.createDataFrame([(2, 5.0)], "id long, amount double"))
+    assert reopened.snapshot().count() == 2
+
+
+def test_restore_emits_compensating_feed(spark, tmp_path):
+    """RESTORE rolls back as a new commit whose change feed compensates —
+    downstream incremental consumers converge to the restored state."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    ct = ChangeTable.create(spark, str(tmp_path / "rt"), df.schema, ["id"])
+    ct.merge(df)                                     # v1
+    v1 = ct.version()
+    ct.merge(spark.createDataFrame([(2, "b2"), (3, "c")], "id long, val string"))
+    ct.delete_where(F.col("id") == 1)                # v3
+    v_restore = ct.restore(v1)
+    assert v_restore == ct.version()
+    assert sorted(map(tuple, ct.snapshot().collect())) == [(1, "a"), (2, "b")]
+    # compensating feed of the restore commit: resurrect 1, revert 2, drop 3
+    feed = ct.read_change_feed(starting_version=v_restore)
+    kinds = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert (1, INSERT) in kinds
+    assert (3, DELETE) in kinds
+    assert (2, UPDATE_PRE) in kinds and (2, UPDATE_POST) in kinds
+    # restoring to the current state is a no-op (no empty commit)
+    assert ct.restore(ct.version()) == ct.version()
+
+
+def test_clone_is_independent(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "src"), df.schema, ["id"],
+        constraints={"id_pos": "id > 0"},
+    )
+    ct.merge(df)
+    cl = ct.clone(str(tmp_path / "dst"), name="copy")
+    assert sorted(map(tuple, cl.snapshot().collect())) == sorted(
+        map(tuple, ct.snapshot().collect())
+    )
+    assert cl.version() == 1 and cl.constraints == {"id_pos": "id > 0"}
+    # divergence after the clone point stays local to each side
+    ct.delete_where(F.col("id") == 1)
+    cl.merge(spark.createDataFrame([(3, "c")], "id long, val string"))
+    assert [r["id"] for r in ct.snapshot().orderBy("id").collect()] == [2]
+    assert [r["id"] for r in cl.snapshot().orderBy("id").collect()] == [1, 2, 3]
