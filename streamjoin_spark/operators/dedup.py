@@ -643,14 +643,19 @@ def prefix_jaccard_pairs(
     document frequency, so boilerplate (the k² blow-up in the naive
     self-join) is structurally excluded from prefixes of large docs
     instead of lossily capped. Shuffles: shingle-df groupBy, per-doc rank
-    window, prefix self-join on shingle, candidate-bounded verify joins.
+    window, prefix self-join on shingle; verification is two id-keyed
+    joins attaching each candidate pair's shingle SET as an array, with
+    the intersection counted by codegen ``array_intersect`` per pair —
+    no (pair × shingle) re-explosion (that form measured ~5× slower).
 
     Output columns: doc_a, doc_b, jaccard (rounded 6 dp).
     """
     from pyspark.sql import Window
 
     sh = _shingle_frame(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    sets = sh.groupBy("__id").agg(
+        F.collect_list("shingle").alias("__set")
+    ).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = (
         sh.join(dfreq, "shingle")
@@ -663,49 +668,64 @@ def prefix_jaccard_pairs(
             ),
         )
     )
+    sizes = sets.select("__id", F.size("__set").alias("sz"))
     prefix = (
         ranked.join(sizes, "__id")
         .where(
             F.col("__rn")
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
         )
-        .select("__id", "shingle")
+        .select("__id", "shingle", "sz", "__rn")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    sza, szb = F.col("pa.sz"), F.col("pb.sz")
+    # PPJoin's two candidate cuts, both evaluated inside the join so the
+    # pair never materializes. Each bound gets a 1e-9 slack so a 1-ulp-high
+    # float can only RELAX it (a tighter-than-exact bound would silently
+    # drop true pairs — superset-or-bust):
+    # - length filter: J >= t  ⇒  min(|A|,|B|) >= t·max(|A|,|B|)
+    # - positional filter: the matching token's suffix lengths upper-bound
+    #   the overlap, which must reach ceil(t/(1+t)·(|A|+|B|))
+    length_ok = F.least(sza, szb).cast("double") >= (
+        F.lit(threshold) * F.greatest(sza, szb).cast("double") - F.lit(1e-9)
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (sza + szb).cast("double")
+        - F.lit(1e-9)
+    )
+    pos_ok = (
+        F.lit(1) + F.least(sza - F.col("pa.__rn"), szb - F.col("pb.__rn"))
+        >= min_overlap
+    )
     candidates = (
         pa.join(
             pb,
             (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.__id") < F.col("pb.__id")),
+            & (F.col("pa.__id") < F.col("pb.__id"))
+            & length_ok
+            & pos_ok,
         )
         .select(
             F.col("pa.__id").alias("doc_a"), F.col("pb.__id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact verification, bounded by the candidate set: intersection counts
-    # via two id-keyed equi-joins against the full shingle frame
-    A, B = sh.alias("va"), sh.alias("vb")
-    inter = (
-        candidates.join(A, F.col("doc_a") == F.col("va.__id"))
-        .join(
-            B,
-            (F.col("doc_b") == F.col("vb.__id"))
-            & (F.col("va.shingle") == F.col("vb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    va = sets.select(
+        F.col("__id").alias("doc_a"), F.col("__set").alias("__sa")
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    vb = sets.select(
+        F.col("__id").alias("doc_b"), F.col("__set").alias("__sb")
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.__id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.__id"))
+        candidates.join(va, "doc_a")
+        .join(vb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                inter
+                / (F.size("__sa") + F.size("__sb") - inter).cast("double"),
                 6,
             ).alias("jaccard"),
         )
