@@ -184,6 +184,19 @@ class Stream:
         clone._ignore_deletes = self._ignore_deletes
         return clone
 
+    def expect(self, rules: dict, mode: str = "drop") -> "Stream":
+        """DLT-expectations gate on the stream source: rows failing any
+        rule are dropped (``mode="drop"``) or tagged with a
+        ``_violations`` array (``mode="mark"``) before every downstream
+        stage — applied identically to the batch twin and each
+        incremental slice, so both executions see the same gated rows.
+        Map-only (operators/expectations.py enforce); for fail-the-write
+        semantics use ChangeTable CHECK constraints, and for diverting
+        bad rows use FileIngest's quarantine gate."""
+        from .operators.expectations import enforce
+
+        return self.to(lambda df: enforce(df, rules, mode=mode))
+
     # ------------------------------------------------------------------
     # accessors
     # ------------------------------------------------------------------

@@ -64,3 +64,45 @@ def test_fk_check_plan_broadcasts_parent(spark):
     parent = spark.range(10).select(F.col("id").alias("k"))
     p = fk_check(child, parent, {"ref": "k"})._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_stream_expect_gates_incremental_pipeline(spark, tmp_path):
+    """Stream.expect(drop) applies to the batch twin AND every incremental
+    slice: rows failing the rule never reach the aggregate, and an update
+    that makes a row fail REMOVES it from the maintained result."""
+    from streamjoin_spark import Stream
+    from streamjoin_spark.changelog import ChangeTable
+
+    ct = ChangeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame([], "id long, grp string, amount double").schema,
+        ["id"],
+    )
+    w = (
+        Stream.fromChangeTable(ct, "src")
+        .primaryKeys("id")
+        .expect({"amount_positive": "amount > 0"})
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "out"))
+    )
+    ct.merge(
+        spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", -1.0), (3, "b", 2.0)],
+            "id long, grp string, amount double",
+        )
+    )
+    w.run()
+    assert {r.grp: r.n for r in w.toDF().collect()} == {"a": 1, "b": 1}
+    # id=1 turns invalid -> must vanish from the aggregate; id=2 turns valid
+    ct.merge(
+        spark.createDataFrame(
+            [(1, "a", -9.0), (2, "a", 7.0)], "id long, grp string, amount double"
+        )
+    )
+    w.run()
+    assert {r.grp: r.n for r in w.toDF().collect()} == {"a": 1, "b": 1}
+    ct.delete_where(F.col("id") == 3)
+    w.run()
+    assert {r.grp: r.n for r in w.toDF().collect()} == {"a": 1}
