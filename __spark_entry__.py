@@ -2481,6 +2481,21 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch-style set algebra from two bottom-k sketches (k=256):
+    union / intersection / Jaccard estimates for the 1996-buyer vs
+    1997-buyer customer sets, exact values alongside. Every sketch is a
+    distributed top-k; everything downstream is ≤ k rows
+    (sketches.kmv_set_ops)."""
+    _prep(spark)
+    from streamjoin_spark.operators.sketches import kmv_set_ops
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1996)
+    b = o.where(F.year("o_orderdate") == 1997)
+    return kmv_set_ops(a, b, "o_custkey", k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2576,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "ppjoin_pairs": q_ppjoin_pairs,
         "corr_matrix": q_corr_matrix,
+        "kmv_set_ops": q_kmv_set_ops,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -2838,6 +2854,43 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.3
+        """,
+        "kmv_set_ops": """
+            WITH va AS (SELECT DISTINCT o_custkey AS v FROM orders
+                        WHERE year(o_orderdate) = 1996),
+            vb AS (SELECT DISTINCT o_custkey AS v FROM orders
+                   WHERE year(o_orderdate) = 1997),
+            sa AS (SELECT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                              ::BIGINT AS hv
+                   FROM va ORDER BY hv LIMIT 256),
+            sb AS (SELECT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                              ::BIGINT AS hv
+                   FROM vb ORDER BY hv LIMIT 256),
+            un AS (SELECT DISTINCT hv FROM
+                       (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+                   ORDER BY hv LIMIT 256),
+            stats AS (SELECT COUNT(*) AS k_eff, MAX(hv) AS kth FROM un),
+            rho AS (SELECT COUNT(*) AS rho FROM un
+                    WHERE hv IN (SELECT hv FROM sa)
+                      AND hv IN (SELECT hv FROM sb)),
+            ex AS (SELECT
+                (SELECT COUNT(*) FROM
+                    (SELECT v FROM va UNION SELECT v FROM vb)) AS exact_union,
+                (SELECT COUNT(*) FROM va
+                 WHERE v IN (SELECT v FROM vb)) AS exact_intersect),
+            est AS (SELECT *,
+                CASE WHEN k_eff >= 256
+                     THEN CAST(FLOOR(255.0 * 1152921504606846976.0
+                               / CAST(GREATEST(kth, 1) AS DOUBLE)) AS BIGINT)
+                     ELSE k_eff END AS est_union
+                FROM stats CROSS JOIN rho CROSS JOIN ex)
+            SELECT est_union,
+                   CAST(FLOOR(CAST(rho AS DOUBLE) / k_eff * est_union)
+                        AS BIGINT) AS est_intersect,
+                   FLOOR(CAST(rho AS DOUBLE) / k_eff * 1000000.0)
+                       / 1000000.0 AS jaccard_est,
+                   exact_union, exact_intersect
+            FROM est
         """,
         "corr_matrix": """
             WITH base AS (SELECT

@@ -33,6 +33,8 @@ from ..functions import hash64
 
 __all__ = [
     "kmv_distinct",
+    "kmv_set",
+    "kmv_set_ops",
     "hll_registers",
     "hll_row",
     "merge_hll",
@@ -525,4 +527,90 @@ def approx_quantiles(
         quantile_sketch(df, value_col, group_cols, n_bins=n_bins),
         qs,
         group_cols,
+    )
+
+
+def kmv_set(df, value_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k hash sketch of one value set: the k smallest 60-bit md5
+    hashes of the distinct values (theta-sketch physics). The sort is a
+    distributed top-k (TakeOrdered) — k rows ever reach one place."""
+    return (
+        df.select(hash64(F.col(value_col).cast("string")).alias("hv"))
+        .distinct()
+        .orderBy(F.asc("hv"))
+        .limit(k)
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    value_col_a: str,
+    value_col_b: str | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Set-algebra estimates from two bottom-k sketches (the theta-sketch
+    union/intersection trick, Dasgupta et al. 2016): the union sketch is
+    the k smallest of the merged hash sets; ρ = how many of those appear
+    in BOTH inputs estimates Jaccard as ρ/k, and intersection as
+    Jaccard·|∪|. One row out: ``est_union``, ``est_intersect``,
+    ``jaccard_est`` + ``exact_union``/``exact_intersect`` for the audit
+    (drop the exacts at true scale — they are the expensive ones).
+
+    Determinism: identical md5 hash sets on both engines ⇒ identical
+    sketches ⇒ identical estimates; the two divisions are
+    FLOOR-canonicalized. Sub-k sets degrade to exact answers (the union
+    sketch then holds every hash).
+
+    Scale: each sketch is a distributed top-k; all downstream frames are
+    ≤ k rows (driver-free 1-row crossJoins)."""
+    vb = value_col_b or value_col_a
+    sa, sb = kmv_set(a, value_col_a, k), kmv_set(b, vb, k)
+    un = (
+        sa.unionByName(sb).dropDuplicates(["hv"]).orderBy(F.asc("hv")).limit(k)
+    )
+    stats = un.agg(
+        F.count(F.lit(1)).alias("k_eff"), F.max("hv").alias("kth")
+    )
+    rho = (
+        un.join(sa, "hv", "left_semi")
+        .join(sb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    ua = a.select(F.col(value_col_a).alias("v")).distinct()
+    ub = b.select(F.col(vb).alias("v")).distinct()
+    exact_u = ua.unionByName(ub).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    exact_i = ua.join(ub, "v", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_intersect")
+    )
+    est_union = F.when(
+        F.col("k_eff") >= k,
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+            / F.greatest(F.col("kth"), F.lit(1)).cast("double")
+        ),
+    ).otherwise(F.col("k_eff")).cast("long")
+    one = (
+        stats.crossJoin(rho)
+        .crossJoin(exact_u)
+        .crossJoin(exact_i)
+        .withColumn("est_union", est_union)
+    )
+    return one.select(
+        F.col("est_union"),
+        F.floor(
+            F.col("rho").cast("double") / F.col("k_eff") * F.col("est_union")
+        )
+        .cast("long")
+        .alias("est_intersect"),
+        (
+            F.floor(
+                F.col("rho").cast("double") / F.col("k_eff") * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("jaccard_est"),
+        "exact_union",
+        "exact_intersect",
     )

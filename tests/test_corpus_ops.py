@@ -835,3 +835,20 @@ def test_prefix_jaccard_equals_bruteforce(spark):
     assert any(p[:2] == (0, 100) for p in pp) or any(
         p[:2] == (0, 100) for p in brute
     )
+
+
+def test_kmv_set_ops_estimates_and_subk_exactness(spark):
+    from streamjoin_spark.operators.sketches import kmv_set_ops
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    r = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert r["exact_union"] == 4500 and r["exact_intersect"] == 1500
+    assert abs(r["est_union"] - 4500) / 4500 < 0.2
+    assert abs(r["est_intersect"] - 1500) / 1500 < 0.35
+    assert abs(r["jaccard_est"] - 1500 / 4500) < 0.12
+    # sub-k inputs: the union sketch holds every hash -> exact answers
+    sa = spark.range(0, 100).select(F.col("id").alias("v"))
+    sb = spark.range(50, 150).select(F.col("id").alias("v"))
+    r2 = kmv_set_ops(sa, sb, "v", k=256).collect()[0]
+    assert r2["est_union"] == 150 and r2["est_intersect"] == 50
