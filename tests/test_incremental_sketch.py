@@ -60,3 +60,56 @@ def test_incremental_hll_registers_maintained(spark, tmp_path):
         (r["g"], r["bucket"]): r["rho"] for r in maintained.toDF().collect()
     }
     assert got == _registers(ct.snapshot())
+
+
+def test_incremental_topk_leaderboard_maintained(spark, tmp_path):
+    """A per-group top-k 'leaderboard' maintained incrementally: top-k is
+    the array aggregate slice(sort_array(collect_list(...))) — non-additive,
+    so every touched group flows through the runtime's dirty-group
+    recompute; overtakes, updates and deletes all converge to the batch
+    twin."""
+    from streamjoin_spark import Stream
+    from streamjoin_spark.changelog import ChangeTable
+
+    ct = ChangeTable.create(
+        spark,
+        str(tmp_path / "scores"),
+        spark.createDataFrame([], "id long, grp string, score long").schema,
+        ["id"],
+    )
+    top2 = F.slice(
+        F.sort_array(F.collect_list(F.struct("score", "id")), asc=False), 1, 2
+    ).alias("top2")
+    w = (
+        Stream.fromChangeTable(ct, "scores")
+        .primaryKeys("id")
+        .groupBy("grp")
+        .agg(top2)
+        .writeToPath(str(tmp_path / "board"))
+    )
+
+    def board():
+        return {
+            r["grp"]: [(e["score"], e["id"]) for e in r["top2"]]
+            for r in w.toDF().collect()
+        }
+
+    ct.merge(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5)],
+        "id long, grp string, score long"))
+    w.run()
+    assert board() == {"a": [(30, 3), (20, 2)], "b": [(5, 4)]}
+
+    ct.merge(spark.createDataFrame(
+        [(1, "a", 99)], "id long, grp string, score long"))  # overtake
+    w.run()
+    assert board() == {"a": [(99, 1), (30, 3)], "b": [(5, 4)]}
+
+    ct.delete_where(F.col("id") == 1)                        # leader leaves
+    w.run()
+    assert board() == {"a": [(30, 3), (20, 2)], "b": [(5, 4)]}
+
+    ct.merge(spark.createDataFrame(
+        [(4, "a", 40)], "id long, grp string, score long"))  # group move
+    w.run()
+    assert board() == {"a": [(40, 4), (30, 3)]}
