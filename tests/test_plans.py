@@ -245,3 +245,62 @@ def test_kmeans_seeds_topk_and_centroids_broadcast(spark, sf_dir):
 
     for m in re.findall(r"rangepartitioning\(([^)]*)", p):
         assert "cluster_id" in m, p
+
+
+def test_expectations_single_aggregate_pass(spark, sf_dir):
+    """All row rules fold into ONE aggregation over ONE orders scan — the
+    report must not re-scan per rule (5 rules => still 2 scans total:
+    orders once for rules, lineitem once for the FK row, plus the FK
+    probe's orders read)."""
+    p = plan_of(entry.q_expectations_report(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Scan parquet.*orders", p)) <= 2, p
+    assert len(re.findall(r"Scan parquet.*lineitem", p)) <= 2, p
+
+
+def test_funnel_no_global_window(spark, sf_dir):
+    """Every funnel step is a user-keyed join + partial MIN aggregate —
+    no window over the raw event stream, no cartesian anywhere; the only
+    cross-join is the 1-row broadcast base count."""
+    p = plan_of(entry.q_funnel_events(spark, sf_dir))
+    assert "WindowExec" not in p and "Window " not in p
+    assert "CartesianProduct" not in p
+
+
+def test_passage_dedup_window_on_hash(spark, sf_dir):
+    """First-occurrence ranking partitions by the passage hash (uniform
+    key, duplicate-set-sized groups) — never a global window."""
+    p = plan_of(entry.q_passage_dedup(spark, sf_dir))
+    assert "md5" in p and "Window" in p
+    assert "partitionBy" not in p  # sanity: physical plan text form
+    # row_number's window spec must carry a partition expression
+    import re
+
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^,]+),", p)
+    assert m is not None and "md5" in m.group(1), p
+
+
+def test_corr_matrix_single_scan(spark, sf_dir):
+    """One lineitem scan feeds every pair's sums (single 1-row aggregate;
+    the tall shape reuses that aggregate, not the scan)."""
+    p = plan_of(entry.q_corr_matrix(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Scan parquet", p)) == 1, p
+
+
+def test_kmv_set_ops_distributed_topk(spark, sf_dir):
+    """Every sketch is a TakeOrdered top-k — no global sort of the hash
+    space reaches an exchange."""
+    p = plan_of(entry.q_kmv_set_ops(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_mixture_sample_partitioned_window(spark, sf_dir):
+    p = plan_of(entry.q_mixture_sample(spark, sf_dir))
+    import re
+
+    m = re.search(r"row_number\(\) windowspecdefinition\(source", p)
+    assert m is not None, p
