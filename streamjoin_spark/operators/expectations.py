@@ -41,21 +41,29 @@ def check(df: DataFrame, rules: Mapping[str, "str | Column"]) -> DataFrame:
             F.sum(F.when(~passed, 1).otherwise(0)).alias(f"__v_{name}")
         )
     wide = df.agg(*aggs)
-    tall = None
-    for name in names:
-        row = wide.select(
-            F.lit(name).alias("rule"),
-            F.col("n_rows"),
-            F.col(f"__v_{name}").alias("n_violations"),
+    # tall shape via an exploded struct array off the ONE aggregate row — a
+    # per-rule union would replay the whole aggregate (and its scan) once
+    # per rule in the physical plan
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"__v_{name}").alias("n_violations"),
+                )
+                for name in names
+            ]
         )
-        tall = row if tall is None else tall.unionByName(row)
-    return tall.select(
-        "rule",
+    ).alias("__kv")
+    return wide.select("n_rows", kv).select(
+        F.col("__kv.rule").alias("rule"),
         "n_rows",
-        "n_violations",
+        F.col("__kv.n_violations").alias("n_violations"),
         (
             F.floor(
-                F.col("n_violations").cast("double") / F.col("n_rows") * F.lit(1e6)
+                F.col("__kv.n_violations").cast("double")
+                / F.col("n_rows")
+                * F.lit(1e6)
             )
             / F.lit(1e6)
         ).alias("violation_rate"),

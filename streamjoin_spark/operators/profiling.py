@@ -137,7 +137,9 @@ def pearson_corr(
             F.sum(yg * yg).alias(f"__syy_{k}"),
         ]
     wide = df.agg(*aggs)
-    tall = None
+    # tall shape via an exploded struct array off the ONE aggregate row — a
+    # per-pair union would replay the aggregate (and its scan) per pair
+    structs = []
     for x, y in pairs:
         k = f"{x}__{y}"
         n = F.col(f"__n_{k}").cast("double")
@@ -151,11 +153,14 @@ def pearson_corr(
             denom > 0,
             F.floor((n * sxy - sx * sy) / denom * F.lit(1e6)) / F.lit(1e6),
         )
-        row = wide.select(
-            F.lit(x).alias("col_x"),
-            F.lit(y).alias("col_y"),
-            F.col(f"__n_{k}").alias("n"),
-            r.alias("r"),
+        structs.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col(f"__n_{k}").alias("n"),
+                r.alias("r"),
+            )
         )
-        tall = row if tall is None else tall.unionByName(row)
-    return tall
+    return wide.select(F.explode(F.array(*structs)).alias("__p")).select(
+        "__p.col_x", "__p.col_y", "__p.n", "__p.r"
+    )
