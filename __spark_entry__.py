@@ -2496,6 +2496,23 @@ def q_kmv_set_ops(spark, sf_dir):
     return kmv_set_ops(a, b, "o_custkey", k=256)
 
 
+def q_hilbert_key(spark, sf_dir):
+    """2-D Hilbert clustering key over (o_custkey, o_totalprice), bits=8 —
+    the liquid-clustering-style upgrade over Z-order (unit-step locality,
+    no Z jumps). One stats pass + a map-only 8-level projection chain;
+    the level expressions are THE SAME SQL text the oracle runs
+    (layout.hilbert_level_exprs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.layout import with_hilbert_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return with_hilbert_key(o, ["o_custkey", "o_totalprice"], bits=8).select(
+        "o_orderkey", "h_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2592,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "corr_matrix": q_corr_matrix,
         "kmv_set_ops": q_kmv_set_ops,
+        "hilbert_key": q_hilbert_key,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -2609,6 +2627,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """Oracle twin of layout.with_hilbert_key on (o_custkey, o_totalprice):
+    the SAME level-expression strings (layout.hilbert_level_exprs) chained
+    as CTEs — Spark and DuckDB literally execute identical text per level."""
+    from streamjoin_spark.operators.layout import hilbert_level_exprs
+
+    top = (1 << bits) - 1
+    ctes = []
+    prev = "h_init"
+    for i, lvl in enumerate(reversed(range(bits))):
+        ex, ey, ed = hilbert_level_exprs(lvl, bits)
+        name = f"h_{i}"
+        ctes.append(
+            f"{name} AS (SELECT o_orderkey, {ex} AS hx, {ey} AS hy, "
+            f"{ed} AS hd FROM {prev})"
+        )
+        prev = name
+    chain = ",\n            ".join(ctes)
+    return f"""
+        WITH s AS (SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo0,
+                          MAX(CAST(o_custkey AS DOUBLE)) AS hi0,
+                          MIN(CAST(o_totalprice AS DOUBLE)) AS lo1,
+                          MAX(CAST(o_totalprice AS DOUBLE)) AS hi1
+                   FROM orders),
+        h_init AS (SELECT o_orderkey,
+                     CAST(CASE WHEN hi0 = lo0 THEN 0
+                          ELSE LEAST(FLOOR((CAST(o_custkey AS DOUBLE) - lo0)
+                                           / (hi0 - lo0) * {top + 1}),
+                                     {top}) END AS BIGINT) AS hx,
+                     CAST(CASE WHEN hi1 = lo1 THEN 0
+                          ELSE LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo1)
+                                           / (hi1 - lo1) * {top + 1}),
+                                     {top}) END AS BIGINT) AS hy,
+                     CAST(0 AS BIGINT) AS hd
+              FROM orders CROSS JOIN s),
+            {chain}
+        SELECT o_orderkey, hd AS h_key FROM {prev}
+    """
 
 
 def _zorder_sql(bits: int = 8, extra_cols: tuple = ()) -> str:
@@ -4285,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY bucket
         """,
         "zorder_key": _zorder_sql(bits=8),
+        "hilbert_key": _hilbert_sql(bits=8),
         "zonemap_prune": f"""
             WITH zk AS ({_zorder_sql(bits=8, extra_cols=("o_custkey",))}),
             zoned AS (SELECT o_custkey, z_key >> 10 AS zone FROM zk),

@@ -71,3 +71,39 @@ def test_zorder_range_partition_clusters(spark):
     # every Z-range partition spans at most half of each dimension —
     # a plain sort by x would give dy == full range (63) everywhere
     assert all(p["dx"] <= 32 and p["dy"] <= 32 for p in parts)
+
+
+def xy2d_ref(n, x, y):
+    """Classic Wikipedia xy2d reference (driver-side truth)."""
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_grid(spark):
+    """Every point of the full 16x16 grid (bits=4) maps to the classic
+    xy2d distance — and therefore inherits the curve's unit-step locality."""
+    from streamjoin_spark.operators.layout import with_hilbert_key
+
+    n = 16
+    pts = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    # x,y already span [0, 15] so min/max normalization at bits=4 is the
+    # identity mapping
+    out = with_hilbert_key(df, ["x", "y"], bits=4)
+    got = {(r["x"], r["y"]): r["h_key"] for r in out.collect()}
+    for _, x, y in pts:
+        assert got[(x, y)] == xy2d_ref(n, x, y), (x, y)
+    # bijection over the grid
+    assert sorted(got.values()) == list(range(n * n))
