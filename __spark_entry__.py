@@ -2513,6 +2513,17 @@ def q_hilbert_key(spark, sf_dir):
     )
 
 
+def q_outlier_events(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| ≥ 2.5, population σ): one
+    moment pass + map-only scoring; decimal-exact sums → bit-stable z
+    (profiling.group_outliers)."""
+    _prep(spark)
+    from streamjoin_spark.operators.profiling import group_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return group_outliers(ev, ["event_type"], "value", z_threshold=2.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2610,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "kmv_set_ops": q_kmv_set_ops,
         "hilbert_key": q_hilbert_key,
+        "outlier_events": q_outlier_events,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -2912,6 +2924,26 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.3
+        """,
+        "outlier_events": """
+            WITH s AS (SELECT event_type,
+                COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS n,
+                CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 4)
+                              AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 4)
+                              AS DECIMAL(19,6))
+                         * CAST(ROUND(CAST(value AS DOUBLE), 4)
+                                AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+                FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type, value,
+                   FLOOR((ROUND(CAST(value AS DOUBLE), 4) - sx / n)
+                         / sqrt(sxx / n - (sx / n) * (sx / n))
+                         * 10000.0) / 10000.0 AS z
+            FROM events e JOIN s ON e.event_type = s.event_type
+            WHERE n > 1
+              AND sxx / n - (sx / n) * (sx / n) > 0
+              AND ABS((ROUND(CAST(value AS DOUBLE), 4) - sx / n)
+                      / sqrt(sxx / n - (sx / n) * (sx / n))) >= 2.5
         """,
         "kmv_set_ops": """
             WITH va AS (SELECT DISTINCT o_custkey AS v FROM orders

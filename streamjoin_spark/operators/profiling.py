@@ -15,7 +15,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "histogram", "pearson_corr"]
+__all__ = ["profile_columns", "histogram", "pearson_corr", "group_outliers"]
 
 
 def profile_columns(
@@ -163,4 +163,47 @@ def pearson_corr(
         )
     return wide.select(F.explode(F.array(*structs)).alias("__p")).select(
         "__p.col_x", "__p.col_y", "__p.n", "__p.r"
+    )
+
+
+def group_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z_threshold: float = 3.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group z-score outliers: rows whose value sits more than
+    ``z_threshold`` population standard deviations from their group mean —
+    the workhorse numeric-cleaning gate. Output: all input columns +
+    ``z`` (4 dp floor).
+
+    Scale: ONE pass for the per-group (n, Σx, Σx²) moments (map-side
+    combinable), the tiny moment table joined back (AQE broadcasts it when
+    small), scoring map-only. Determinism: moments are per-row-ROUNDed
+    DECIMAL sums (exact) cast to identical doubles; z is computed with one
+    fixed expression shape and IEEE sqrt, so the filter and the emitted z
+    are bit-stable cross-engine.
+    """
+    group_cols = list(group_cols)
+    xv = F.round(F.col(value_col).cast("double"), round_dp).cast("decimal(19,6)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.when(F.col(value_col).isNotNull(), 1)).alias("__n"),
+        F.sum(xv).alias("__sx"),
+        F.sum(xv * xv).alias("__sxx"),
+    )
+    joined = df.join(stats, group_cols)
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    mean = sx / n
+    var = sxx / n - mean * mean
+    x = F.round(F.col(value_col).cast("double"), round_dp)
+    z = (x - mean) / F.sqrt(var)
+    return (
+        joined.where(
+            (F.col("__n") > 1) & (var > 0) & (F.abs(z) >= F.lit(z_threshold))
+        )
+        .withColumn("z", F.floor(z * F.lit(1e4)) / F.lit(1e4))
+        .drop("__n", "__sx", "__sxx")
     )
