@@ -882,7 +882,7 @@ class ChangeTable:
             return True
         return False
 
-    def compact(self, zorder_by: Sequence[str] = ()) -> int:
+    def compact(self, zorder_by: Sequence[str] = (), curve: str = "z") -> int:
         """Consolidate every part to a single file-set (the OPTIMIZE analog:
         bounds manifest growth after many appends). Emits no change rows.
 
@@ -893,14 +893,23 @@ class ChangeTable:
         clustered column and range predicates prune at row-group level
         (the layout.zone-map story applied to the table substrate). The
         key never reaches disk; content and change feed are unaffected,
-        so downstream incremental consumers are not disturbed."""
+        so downstream incremental consumers are not disturbed.
+        ``curve="hilbert"`` (2 columns only) clusters on the Hilbert key
+        instead — unit-step locality, the liquid-clustering-style sort."""
         v = self.version() + 1
         cur = self.snapshot(v - 1)
         cluster_by: tuple[str, ...] = ()
         if zorder_by:
-            from .operators.layout import with_zorder_key
+            if curve == "hilbert":
+                from .operators.layout import with_hilbert_key
 
-            cur = with_zorder_key(cur, list(zorder_by), out_col="__zkey")
+                cur = with_hilbert_key(cur, list(zorder_by), out_col="__zkey")
+            elif curve == "z":
+                from .operators.layout import with_zorder_key
+
+                cur = with_zorder_key(cur, list(zorder_by), out_col="__zkey")
+            else:
+                raise ValueError(f"curve must be 'z' or 'hilbert', got {curve!r}")
             cluster_by = ("__zkey",)
         all_parts = [int(p) for p in self._manifest(v - 1)]
         empty_changes = self.spark.createDataFrame([], self.change_schema())

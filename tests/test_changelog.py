@@ -403,3 +403,19 @@ def test_clone_is_independent(spark, tmp_path):
     cl.merge(spark.createDataFrame([(3, "c")], "id long, val string"))
     assert [r["id"] for r in ct.snapshot().orderBy("id").collect()] == [2]
     assert [r["id"] for r in cl.snapshot().orderBy("id").collect()] == [1, 2, 3]
+
+
+def test_compact_hilbert_curve_variant(spark, tmp_path):
+    """curve='hilbert' clusters the rewrite on the Hilbert key; content
+    and feed invariants match the Z variant."""
+    path = str(tmp_path / "ht")
+    rows = [(i, (i * 37) % 100, (i * 91) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"])
+    ct.append(df)
+    before = sorted(map(tuple, ct.snapshot().collect()))
+    v = ct.compact(zorder_by=["x", "y"], curve="hilbert")
+    assert sorted(map(tuple, ct.snapshot().collect())) == before
+    assert ct.read_change_feed(starting_version=v).count() == 0
+    with pytest.raises(ValueError, match="curve"):
+        ct.compact(zorder_by=["x", "y"], curve="peano")
