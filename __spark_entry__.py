@@ -2524,6 +2524,19 @@ def q_outlier_events(spark, sf_dir):
     return group_outliers(ev, ["event_type"], "value", z_threshold=2.5)
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary: top-5 tokens by the log-free
+    TF-IDF surrogate tf·n_groups/df (ln drifts a ulp cross-engine; the
+    rational score ranks identically). One (group, token) count shuffle;
+    n_groups is a 1-row broadcast (text.distinctive_terms)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import distinctive_terms
+
+    return distinctive_terms(
+        _t(spark, sf_dir, "documents"), top_n=5, min_df=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2622,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "hilbert_key": q_hilbert_key,
         "outlier_events": q_outlier_events,
+        "distinctive_terms": q_distinctive_terms,
         "rollup_agg": q_rollup_agg,
         "pivot_returnflag": q_pivot_returnflag,
         "corpus_curation": q_corpus_curation,
@@ -2924,6 +2938,26 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.3
+        """,
+        "distinctive_terms": r"""
+            WITH toks AS (SELECT grp, t AS token FROM (
+                    SELECT source AS grp,
+                           unnest(string_split_regex(lower(trim(text)),
+                                                     '\s+')) AS t
+                    FROM documents) WHERE t <> ''),
+            tf AS (SELECT grp, token, COUNT(*) AS tf
+                   FROM toks GROUP BY grp, token),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            ng AS (SELECT COUNT(DISTINCT source) AS ng FROM documents),
+            scored AS (SELECT grp, token, tf, df,
+                FLOOR(CAST(tf AS DOUBLE) * ng / df * 1000000.0)
+                    / 1000000.0 AS score
+                FROM tf JOIN dfq USING (token) CROSS JOIN ng
+                WHERE tf >= 2)
+            SELECT grp AS source, token, tf, df, score FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                    ORDER BY score DESC, token) AS rn FROM scored)
+            WHERE rn <= 5
         """,
         "outlier_events": """
             WITH s AS (SELECT event_type,

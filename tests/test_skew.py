@@ -159,3 +159,36 @@ def test_mixture_sample_exact_quotas_and_shortfall(spark):
     b = sorted(r.id for r in mixture_sample(
         df, "src", {"big": 0.5, "tiny": 0.5, "absent": 0.0}, 10, ["id"]).collect())
     assert a == b
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        weights=st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+            st.floats(min_value=0.001, max_value=100.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=8,
+        ),
+        total=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_mixture_quotas_properties(weights, total):
+        """Largest-remainder invariants: quotas sum EXACTLY to the budget,
+        every quota is within 1 of its real-valued share, none negative,
+        and the apportionment is deterministic."""
+        from streamjoin_spark.operators.skew import mixture_quotas
+
+        q = mixture_quotas(weights, total)
+        assert set(q) == set(weights)
+        assert sum(q.values()) == total
+        wsum = sum(weights.values())
+        for g, w in weights.items():
+            ideal = total * w / wsum
+            assert q[g] >= 0
+            assert abs(q[g] - ideal) < 1.0 + 1e-9, (g, q[g], ideal)
+        assert mixture_quotas(weights, total) == q
+except ImportError:  # pragma: no cover
+    pass
