@@ -51,6 +51,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -238,6 +239,8 @@ class ChangeTable:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         with open(os.path.join(path, "manifests", "v0.json"), "w") as f:
             json.dump({}, f)
+        with open(os.path.join(path, "manifests", "t0.json"), "w") as f:
+            json.dump({"commit_ts": time.time()}, f)
         meta = {
             "name": name or os.path.basename(path),
             "version": 0,
@@ -343,6 +346,31 @@ class ChangeTable:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger or 16)
         reader = reader.option("recursiveFileLookup", "true")
         return reader.parquet(os.path.join(self.path, "changes"))
+
+    def commit_timestamp(self, v: int) -> float | None:
+        """Wall-clock of commit ``v`` (None for tables written before
+        timestamps landed)."""
+        p = os.path.join(self.path, "manifests", f"t{v}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return float(json.load(f)["commit_ts"])
+
+    def snapshot_as_of(self, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF read (Delta analog): the snapshot at the latest
+        commit whose wall-clock is ≤ ``ts``. Raises if ``ts`` predates the
+        table. O(versions) metadata reads, no data scanned beyond the
+        resolved snapshot."""
+        best = None
+        for v in range(self.version() + 1):
+            cts = self.commit_timestamp(v)
+            if cts is not None and cts <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit of {self.name!r} at or before timestamp {ts}"
+            )
+        return self.snapshot(best)
 
     def history(self) -> DataFrame:
         """SCD Type-2 history derived from the change feed: one row per
@@ -531,6 +559,11 @@ class ChangeTable:
 
         with open(self._manifest_path(v), "w") as f:
             json.dump(manifest, f)
+        # commit wall-clock, enabling TIMESTAMP AS OF reads (Delta analog);
+        # kept out of the manifest dict (whose keys are part ids) and
+        # idempotently overwritten like every pre-publish artifact
+        with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
+            json.dump({"commit_ts": time.time()}, f)
 
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         (
@@ -860,6 +893,9 @@ class ChangeTable:
             if os.path.exists(mp):
                 os.remove(mp)
                 removed["manifests"] += 1
+            tp = os.path.join(self.path, "manifests", f"t{mv}.json")
+            if os.path.exists(tp):
+                os.remove(tp)
         return removed
 
     def max_dirs_per_part(self) -> int:

@@ -419,3 +419,27 @@ def test_compact_hilbert_curve_variant(spark, tmp_path):
     assert ct.read_change_feed(starting_version=v).count() == 0
     with pytest.raises(ValueError, match="curve"):
         ct.compact(zorder_by=["x", "y"], curve="peano")
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit records wall-clock; reads resolve to
+    the latest commit at-or-before the requested instant; pre-creation
+    instants raise; vacuum-era tables without stamps return None."""
+    import time as _time
+
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    before_create = _time.time() - 0.001
+    ct = ChangeTable.create(spark, str(tmp_path / "ts"), df.schema, ["id"])
+    ct.merge(df)                                        # v1
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    ct.merge(spark.createDataFrame([(2, "b")], "id long, val string"))  # v2
+    assert ct.commit_timestamp(1) is not None
+    assert sorted(
+        r["id"] for r in ct.snapshot_as_of(t_after_v1).collect()
+    ) == [1]
+    assert sorted(
+        r["id"] for r in ct.snapshot_as_of(_time.time()).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="at or before"):
+        ct.snapshot_as_of(before_create - 10.0)
