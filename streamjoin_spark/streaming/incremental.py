@@ -382,6 +382,7 @@ class _JoinStage:
         if out is None:
             return False
         affected, new_slice, versions, slice_bytes = out
+        self._slice_bytes = slice_bytes  # surfaced via stageProgress()
         changed = self.target.replace_keys(
             affected, self.p_pks, new_slice,
             hint_broadcast=self.governor.should_hint(slice_bytes),
@@ -454,6 +455,7 @@ class _UnionLegStage:
         if ct.version() == v0:
             return False
         v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
+        self._slice_bytes = nbytes  # surfaced via stageProgress()
         images = _change_images(self.stream, ct, v0 + 1, v1)
         affected = self.governor.keys(images, self.pks, nbytes)
         snap = self.stream.static(v1)
@@ -930,6 +932,9 @@ class _WriterBase:
                 "target": getattr(getattr(st, "target", None), "path", None),
                 "versions": list(st.progress.versions),
                 "batch_id": st.progress.batch_id,
+                # change bytes of the most recent slice this stage ran —
+                # the governor's chunking metric, None before any slice
+                "last_slice_bytes": getattr(st, "_slice_bytes", None),
             }
             for st in self.pipeline.stages
         ]
