@@ -443,3 +443,25 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
     ) == [1, 2]
     with pytest.raises(ValueError, match="at or before"):
         ct.snapshot_as_of(before_create - 10.0)
+
+
+def test_restore_and_clone_with_generated_columns(spark, tmp_path):
+    """RESTORE re-derives generated columns through replace_keys and CLONE
+    re-creates them as table metadata (writers still never supply them)."""
+    base = spark.createDataFrame([(1, 10.0)], "id long, amount double")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "g"), base.schema, ["id"],
+        generated_columns={"bucket": "CAST(amount / 10 AS INT)"},
+    )
+    ct.merge(base)                                         # v1
+    v1 = ct.version()
+    ct.merge(spark.createDataFrame([(1, 25.0)], "id long, amount double"))
+    assert {r["bucket"] for r in ct.snapshot().collect()} == {2}
+    ct.restore(v1)
+    snap = ct.snapshot().collect()
+    assert [(r["id"], r["amount"], r["bucket"]) for r in snap] == [(1, 10.0, 1)]
+    cl = ct.clone(str(tmp_path / "g2"))
+    assert cl.generated_columns == {"bucket": "CAST(amount / 10 AS INT)"}
+    assert [(r["id"], r["bucket"]) for r in cl.snapshot().collect()] == [(1, 1)]
+    cl.merge(spark.createDataFrame([(2, 33.0)], "id long, amount double"))
+    assert {r["id"]: r["bucket"] for r in cl.snapshot().collect()} == {1: 1, 2: 3}
