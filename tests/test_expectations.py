@@ -106,3 +106,38 @@ def test_stream_expect_gates_incremental_pipeline(spark, tmp_path):
     ct.delete_where(F.col("id") == 3)
     w.run()
     assert {r.grp: r.n for r in w.toDF().collect()} == {"a": 1}
+
+
+def test_stream_expect_mark_mode_incremental(spark, tmp_path):
+    """mark mode carries the _violations array through the incremental
+    pipeline (schema includes it; updates re-derive it)."""
+    from streamjoin_spark import Stream
+    from streamjoin_spark.changelog import ChangeTable
+
+    ct = ChangeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame([], "id long, amount double").schema,
+        ["id"],
+    )
+    s = (
+        Stream.fromChangeTable(ct, "src")
+        .primaryKeys("id")
+        .expect({"pos": "amount > 0"}, mode="mark")
+        .to(lambda df: df.withColumn(
+            "flags", F.concat_ws(",", "_violations")).drop("_violations"))
+    )
+    # materialize via a trivial incremental aggregate keyed by id
+    w = (
+        s.groupBy("id")
+        .agg(F.max("flags").alias("flags"))
+        .writeToPath(str(tmp_path / "out"))
+    )
+    ct.merge(spark.createDataFrame([(1, 5.0), (2, -1.0)], "id long, amount double"))
+    w.run()
+    got = {r["id"]: r["flags"] for r in w.toDF().collect()}
+    assert got == {1: "", 2: "pos"}
+    ct.merge(spark.createDataFrame([(2, 9.0)], "id long, amount double"))
+    w.run()
+    got = {r["id"]: r["flags"] for r in w.toDF().collect()}
+    assert got == {1: "", 2: ""}
