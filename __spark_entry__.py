@@ -2934,7 +2934,8 @@ def _corpus_oracles() -> dict[str, str]:
                       GROUP BY 1, 2)
             SELECT doc_a, doc_b, jaccard FROM (
                 SELECT doc_a, doc_b,
-                       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+                       FLOOR(i / (sa.sz + sb.sz - i) * 1000000.0)
+                           / 1000000.0 AS jaccard
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.3
@@ -3088,7 +3089,8 @@ def _corpus_oracles() -> dict[str, str]:
                       GROUP BY 1, 2)
             SELECT doc_a, doc_b, jaccard FROM (
                 SELECT doc_a, doc_b,
-                       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+                       FLOOR(i / (sa.sz + sb.sz - i) * 1000000.0)
+                           / 1000000.0 AS jaccard
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.5

@@ -162,16 +162,25 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    # No broadcast hint on the per-doc size frames: |docs| rows is
+    # corpus-sized (100 TB ⇒ billions of ids), so a broadcast here OOMs the
+    # driver. The join key is the doc id — a plain shuffle join is bounded
+    # and usually co-partitioned with `inter`'s groupBy output anyway.
     out = (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.__id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.__id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.__id"))
+        .join(sb, F.col("doc_b") == F.col("sb.__id"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
-                6,
+            # division-derived float: FLOOR-canonicalize (never ROUND) so
+            # Spark and DuckDB agree bit-for-bit at .xxx5 boundaries
+            (
+                F.floor(
+                    F.col("inter")
+                    / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -648,7 +657,7 @@ def prefix_jaccard_pairs(
     the intersection counted by codegen ``array_intersect`` per pair —
     no (pair × shingle) re-explosion (that form measured ~5× slower).
 
-    Output columns: doc_a, doc_b, jaccard (rounded 6 dp).
+    Output columns: doc_a, doc_b, jaccard (FLOOR-canonicalized to 6 dp).
     """
     from pyspark.sql import Window
 
@@ -723,10 +732,15 @@ def prefix_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                inter
-                / (F.size("__sa") + F.size("__sb") - inter).cast("double"),
-                6,
+            # division-derived float: FLOOR-canonicalize (never ROUND) so
+            # Spark and DuckDB agree bit-for-bit at .xxx5 boundaries
+            (
+                F.floor(
+                    inter
+                    / (F.size("__sa") + F.size("__sb") - inter).cast("double")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

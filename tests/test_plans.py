@@ -93,6 +93,31 @@ def test_ngram_jaccard_cap_in_plan(spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[shingle", p)
 
 
+def test_ngram_jaccard_sizes_not_broadcast(spark):
+    """The per-doc `sizes` frames are corpus-sized (one row per document),
+    so they must never carry an unconditional broadcast hint — at 100 TB
+    that broadcast OOMs the driver (VERDICT r3 finding #1). With
+    auto-broadcast disabled, the id-keyed size joins must compile to
+    shuffle joins; a BroadcastHashJoin on doc_a/doc_b here would mean an
+    explicit hint sneaked back in (hints override the threshold)."""
+    import re
+
+    from streamjoin_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(dedup.ngram_jaccard_pairs(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[doc_a", p)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[doc_b", p)
+    assert not re.search(r"BroadcastHashJoin \[doc_[ab]", p)
+
+
 def test_q7_nation_legs_broadcast(spark, sf_dir):
     """Both 2-row nation dimensions must broadcast (they act as
     semi-filters); a shuffled 6-way chain would pay two needless exchanges."""
