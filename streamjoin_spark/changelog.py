@@ -561,9 +561,15 @@ class ChangeTable:
             json.dump(manifest, f)
         # commit wall-clock, enabling TIMESTAMP AS OF reads (Delta analog);
         # kept out of the manifest dict (whose keys are part ids) and
-        # idempotently overwritten like every pre-publish artifact
+        # idempotently overwritten like every pre-publish artifact.
+        # Clamped monotonic (Delta does the same): a clock step backward
+        # must not let snapshot_as_of resolve past a later-stamped commit.
+        cts = time.time()
+        prev_cts = self.commit_timestamp(v - 1)
+        if prev_cts is not None and cts <= prev_cts:
+            cts = prev_cts + 1e-3
         with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
-            json.dump({"commit_ts": time.time()}, f)
+            json.dump({"commit_ts": cts}, f)
 
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         (
@@ -819,10 +825,13 @@ class ChangeTable:
             changes.unpersist()
 
     def delete_where(self, condition) -> int:
-        """Delete rows matching a condition, emitting ``delete`` change rows.
-        The reference silently drops deletes at the source (elzyme/
+        """Delete rows matching a condition (Column or SQL string, like
+        ``DataFrame.filter``), emitting ``delete`` change rows. The
+        reference silently drops deletes at the source (elzyme/
         streams.py:132,142); we make delete propagation explicit and let
         downstream consumers opt in."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
         v = self.version() + 1
         manifest = self._manifest(v - 1)
         cur_all = self.snapshot(v - 1)

@@ -652,7 +652,9 @@ def prefix_jaccard_pairs(
     document frequency, so boilerplate (the k² blow-up in the naive
     self-join) is structurally excluded from prefixes of large docs
     instead of lossily capped. Shuffles: shingle-df groupBy, per-doc rank
-    window, prefix self-join on shingle; verification is two id-keyed
+    window, prefix self-join on shingle; candidates then pass PPJoin's
+    length + positional filters in-join and an aggregated pair-level
+    positional bound (PPJoin+ style) before verification — two id-keyed
     joins attaching each candidate pair's shingle SET as an array, with
     the intersection counted by codegen ``array_intersect`` per pair —
     no (pair × shingle) re-explosion (that form measured ~5× slower).
@@ -706,6 +708,15 @@ def prefix_jaccard_pairs(
         F.lit(1) + F.least(sza - F.col("pa.__rn"), szb - F.col("pb.__rn"))
         >= min_overlap
     )
+    # Pair-level aggregated positional filter (the PPJoin+ candidate cut,
+    # Xiao et al. WWW 2008 §4, in its tightest groupBy form): the global
+    # rarity order is CONSISTENT across docs, so every common token
+    # ordering before the last shared prefix token is itself a shared
+    # prefix token — hence overlap ≤ (#shared prefix tokens) +
+    # min(|A| − last_rn_A, |B| − last_rn_B). The per-occurrence pos_ok
+    # above prunes inside the join; this exact pair bound then replaces
+    # dropDuplicates with a same-shuffle groupBy and cuts the surviving
+    # candidates far harder before the expensive set-verification joins.
     candidates = (
         pa.join(
             pb,
@@ -714,10 +725,28 @@ def prefix_jaccard_pairs(
             & length_ok
             & pos_ok,
         )
-        .select(
+        .groupBy(
             F.col("pa.__id").alias("doc_a"), F.col("pb.__id").alias("doc_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("pa.__rn").alias("__lra"),
+            F.max("pb.__rn").alias("__lrb"),
+            F.max("pa.sz").alias("__sza"),
+            F.max("pb.sz").alias("__szb"),
+        )
+        .where(
+            F.col("__c")
+            + F.least(
+                F.col("__sza") - F.col("__lra"), F.col("__szb") - F.col("__lrb")
+            )
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("__sza") + F.col("__szb")).cast("double")
+                - F.lit(1e-9)
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     va = sets.select(
         F.col("__id").alias("doc_a"), F.col("__set").alias("__sa")

@@ -136,12 +136,12 @@ def hll_row(value_col: str, b: int = 9) -> tuple[Column, Column]:
     trigger the runtime's dirty-group recompute)."""
     m = 1 << b
     hv = hash64(F.col(value_col).cast("string"))
-    # hv DIV m must be *integer* division — a double round-trip would lose
-    # bits (60-bit hv exceeds double precision)
-    w = F.expr(
-        f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10)"
-        f" AS BIGINT) DIV {m}"
-    )
+    # w = the high (60-b) bits of hv. shiftright is exact integer division
+    # by 2^b for the always-positive 60-bit hash (a double round-trip would
+    # lose bits), and deriving w from the same hv Column keeps both halves
+    # of the sketch resolving value_col identically — no raw SQL-string
+    # interpolation of the column name.
+    w = F.shiftright(hv, b)
     # rho = leading-zero count of the (60-b)-bit word + 1
     #     = (60-b) - bitlength(w) + 1, with bitlength(0) := 0.
     # bin(0) is '0' (length 1), so the w = 0 case is special-cased.

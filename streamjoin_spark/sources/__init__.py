@@ -65,6 +65,11 @@ class FileIngest:
         # are diverted to `quarantine_target` (schema = target schema +
         # `_violations` string) — or silently dropped when no quarantine
         # table is given. Map-only; see operators/expectations.py.
+        # Crash semantics: the quarantine commit precedes the ingest-state
+        # update, so a crash in between replays the batch. A quarantine
+        # table WITH primary keys absorbs the replay via merge()
+        # (idempotent; latest violation per key wins). A keyless quarantine
+        # table is at-least-once by contract — replays append duplicates.
         self.rules = rules
         self.quarantine_target = quarantine_target
         self._state_path = os.path.join(target.path, "_ingest_state.json")
@@ -104,9 +109,19 @@ class FileIngest:
 
             df, bad = _quarantine(df, self.rules)
             if self.quarantine_target is not None and not bad.isEmpty():
-                self.quarantine_target.append(
-                    bad.withColumn("_violations", F.concat_ws(",", "_violations"))
+                bad = bad.withColumn(
+                    "_violations", F.concat_ws(",", "_violations")
                 )
+                # Crash idempotence: the quarantine commit and the bronze
+                # merge land before the ingest-state update, so a crash in
+                # between replays the same files. When the quarantine table
+                # declares primary keys, merge() makes the replay a no-op;
+                # a keyless quarantine table is at-least-once by contract
+                # (documented) and append() keeps every occurrence.
+                if self.quarantine_target.primary_keys:
+                    self.quarantine_target.merge(bad)
+                else:
+                    self.quarantine_target.append(bad)
         if self.mode == "merge":
             self.target.merge(df)
         else:

@@ -184,6 +184,10 @@ class _Governor:
                 "\x1f", *[F.col(c).cast("string") for c in cols]
             )
 
+        # positions keep their seed: each of the k passes must test
+        # membership against ITS OWN seed's position set — pooling all
+        # seeds into one set inflates the effective false-positive rate to
+        # ~(k·n/m)^k instead of (n/m)^k and defeats the pre-reduction.
         positions = (
             keys.select(key_str().alias("__k"))
             .select(
@@ -193,9 +197,10 @@ class _Governor:
                 "__k",
             )
             .select(
+                "__seed",
                 (hash64(F.concat(F.col("__seed"), F.col("__k"))) % F.lit(m)).alias(
                     "position"
-                )
+                ),
             )
             .distinct()
         )
@@ -204,7 +209,8 @@ class _Governor:
             pos_i = hash64(F.concat(F.lit(f"scope{i}"), key_str())) % F.lit(m)
             reduced = reduced.join(
                 F.broadcast(positions),
-                pos_i == positions["position"],
+                (positions["__seed"] == F.lit(f"scope{i}"))
+                & (pos_i == positions["position"]),
                 "left_semi",
             )
         return _semi_filter(reduced, keys, cols)
@@ -237,6 +243,14 @@ def _anti_filter(df: DataFrame, keys: DataFrame, cols: Sequence[str]) -> DataFra
 
 
 
+def _seed_version(stream) -> int:
+    """Initial watermark for one input: ``startingVersion - 1`` when the
+    stream pins one (so the first slice covers commits ≥ startingVersion),
+    else 0 (full history)."""
+    sv = getattr(stream, "_starting_version", None)
+    return max(0, sv - 1) if sv is not None else 0
+
+
 def _change_images(stream: Stream, ct: ChangeTable, v_from: int, v_to: int) -> DataFrame:
     """One source's change images for a pinned version range, with the
     stream's transforms applied — and delete images dropped when the source
@@ -259,11 +273,21 @@ class _Progress:
         self.path = os.path.join(path, filename) if path else None
         self.versions = [0] * n_inputs
         self.batch_id = 0
+        self.fresh = True
         if self.path and os.path.exists(self.path):
             with open(self.path) as f:
                 data = json.load(f)
             self.versions = data["versions"]
             self.batch_id = data.get("batch_id", 0)
+            self.fresh = False
+
+    def seed(self, versions: Sequence[int]) -> None:
+        """Initial watermarks for a FIRST start (``Stream.startingVersion``
+        — reference elzyme/streams.py:126-144). A persisted checkpoint
+        always wins: seeding after a restart would silently skip the
+        backlog between the checkpoint and the seed."""
+        if self.fresh:
+            self.versions = list(versions)
 
     def save(self) -> None:
         if self.path:
@@ -305,6 +329,7 @@ class _JoinStage:
                     f"incremental join output must retain the preserved side's "
                     f"primary keys; missing {missing} — add them to .select()"
                 )
+        self.progress.seed([_seed_version(builder.left), _seed_version(builder.right)])
 
     def compute_slice(self):
         """(affected_keys, recomputed_slice, new_versions, slice_bytes) for
@@ -448,6 +473,7 @@ class _UnionLegStage:
                 f"union leg {stream.name!r} lacks the target's key column(s) "
                 f"{missing} — a unioned pipeline must share the merge keys"
             )
+        self.progress.seed([_seed_version(stream)])
 
     def process(self) -> bool:
         ct = self.stream.change_table
@@ -523,6 +549,7 @@ class _AggStage:
             _agg_kind(col) in ("sum", "count") or name in gb.recipes
             for col, name in zip(gb.aggs, self._agg_out_names())
         )
+        self.progress.seed([_seed_version(gb.source)])
 
     def _agg_out_names(self) -> list[str]:
         return self.agg_cols
@@ -678,24 +705,139 @@ class IncrementalPipeline:
     the next through a staging ChangeTable's change feed (reference topology:
     N streaming queries + N−1 staging Delta tables, elzyme/joins.py:812-859)."""
 
-    def __init__(self, spark: SparkSession, stages: list, roots: list[ChangeTable]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        stages: list,
+        roots: list[ChangeTable],
+        stage_parallelism: int = 1,
+    ):
         self.spark = spark
         self.stages = stages
         self.roots = roots
+        # >1 enables level-parallel draining (writer option
+        # ``stageParallelism`` — the reference's per-query fair-scheduler
+        # pools analog, elzyme/streams.py:353-359): independent branches of
+        # a wide DAG submit Spark jobs concurrently instead of leaving
+        # executors idle between serial stages.
+        self.stage_parallelism = max(1, int(stage_parallelism))
+
+    @staticmethod
+    def _stage_inputs(st) -> list:
+        if isinstance(st, _UnionLegStage):
+            return [st.stream.change_table]
+        if isinstance(st, _AggStage):
+            return [st.gb.source.change_table]
+        b = st.builder  # _JoinStage / _ForeachStage
+        return [b.left.change_table, b.right.change_table]
+
+    def _levels(self) -> list[list[list]]:
+        """Topological levels of stage GROUPS. A group is all stages
+        sharing one target ChangeTable (a join stage plus its union legs):
+        ChangeTables are single-writer, so a group always drains serially
+        in one thread. Groups within a level have no producer→consumer
+        edge between them and may run concurrently."""
+        groups: dict[int, list] = {}
+        order: list[int] = []
+        for st in self.stages:
+            t = getattr(st, "target", None)
+            key = id(t) if t is not None else id(st)
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(st)
+        produces = {
+            key: {
+                id(s.target)
+                for s in g
+                if getattr(s, "target", None) is not None
+            }
+            for key, g in groups.items()
+        }
+        needs = {
+            key: {id(t) for s in g for t in self._stage_inputs(s) if t is not None}
+            for key, g in groups.items()
+        }
+        levels: list[list[list]] = []
+        remaining = list(order)
+        while remaining:
+            ready = [
+                key
+                for key in remaining
+                if not any(
+                    other != key and (produces[other] & needs[key])
+                    for other in remaining
+                )
+            ]
+            if not ready:  # defensive: never hang on an unexpected cycle
+                ready = [remaining[0]]
+            levels.append([groups[k] for k in ready])
+            remaining = [k for k in remaining if k not in ready]
+        return levels
 
     def process_all_available(self) -> int:
         """Drain every outstanding change through every stage (the
         ``availableNow`` trigger of this engine). Returns the number of stage
-        batches that committed changes."""
+        batches that committed changes. With ``stageParallelism > 1``,
+        independent groups of one topological level drain concurrently —
+        each thread tagged with its own scheduler pool so a fair-scheduler
+        cluster interleaves their jobs (FIFO clusters ignore the tag)."""
         commits = 0
-        progressed = True
-        while progressed:
-            progressed = False
-            for st in self.stages:
+        if self.stage_parallelism <= 1 or len(self.stages) <= 1:
+            progressed = True
+            while progressed:
+                progressed = False
+                for st in self.stages:
+                    if st.process():
+                        progressed = True
+                        commits += 1
+            return commits
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+
+        def drain_group(group) -> int:
+            sc.setLocalProperty(
+                "spark.scheduler.pool", f"sj_stage_{threading.get_ident()}"
+            )
+            n = 0
+            for st in group:
                 if st.process():
-                    progressed = True
-                    commits += 1
+                    n += 1
+            return n
+
+        levels = self._levels()
+        with ThreadPoolExecutor(max_workers=self.stage_parallelism) as ex:
+            progressed = True
+            while progressed:
+                progressed = False
+                for level in levels:
+                    for n in ex.map(drain_group, level):
+                        if n:
+                            progressed = True
+                            commits += n
         return commits
+
+
+def _static_leg_stream(
+    spark: SparkSession, df: DataFrame, path: str, pks: Sequence[str]
+) -> Stream:
+    """Wrap a static DataFrame union operand in a one-commit ChangeTable so
+    the incremental runtime can maintain it like any leg (reference
+    ``.union(DataFrame)``, elzyme/joins.py:861-865). Idempotent across
+    restarts: an existing wrapper table is reused; a crash between create
+    and the first commit heals on the next build (version-0 check)."""
+    path = path.rstrip("/")
+    if ChangeTable.exists(path):
+        ct = ChangeTable(spark, path)
+    else:
+        ct = ChangeTable.create(spark, path, df.schema, list(pks))
+    if ct.version() == 0:
+        ct.append(df)
+    name = os.path.basename(path)
+    return Stream.fromChangeTable(ct, name).primaryKeys(*pks)
 
 
 def _build_pipeline(
@@ -747,13 +889,22 @@ def _build_pipeline(
         if isinstance(op, JoinBuilder):
             bind_input(op.left, f"{target_path}__stages/left")
             bind_input(op.right, f"{target_path}__stages/right")
+            union_streams: list[Stream] = []
             for idx, u in enumerate(op._unions):
                 if isinstance(u, DataFrame):
-                    raise ValueError(
-                        "incremental .union() needs a Stream or builder "
-                        "operand; a plain DataFrame union is batch-only"
+                    # strict-compat shim for the reference's
+                    # ``.union(DataFrame)`` on a live pipeline
+                    # (elzyme/joins.py:861-865): snapshot the static frame
+                    # into a one-commit ChangeTable and maintain it as a
+                    # normal union leg. Frozen at first build by design — a
+                    # static frame re-unioned every batch is a constant.
+                    u = _static_leg_stream(
+                        spark, u,
+                        f"{target_path}__stages/union{idx}_static",
+                        [k.name for k in op.composed_keys()],
                     )
                 bind_input(u, f"{target_path}__stages/union{idx}")
+                union_streams.append(u)
             if final and foreach_batch is not None:
                 if op._unions:
                     raise ValueError("foreachBatch with .union() is unsupported")
@@ -771,7 +922,7 @@ def _build_pipeline(
                 generated_columns=generated_columns if final else None,
             )
             stages.append(_JoinStage(op, target, _Progress(target_path, 2), governor))
-            for idx, u in enumerate(op._unions):
+            for idx, u in enumerate(union_streams):
                 stages.append(
                     _UnionLegStage(
                         u, target,
@@ -792,7 +943,10 @@ def _build_pipeline(
             raise TypeError(f"cannot run {type(op).__name__} incrementally")
 
     build(operator, path.rstrip("/"), True)
-    return IncrementalPipeline(spark, stages, roots)
+    return IncrementalPipeline(
+        spark, stages, roots,
+        stage_parallelism=int((options or {}).get("stageParallelism", 1)),
+    )
 
 
 class _WriterBase:

@@ -64,6 +64,11 @@ class Stream:
         self._sequence_by: tuple[str, ...] = ()
         self._partition_by: tuple[str, ...] = ()
         self._ignore_deletes: bool = False
+        # first change-feed version an incremental consumer starts at
+        # (reference ``startingVersion``, elzyme/streams.py:126-144); None =
+        # from the beginning. Seeds the consumer's initial watermark on its
+        # FIRST start only — an existing checkpoint always wins.
+        self._starting_version: int | None = None
 
     # ------------------------------------------------------------------
     # constructors
@@ -75,17 +80,42 @@ class Stream:
 
     @staticmethod
     def fromPath(
-        spark: SparkSession, path: str, fmt: str = "parquet", name: str | None = None
+        spark: SparkSession,
+        path: str,
+        fmt: str = "parquet",
+        name: str | None = None,
+        startingVersion: int | None = None,
     ) -> "Stream":
-        """Static source from a file path (reference ``Stream.fromPath``,
-        elzyme/streams.py:126-134; ours reads parquet/orc/json/csv instead of
-        Delta)."""
+        """Source from a file path (reference ``Stream.fromPath``,
+        elzyme/streams.py:126-134). A path holding a ChangeTable (the
+        engine's Delta-CDF analog — anything created or written by this
+        engine) resolves to the full incremental stream, honoring
+        ``startingVersion`` exactly as the reference's CDF reader does:
+        the consumer's first trigger starts at that commit, skipping the
+        earlier history (no backfill of untouched keys — Delta CDF
+        semantics). Any other path is a static source (parquet/orc/json/
+        csv) whose pipelines run in batch mode."""
+        from .changelog import ChangeTable
+
         name = name or path.rstrip("/").split("/")[-1].split(".")[0]
+        if ChangeTable.exists(path.rstrip("/")):
+            return Stream.fromChangeTable(
+                ChangeTable(spark, path.rstrip("/")), name,
+                startingVersion=startingVersion,
+            )
+        if startingVersion is not None:
+            raise ValueError(
+                f"startingVersion requires a versioned (ChangeTable) path; "
+                f"{path!r} is a static {fmt} source"
+            )
         return Stream(spark, name, lambda version: spark.read.format(fmt).load(path))
 
     @staticmethod
     def fromTable(
-        spark: SparkSession, table: str, name: str | None = None
+        spark: SparkSession,
+        table: str,
+        name: str | None = None,
+        startingVersion: int | None = None,
     ) -> "Stream":
         """Source by table name (reference ``Stream.fromTable``,
         elzyme/streams.py:136-144, which streams Delta CDF by catalog name).
@@ -98,7 +128,13 @@ class Stream:
         path = lookup_table(table)
         if path is not None and ChangeTable.exists(path):
             return Stream.fromChangeTable(
-                ChangeTable(spark, path), name or table.split(".")[-1]
+                ChangeTable(spark, path), name or table.split(".")[-1],
+                startingVersion=startingVersion,
+            )
+        if startingVersion is not None:
+            raise ValueError(
+                f"startingVersion requires a ChangeTable-backed name; "
+                f"{table!r} resolves to a static catalog table"
             )
         return Stream(
             spark, name or table.split(".")[-1],
@@ -106,17 +142,38 @@ class Stream:
         )
 
     @staticmethod
-    def fromChangeTable(ct: "ChangeTable", name: str | None = None) -> "Stream":
+    def fromChangeTable(
+        ct: "ChangeTable",
+        name: str | None = None,
+        startingVersion: int | None = None,
+    ) -> "Stream":
         """Incremental source over our changelog substrate — change feed via
         the Structured Streaming file source, snapshots pinned by version
-        (reference CDF source: elzyme/streams.py:126-144)."""
-        return Stream(
+        (reference CDF source: elzyme/streams.py:126-144).
+        ``startingVersion`` pins where a consumer's FIRST start begins in
+        the change history (Delta CDF ``startingVersion`` semantics): both
+        the native readStream and the IVM runtime's initial watermark skip
+        commits below it; an existing checkpoint/progress file wins over it
+        on restart."""
+        if startingVersion is None:
+            stream_fn = ct.read_change_stream
+        else:
+            from pyspark.sql import functions as F
+
+            def stream_fn(*a, _sv=startingVersion, **kw):
+                return ct.read_change_stream(*a, **kw).where(
+                    F.col(COMMIT_VERSION) >= F.lit(_sv)
+                )
+
+        s = Stream(
             ct.spark,
             name or ct.name,
             static_fn=lambda version: ct.snapshot(version),
-            stream_fn=ct.read_change_stream,
+            stream_fn=stream_fn,
             change_table=ct,
         )
+        s._starting_version = startingVersion
+        return s
 
     # ------------------------------------------------------------------
     # metadata builders (fluent, reference elzyme/streams.py:215-233)
@@ -182,6 +239,7 @@ class Stream:
         clone._sequence_by = self._sequence_by
         clone._partition_by = self._partition_by
         clone._ignore_deletes = self._ignore_deletes
+        clone._starting_version = self._starting_version
         return clone
 
     def expect(self, rules: dict, mode: str = "drop") -> "Stream":

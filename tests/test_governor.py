@@ -210,3 +210,49 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis always in this env
     pass
+
+
+def test_bloom_ladder_plan_shapes(spark):
+    """Plan-level pin for the degradation ladder (VERDICT r3 #8): over the
+    broadcast threshold the scope filter must compile to k broadcast
+    semi-joins on the Bloom POSITION frame (counter-sized, bounded) plus a
+    NON-broadcast exact semi-join on the key scope; under the threshold a
+    single broadcast semi-join on the keys, no Bloom machinery."""
+    import re
+
+    gov = _Governor({"broadcastThreshold": "1k", "scopeBloomBits": 12})
+    snap = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    keys = spark.range(0, 1000, 7).select(F.col("id").alias("k"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so every BroadcastHashJoin in the plan is
+        # an EXPLICIT hint — the thing under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        over = gov.scoped(snap, keys, ["k"], est_bytes=10_000_000)
+        p_over = over._jdf.queryExecution().executedPlan().toString()
+        under = gov.scoped(snap, keys, ["k"], est_bytes=10)
+        p_under = under._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # over threshold: 3 Bloom passes (broadcast, keyed on position) then
+    # the exact semi-join — which must NOT broadcast the key scope. Every
+    # BroadcastHashJoin must be a position join (the hash expressions in
+    # the Bloom keys mention `k`, so discriminate per join line).
+    assert p_over.count("LeftSemi") == 4, p_over
+    bhj = [l for l in p_over.splitlines() if "BroadcastHashJoin" in l]
+    assert len(bhj) == 3 and all("position" in l for l in bhj), p_over
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) ", p_over), p_over
+
+    # under threshold: one broadcast semi-join on the keys, no Bloom tier
+    assert p_under.count("LeftSemi") == 1, p_under
+    assert "position" not in p_under, p_under
+    assert "BroadcastHashJoin" in p_under, p_under
+
+    # both tiers return identical rows (the ladder changes plans, not rows)
+    assert sorted(r["k"] for r in over.collect()) == sorted(
+        r["k"] for r in under.collect()
+    )

@@ -1019,3 +1019,38 @@ def test_ignore_deletes_reference_compat(spark, tmp_path, cust_ct, ord_ct):
     w.run()
     assert w.toDF().where("oid = 11").count() == 0
     assert_same(w.toDF(), batch_join(cust_ct, ord_ct, "inner"))
+
+
+def test_incremental_union_dataframe_shim(spark, tmp_path, cust_ct, ord_ct):
+    """Strict-compat: the reference unions a plain DataFrame into a live
+    pipeline (elzyme/joins.py:861-865). Incremental mode wraps the static
+    frame in a one-commit ChangeTable leg; the pipeline converges with the
+    frame's rows present, across later join-side CDC, and across a restart
+    (the wrapper is reused, not re-committed)."""
+    leg_schema = "id long, name string, seg string, oid long, cid long, price double"
+    static_leg = spark.createDataFrame(
+        [(100, "ext", "X", 900, 100, 1.5), (101, "ext2", "Y", 901, 101, 2.5)],
+        leg_schema,
+    )
+
+    def build():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        return c.join(o, "inner").on(c["id"] == o["cid"]).union(static_leg)
+
+    w = build().writeToPath(str(tmp_path / "u_df_out"))
+    cust_ct.merge(c_rows(spark, [(1, "ann", "A"), (2, "bob", "B")]))
+    ord_ct.merge(o_rows(spark, [(10, 1, 5.0), (11, 2, 7.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    # join-side CDC must not disturb the static leg's rows
+    ord_ct.merge(o_rows(spark, [(10, 2, 9.0), (12, 1, 3.0)]))
+    w.run()
+    assert_same(w.toDF(), build().toDF())
+
+    # restart: rebuild the writer against the same path — the wrapper table
+    # is reused (still one commit) and the state is unchanged
+    w2 = build().writeToPath(str(tmp_path / "u_df_out"))
+    w2.run()
+    assert_same(w2.toDF(), build().toDF())

@@ -179,3 +179,31 @@ def test_medallion_quarantine_gate_e2e(spark, tmp_path):
     assert sorted(
         r["id"] for r in qt.snapshot().where("id IS NOT NULL").collect()
     ) == [2, 9]
+
+
+def test_quarantine_replay_idempotent_with_pk(spark, tmp_path):
+    """Crash between the quarantine commit and the ingest-state update
+    replays the batch; a PK'd quarantine table must absorb the replay via
+    merge() without duplicating rows (ADVICE r3: quarantine idempotence)."""
+    src = tmp_path / "landing"
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "bronze"),
+        spark.createDataFrame([], SCHEMA).schema, ["id"], sequence_by=["seq"],
+    )
+    qschema = spark.createDataFrame([], SCHEMA + ", _violations string").schema
+    qt = ChangeTable.create(spark, str(tmp_path / "quarantine"), qschema, ["id"])
+    ing = FileIngest(
+        spark, f"{src}/*.json", ct, fmt="json", mode="merge",
+        rules={"named": "name <> 'bad'"}, quarantine_target=qt,
+    )
+    write_json(src, "a.json", [
+        {"id": 1, "name": "x", "seq": 1},
+        {"id": 2, "name": "bad", "seq": 1},
+    ])
+    ing.run()
+    assert qt.snapshot().count() == 1
+    # simulate the crash window: state update lost, batch replays
+    os.remove(os.path.join(ct.path, "_ingest_state.json"))
+    ing.run()
+    assert qt.snapshot().count() == 1          # merge absorbed the replay
+    assert ct.snapshot().count() == 1          # bronze merge likewise
