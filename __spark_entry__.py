@@ -2537,6 +2537,47 @@ def q_distinctive_terms(spark, sf_dir):
     )
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup end-to-end (clustering.semdedup, Abbas et al. 2023):
+    k-means clusters bound the candidate space, intra-cluster cosine ≥ τ
+    prunes to the lowest-id keeper. Pairwise work never crosses clusters —
+    k grows with the corpus so the per-cluster quadratic stays bounded;
+    cosine is a codegen fold, FLOOR-canonicalized (division-derived)."""
+    _prep(spark)
+    from streamjoin_spark.operators.clustering import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), k=8, tau=0.8, iters=1)
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (graph.k_core) of the part co-purchase graph:
+    iterative peeling of degree<3 nodes to the stable 3-core. Each round is
+    one map-side-combinable degree groupBy + two |E|-bounded semi-filters,
+    localCheckpoint per round; peeling is monotone, so the fixed-unroll
+    DuckDB oracle (a superset of the convergence rounds) is exact."""
+    _prep(spark)
+    from streamjoin_spark.operators.graph import cooccurrence_edges, k_core
+
+    l = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(l, "l_orderkey", "l_partkey", min_support=1)
+    return k_core(edges, k=3)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (text.dsir_logratio, Xie et al. 2023):
+    per-document average unigram log-likelihood ratio between the
+    'src0'-domain LM and the full-corpus LM, add-1 smoothed — the
+    importance-resampling score that shifts a raw corpus toward a target
+    domain. One (doc, token) shuffle; both LMs accumulate in the same vocab
+    pass; log-ratios broadcast back for map-only scoring."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import dsir_logratio
+
+    return dsir_logratio(
+        _t(spark, sf_dir, "documents"), F.col("source") == F.lit("src0")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2650,6 +2691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "hybrid_retrieval": q_hybrid_retrieval,
         "rank_metrics": q_rank_metrics,
+        "semdedup_prune": q_semdedup_prune,
+        "kcore": q_kcore,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -3353,6 +3397,125 @@ def _corpus_oracles() -> dict[str, str]:
                        unnest(generate_series(0,
                            greatest(CAST(floor(n_chars / 50.0) AS INT), 0))) AS frame_idx
                 FROM documents WHERE doc_id < 50)
+        """,
+    }
+
+
+def _kcore_sql(k: int = 3, rounds: int = 20, min_support: int = 1) -> str:
+    """Unrolled k-core peeling. Peeling is monotone and idempotent at the
+    fixpoint, so unrolling MORE rounds than Spark's convergence count is
+    exact — ``rounds`` is a verified superset of the sf0.01 round count."""
+    # every u{r} is referenced three times by round r+1 — MATERIALIZED
+    # keeps DuckDB from inlining the chain into 3^rounds parquet scans
+    ctes = [
+        "pp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""e AS MATERIALIZED (SELECT x.l_partkey AS p1, y.l_partkey AS p2
+                 FROM pp x JOIN pp y ON x.l_orderkey = y.l_orderkey
+                  AND x.l_partkey < y.l_partkey
+                 GROUP BY 1, 2 HAVING COUNT(*) >= {min_support})""",
+        "u0 AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM e"
+        " UNION ALL SELECT p2, p1 FROM e)",
+    ]
+    prev = "u0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"k{r} AS MATERIALIZED "
+            f"(SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT u.a, u.b FROM {prev} u"
+            f" JOIN k{r} ka ON u.a = ka.a JOIN k{r} kb ON u.b = kb.a)"
+        )
+        prev = f"u{r}"
+    joined = ",\n            ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT a AS node, COUNT(*) AS core_degree
+        FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}
+    """
+
+
+def _round4_oracles() -> dict[str, str]:
+    return {
+        "kcore": _kcore_sql(k=3, rounds=20, min_support=1),
+        "dsir_weights": r"""
+            WITH toks AS (SELECT d.doc_id, (d.source = 'src0') AS is_t,
+                                 unnest(regexp_split_to_array(
+                                     lower(trim(text)), '\s+')) AS tok
+                          FROM documents d),
+            dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs,
+                             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                                  AS BIGINT) AS ct
+                      FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cs) AS DOUBLE) AS s_tot,
+                           CAST(SUM(ct) AS DOUBLE) AS t_tot,
+                           CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+            lr AS (SELECT tok,
+                          CAST(ROUND(ln((ct + 1) / (t_tot + v)), 6)
+                               AS DECIMAL(18,6))
+                        - CAST(ROUND(ln((cs + 1) / (s_tot + v)), 6)
+                               AS DECIMAL(18,6)) AS lr
+                   FROM vocab CROSS JOIN tot),
+            s AS (SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+                         SUM(CAST(dt.c AS DECIMAL(18,0)) * lr.lr) AS s
+                  FROM dt JOIN lr USING (tok) GROUP BY 1)
+            SELECT doc_id, n_tokens,
+                   FLOOR(CAST(s AS DOUBLE) / n_tokens * 1000000)
+                       / 1000000.0 AS dsir_score
+            FROM s
+        """,
+        "semdedup_prune": """
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                               AS INT) AS cluster_id, e AS c
+                   FROM v ORDER BY vec_id LIMIT 8),
+            s1 AS (SELECT v.vec_id, v.e, c0.cluster_id,
+                          ROUND(list_sum(list_transform(
+                              generate_series(1, len(v.e)),
+                              i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))),
+                              6) AS dist
+                   FROM v CROSS JOIN c0),
+            a1 AS (SELECT vec_id, e, cluster_id FROM (
+                       SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist, cluster_id) AS rn FROM s1)
+                   WHERE rn = 1),
+            comps AS (SELECT cluster_id, i AS pos, e[i] AS x
+                      FROM a1, UNNEST(generate_series(1, len(e))) AS t(i)),
+            c1 AS (SELECT cluster_id, pos,
+                          FLOOR(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(27,6)))
+                                     AS DOUBLE)
+                                / COUNT(*) * 1000000.0) / 1000000.0 AS m
+                   FROM comps GROUP BY cluster_id, pos),
+            cents AS (SELECT cluster_id, list(m ORDER BY pos) AS c
+                      FROM c1 GROUP BY cluster_id),
+            s2 AS (SELECT v.vec_id, v.e, cents.cluster_id,
+                          ROUND(list_sum(list_transform(
+                              generate_series(1, len(v.e)),
+                              i -> (v.e[i] - cents.c[i])
+                                   * (v.e[i] - cents.c[i]))), 6) AS dist
+                   FROM v CROSS JOIN cents),
+            a2 AS (SELECT vec_id, e, cluster_id FROM (
+                       SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dist, cluster_id) AS rn FROM s2)
+                   WHERE rn = 1),
+            m AS (SELECT vec_id, cluster_id, e,
+                         sqrt(list_sum(list_transform(e, x -> x * x))) AS n
+                  FROM a2),
+            pr AS (SELECT DISTINCT b.vec_id AS pid
+                   FROM m a JOIN m b
+                     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                   WHERE FLOOR(list_sum(list_transform(
+                             generate_series(1, len(a.e)),
+                             i -> a.e[i] * b.e[i]))
+                         / (a.n * b.n) * 1000000.0) / 1000000.0 >= 0.8)
+            SELECT m.vec_id, m.cluster_id, (pr.pid IS NULL) AS kept
+            FROM m LEFT JOIN pr ON m.vec_id = pr.pid
         """,
     }
 
@@ -4632,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         **_corpus_oracles(),
+        **_round4_oracles(),
     }
     # the star-contraction CC variant computes the identical labeling —
     # same transitive-closure oracle

@@ -33,7 +33,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["seed_centroids", "assign_clusters", "recompute_centroids", "kmeans"]
+__all__ = [
+    "seed_centroids", "assign_clusters", "recompute_centroids", "kmeans",
+    "semdedup",
+]
 
 
 def _as_double(col: Column) -> Column:
@@ -143,3 +146,78 @@ def kmeans(
         assigned = assign_clusters(df, cents, id_col, vec_col)
         cents = recompute_centroids(assigned, vec_col).localCheckpoint(eager=True)
     return assign_clusters(df, cents, id_col, vec_col)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    tau: float = 0.9,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    k-means clusters bound the candidate space, then WITHIN each cluster a
+    vector is pruned when some lower-id cluster-mate has cosine similarity
+    ≥ ``tau`` — the deterministic min-id-keeper rule (same convention as
+    ``exact_dedup``; the paper's keep-farthest-from-centroid variant is a
+    one-line ordering swap). Output: ``(id_col, cluster_id, kept)``.
+
+    Determinism: cosine = FLOOR(dot/(‖a‖·‖b‖)·10⁶)/10⁶ — division-derived,
+    so floor-canonicalized per the float invariant; dot and norms are
+    strict left folds (``F.aggregate``), sqrt is IEEE correctly-rounded in
+    both engines.
+
+    Scale posture (100 TB): the pairwise compare NEVER crosses clusters —
+    that is SemDeDup's whole design; grow ``k`` with the corpus to keep
+    per-cluster membership (and thus the per-cluster quadratic) bounded.
+    Norms are computed once per vector, map-only. The pair join is an
+    equi-join on ``cluster_id``; skewed cluster sizes skew its shuffle —
+    AQE skew-join handles moderate imbalance, and a degenerate mega-cluster
+    is a data-quality signal (near-constant embeddings), not a plan
+    problem. The prune join is a semi-join on lower-id survivors.
+    """
+    assigned = kmeans(df, k, iters, id_col, vec_col).select(
+        F.col(id_col), "cluster_id"
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__e"))
+        .withColumn("__n", norm)
+        .join(assigned, id_col)
+    )
+    a = v.select(
+        F.col(id_col).alias("__ida"), F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"), "cluster_id",
+    )
+    b = v.select(
+        F.col(id_col).alias("__idb"), F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"), "cluster_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__ea"), F.col("__eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.floor(dot / (F.col("__na") * F.col("__nb")) * F.lit(1e6)) / F.lit(1e6)
+    pruned = (
+        a.join(b, ["cluster_id"])
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cos >= F.lit(tau))
+        .select(F.col("__idb").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    return (
+        v.join(pruned.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -594,3 +594,80 @@ def distinctive_terms(
         .where(F.col("__rn") <= top_n)
         .select(F.col("grp").alias(group_col), "token", "tf", "df", "score")
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection for LMs via Importance Resampling, hashed-ngram tier):
+    score every document by its average unigram log-likelihood ratio
+    between a TARGET-domain LM (rows where ``target`` is true — e.g. a
+    trusted source) and the full-corpus LM. High scores = documents that
+    look like the target domain; resample by these weights to shift a raw
+    corpus toward it. Both LMs are add-1 smoothed over the shared vocab so
+    tokens unseen in the target stay finite.
+
+    Returns ``(id_col, n_tokens, dsir_score)``.
+
+    Cross-engine determinism (same contract as ``unigram_logprob``):
+    per-token-type log-probs are ROUNDed to 6 dp as DECIMAL, the ratio is
+    their exact decimal difference, per-doc sums multiply by exact integer
+    counts, and the final average is floor-canonicalized.
+
+    Scale posture (100 TB): one (doc, token) count shuffle, one
+    map-side-combined vocab aggregation carrying both corpus and target
+    counts in the same pass (no second scan), vocab log-ratios broadcast
+    back for map-only scoring. The corpus is never re-shuffled to score.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    dt = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__cs"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    tot = vocab.agg(
+        F.sum("__cs").cast("double").alias("__S"),
+        F.sum("__ct").cast("double").alias("__T"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    lr = vocab.join(F.broadcast(tot)).select(
+        "__tok",
+        (
+            F.round(
+                F.log(
+                    (F.col("__ct") + 1).cast("double") / (F.col("__T") + F.col("__V"))
+                ),
+                6,
+            ).cast("decimal(18,6)")
+            - F.round(
+                F.log(
+                    (F.col("__cs") + 1).cast("double") / (F.col("__S") + F.col("__V"))
+                ),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("__lr"),
+    )
+    scored = (
+        dt.join(F.broadcast(lr), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__c").cast("decimal(18,0)") * F.col("__lr")).alias("__s"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (
+            F.floor(F.col("__s").cast("double") / F.col("n_tokens") * 1000000)
+            / F.lit(1000000.0)
+        ).alias("dsir_score"),
+    )

@@ -852,3 +852,64 @@ def test_kmv_set_ops_estimates_and_subk_exactness(spark):
     sb = spark.range(50, 150).select(F.col("id").alias("v"))
     r2 = kmv_set_ops(sa, sb, "v", k=256).collect()[0]
     assert r2["est_union"] == 150 and r2["est_intersect"] == 50
+
+
+def test_k_core_known_graph(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle (each
+    member at degree 2); the 3-core is empty. Peeling must cascade — node 4
+    only drops after 5 does."""
+    from streamjoin_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "p1 long, p2 long"
+    )
+    core2 = {(r["node"], r["core_degree"]) for r in k_core(edges, 2).collect()}
+    assert core2 == {(1, 2), (2, 2), (3, 2)}
+    assert k_core(edges, 3).count() == 0
+
+
+def test_semdedup_prunes_near_identical(spark):
+    """Two orthogonal seed vectors; each gets a near-identical higher-id
+    twin. tau=0.99 prunes the twins to their min-id keepers, never across
+    clusters."""
+    from streamjoin_spark.operators.clustering import semdedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.001]),
+            (4, [0.001, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semdedup(emb, k=2, tau=0.99).collect()
+    }
+    assert out[1][1] and out[2][1]
+    assert not out[3][1] and not out[4][1]
+    assert out[3][0] == out[1][0] and out[4][0] == out[2][0]
+
+
+def test_dsir_ranks_target_alike_docs_higher(spark):
+    """Documents sharing the target domain's vocabulary must score higher
+    than documents of out-of-domain vocabulary."""
+    import pyspark.sql.functions as F
+
+    from streamjoin_spark.operators.text import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha gamma", "tgt"),
+            (2, "alpha gamma gamma", "tgt"),
+            (3, "alpha alpha alpha", "web"),   # target-alike
+            (4, "beta beta beta", "web"),      # out-of-domain
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_logratio(docs, F.col("source") == "tgt").collect()
+    }
+    assert out[3] > out[4]
