@@ -1,0 +1,233 @@
+"""Packaged incremental corpus pipelines — the product story this engine is
+uniquely positioned for: training-data curation state (dedup groups,
+near-dup candidate pairs, sketch registers, leaderboards) maintained
+CONTINUOUSLY over a documents ChangeTable under CDC, instead of recomputed
+from scratch per snapshot.
+
+Each builder wires a batch-verified corpus operator (operators/dedup.py,
+operators/sketches.py) into the IVM runtime (streaming/incremental.py) via
+a row-local source transform, and returns the ordinary incremental writer:
+``.run()`` to drain, ``.start()`` for continuous operation, ``.toDF()`` for
+the maintained state. Differential CDC tests (tests/test_incremental_dedup
+.py, tests/test_incremental_sketch.py) prove each converges to its batch
+twin under insert/update/delete.
+
+Design rule for every transform here: **row-local only** (no cross-row
+groupBy inside a source transform). Change images carry pre- AND
+post-images of one key in the same frame; a cross-row aggregate would
+merge them into garbage and break the probe leg's old-partner discovery.
+The MinHash band transform therefore computes each doc's signature from
+its OWN shingle array (``array_min`` over per-row transforms — the same
+hash law as ``minhash_signatures``, which aggregates across a shingle
+frame; a min is insensitive to the duplicate shingles the row-local form
+keeps).
+
+Scale posture (100 TB): identical to the batch operators — the dedup-group
+target shuffles on the uniform content hash, the pair target on the
+(band, band-hash) bucket keys; each CDC slice is bounded by the microbatch
+governor; per-doc band fan-out is ``num_hashes/band_size`` rows, constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .changelog import ChangeTable
+from .streams import Stream
+
+__all__ = [
+    "minhash_band_rows",
+    "incremental_exact_dedup",
+    "incremental_minhash_pairs",
+    "incremental_hll",
+]
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    suffix: str = "",
+) -> DataFrame:
+    """Row-local MinHash LSH banding: per input row, n-gram shingles →
+    ``num_hashes`` MinHash values (``array_min`` of md5('i|'+shingle) over
+    the row's own shingle array) → one output row per band with the band
+    bucket hash. Output columns: ``{id}{suffix}, band{suffix}, bh{suffix}``
+    (suffix defaults to empty; self-joins need distinct names per side).
+
+    Same hash law as ``operators.dedup.minhash_signatures`` /
+    ``minhash_lsh_pairs`` — duplicates in the raw shingle array cannot
+    change a min, so the row-local form emits identical buckets. Being
+    row-local makes it safe as a Stream source transform (change images
+    transform independently). Docs with fewer than ``shingle_n`` tokens are
+    dropped, as in ``_shingle_frame``.
+    """
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    out = df.withColumn("__w", w).where(F.size("__w") >= shingle_n)
+    shingles = F.expr(
+        f"transform(sequence(1, size(__w) - {shingle_n - 1}), "
+        f"i -> array_join(slice(__w, i, {shingle_n}), ' '))"
+    )
+    out = out.withColumn("__sh", shingles)
+
+    def h_min(i: int) -> Column:
+        # single-param lambda only: a second parameter to F.transform is
+        # the ELEMENT INDEX and silently overrides a default argument
+        return F.array_min(
+            F.transform(
+                F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+            )
+        )
+
+    hs = [h_min(i) for i in range(num_hashes)]
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                ",", *[hs[b * band_size + j] for j in range(band_size)]
+            )).alias("bh"),
+        )
+        for b in range(n_bands)
+    ])
+    return out.select(
+        F.col(id_col).alias(f"{id_col}{suffix}"),
+        F.explode(bands).alias("__x"),
+    ).select(
+        f"{id_col}{suffix}",
+        F.col("__x.band").alias(f"band{suffix}"),
+        F.col("__x.bh").alias(f"bh{suffix}"),
+    )
+
+
+def incremental_exact_dedup(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuously maintained exact-dedup groups (the incremental twin of
+    ``operators.dedup.exact_dedup``): target keyed by ``content_md5`` with
+    ``keep_id`` (group min — non-additive, so touched groups re-elect via
+    the runtime's dirty-group recompute) and ``n_copies``. A text update
+    MOVES the doc between content groups; deletes shrink or delete groups.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    from .operators.dedup import normalize_text
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+        )
+
+    return (
+        Stream.fromChangeTable(docs, f"{docs.name}_fp")
+        .primaryKeys(id_col)
+        .to(fingerprint)
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .writeToPath(path)
+    )
+
+
+def incremental_minhash_pairs(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+):
+    """Continuously maintained MinHash-LSH candidate pairs (the incremental
+    twin of ``operators.dedup.minhash_lsh_pairs``): two band streams over
+    the same documents table self-join on (band, bucket-hash) with
+    ``doc_a < doc_b``, then a pair-keyed groupBy dedups across bands —
+    target keyed (doc_a, doc_b) with ``n_shared_bands``. Inserting,
+    rewriting or deleting a document adds/retracts exactly its pairs.
+
+    Returns the incremental writer. The join stage shuffles only Δ-scoped
+    band rows (constant fan-out per doc); the pinned-snapshot side of each
+    slice is the banded form of the snapshot, semi-filtered to affected
+    bucket keys by the governor ladder.
+    """
+    def bands(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            return minhash_band_rows(
+                df, text_col, id_col, num_hashes, band_size, shingle_n,
+                suffix=suffix,
+            )
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(docs, f"{docs.name}_bands_a")
+        .primaryKeys("doc_a", "band_a")
+        .to(bands("_a"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_a", "doc_a"))
+    )
+    b = (
+        Stream.fromChangeTable(docs, f"{docs.name}_bands_b")
+        .primaryKeys("doc_b", "band_b")
+        .to(bands("_b"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_b", "doc_b"))
+    )
+    return (
+        a.join(b, "inner")
+        .on(
+            (a["band_a"] == b["band_b"])
+            & (a["bh_a"] == b["bh_b"])
+            & (a["doc_a"] < b["doc_b"])
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .writeToPath(path)
+    )
+
+
+def incremental_hll(
+    source: ChangeTable,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 9,
+    id_cols: list[str] | None = None,
+):
+    """Continuously maintained HyperLogLog registers per group (the
+    incremental twin of ``operators.sketches.hll_registers``): the source
+    transform attaches row-local (bucket, rho); the runtime maintains
+    ``groupBy(group, bucket).agg(max(rho))`` — inserts fold in via the MAX,
+    deletes/updates route through dirty-group recompute. Feed the target to
+    ``sketches.hll_estimate`` for cardinalities at any moment.
+
+    ``id_cols`` are the source's primary keys (default: its table PKs).
+    """
+    from .operators.sketches import hll_row
+
+    pks = list(id_cols) if id_cols is not None else list(source.primary_keys)
+    bucket, rho = hll_row(value_col, b)
+
+    def attach(df: DataFrame) -> DataFrame:
+        return df.select(
+            *pks, *group_cols, bucket.alias("bucket"), rho.alias("rho")
+        )
+
+    return (
+        Stream.fromChangeTable(source, f"{source.name}_hll")
+        .primaryKeys(*pks)
+        .to(attach)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .writeToPath(path)
+    )

@@ -1,22 +1,28 @@
 """Incremental maintenance of the corpus dedup operators through the IVM
-runtime (VERDICT r3 #3): the product story this engine is uniquely placed
-for — a documents table under CDC (insert / text-update / delete) keeps its
-exact-dedup groups and its MinHash-LSH candidate-pair table continuously
-converged to the batch twin, without full recomputation.
+runtime (VERDICT r3 #3), via the packaged pipeline builders
+(streamjoin_spark/pipelines.py): a documents table under CDC (insert /
+text-update / delete) keeps its exact-dedup groups and its MinHash-LSH
+candidate-pair table continuously converged to the batch twin, without
+full recomputation.
 
-The MinHash leg uses a PER-ROW band transform (array_min over the row's own
-shingles — same hash law as operators/dedup.minhash_signatures, just
-row-local): change images transform independently (a cross-row groupBy
-transform would merge pre- and post-images of one doc into a garbage
-signature and break the probe leg's old-partner discovery).
+The MinHash leg uses the package's PER-ROW band transform
+(pipelines.minhash_band_rows — same hash law as
+operators/dedup.minhash_signatures, just row-local): change images
+transform independently (a cross-row groupBy transform would merge pre-
+and post-images of one doc into a garbage signature and break the probe
+leg's old-partner discovery).
 """
 
 import pyspark.sql.functions as F
 import pytest
 
-from streamjoin_spark import Stream
 from streamjoin_spark.changelog import ChangeTable
 from streamjoin_spark.operators import dedup
+from streamjoin_spark.pipelines import (
+    incremental_exact_dedup,
+    incremental_minhash_pairs,
+    minhash_band_rows,
+)
 
 from .test_incremental import assert_same
 
@@ -42,29 +48,8 @@ def d_rows(spark, rows):
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
-def _fingerprint(df):
-    return df.select(
-        "doc_id",
-        F.md5(dedup.normalize_text(F.col("text"))).alias("content_md5"),
-    )
-
-
-def make_exact_writer(docs_ct, path):
-    return (
-        Stream.fromChangeTable(docs_ct, "docs")
-        .primaryKeys("doc_id")
-        .to(_fingerprint)
-        .groupBy("content_md5")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .writeToPath(str(path))
-    )
-
-
 def test_incremental_exact_dedup_maintained(spark, tmp_path, docs_ct):
-    w = make_exact_writer(docs_ct, tmp_path / "exact")
+    w = incremental_exact_dedup(docs_ct, str(tmp_path / "exact"))
 
     docs_ct.merge(d_rows(spark, [
         (1, "the cat sat"), (2, "The  cat SAT"),        # same content group
@@ -93,74 +78,47 @@ def test_incremental_exact_dedup_maintained(spark, tmp_path, docs_ct):
 # ---------------------------------------------------------------------------
 # MinHash-LSH candidate pairs
 # ---------------------------------------------------------------------------
-def _band_transform(suffix):
-    """Row-local MinHash banding, same hash law as minhash_signatures /
-    minhash_lsh_pairs (h_i = min over distinct shingles of md5('i|'+s);
-    duplicates can't change a min, so array_min over the raw shingle array
-    is identical)."""
-
-    def f(df):
-        w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        out = df.withColumn("__w", w).where(F.size("__w") >= SHINGLE_N)
-        shingles = F.expr(
-            f"transform(sequence(1, size(__w) - {SHINGLE_N - 1}), "
-            f"i -> array_join(slice(__w, i, {SHINGLE_N}), ' '))"
+def test_band_rows_match_aggregated_signatures(spark):
+    """The row-local band transform must bucket identically to the
+    aggregated minhash_signatures path — duplicates in the raw shingle
+    array cannot change a min."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z x y")], DOC
+    )
+    rowwise = {
+        (r["doc_id"], r["band"], r["bh"])
+        for r in minhash_band_rows(
+            docs, num_hashes=NUM_HASHES, band_size=BAND_SIZE,
+            shingle_n=SHINGLE_N,
+        ).collect()
+    }
+    # aggregated path: signatures -> same banding arithmetic
+    sigs = dedup.minhash_signatures(
+        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(F.concat_ws(
+                ",", *[f"h{bnd * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+            )).alias("bh"),
         )
-        out = out.withColumn("__sh", shingles)
-        def h_min(i):
-            # single-param lambda only: a second parameter would be the
-            # ELEMENT INDEX to F.transform, silently overriding a default
-            return F.array_min(
-                F.transform(
-                    F.col("__sh"),
-                    lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)),
-                )
-            )
-
-        hs = [h_min(i) for i in range(NUM_HASHES)]
-        n_bands = NUM_HASHES // BAND_SIZE
-        bands = F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(
-                    ",", *[hs[b * BAND_SIZE + j] for j in range(BAND_SIZE)]
-                )).alias("bh"),
-            )
-            for b in range(n_bands)
-        ])
-        return out.select(
-            F.col("doc_id").alias(f"doc_{suffix}"),
-            F.explode(bands).alias("__x"),
-        ).select(
-            f"doc_{suffix}",
-            F.col("__x.band").alias(f"band_{suffix}"),
-            F.col("__x.bh").alias(f"bh_{suffix}"),
-        )
-
-    return f
+        for bnd in range(n_bands)
+    ]
+    agg = {
+        (r["doc_id"], r["x"]["band"], r["x"]["bh"])
+        for r in sigs.select(
+            "doc_id", F.explode(F.array(*structs)).alias("x")
+        ).collect()
+    }
+    assert rowwise == agg
 
 
 def make_pairs_writer(docs_ct, path):
-    a = (
-        Stream.fromChangeTable(docs_ct, "bands_a")
-        .primaryKeys("doc_a", "band_a")
-        .to(_band_transform("a"))
-    )
-    b = (
-        Stream.fromChangeTable(docs_ct, "bands_b")
-        .primaryKeys("doc_b", "band_b")
-        .to(_band_transform("b"))
-    )
-    return (
-        a.join(b, "inner")
-        .on(
-            (a["band_a"] == b["band_b"])
-            & (a["bh_a"] == b["bh_b"])
-            & (a["doc_a"] < b["doc_b"])
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .writeToPath(str(path))
+    return incremental_minhash_pairs(
+        docs_ct, str(path),
+        num_hashes=NUM_HASHES, band_size=BAND_SIZE, shingle_n=SHINGLE_N,
     )
 
 

@@ -113,3 +113,27 @@ def test_incremental_topk_leaderboard_maintained(spark, tmp_path):
         [(4, "a", 40)], "id long, grp string, score long"))  # group move
     w.run()
     assert board() == {"a": [(40, 4), (30, 3)]}
+
+
+def test_incremental_hll_via_pipeline_builder(spark, tmp_path):
+    """The packaged builder (pipelines.incremental_hll) wires the same
+    maintained-registers pipeline; estimates from the maintained target
+    match the batch-recomputed registers after CDC."""
+    from streamjoin_spark.pipelines import incremental_hll
+
+    ct = ChangeTable.create(
+        spark,
+        str(tmp_path / "vals2"),
+        spark.createDataFrame([], "id long, g string, v string").schema,
+        ["id"],
+    )
+    w = incremental_hll(ct, str(tmp_path / "regs2"), ["g"], "v", b=5)
+    rows = [(i, "a" if i % 3 == 0 else "b", f"val{i}") for i in range(150)]
+    ct.merge(spark.createDataFrame(rows, "id long, g string, v string"))
+    w.run()
+    got = {(r["g"], r["bucket"]): r["rho"] for r in w.toDF().collect()}
+    assert got == _registers(ct.snapshot())
+    ct.delete_where("id % 5 = 0")
+    w.run()
+    got = {(r["g"], r["bucket"]): r["rho"] for r in w.toDF().collect()}
+    assert got == _registers(ct.snapshot())
