@@ -178,10 +178,15 @@ def k_core(
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree"))
+        # the node-sized degree frame is checkpointed so the convergence
+        # probe, the two semi-filters and the final return all read ONE
+        # materialization instead of re-running the |E| groupBy 2-4×
+        deg = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .localCheckpoint(eager=True)
+        )
         doomed = deg.where(F.col("core_degree") < k).select("a")
-        # convergence probe: one tiny action on the (already computed)
-        # doomed frame, not a full recount
         if doomed.isEmpty():
             return deg.select(F.col("a").alias("node"), "core_degree")
         keep = deg.where(F.col("core_degree") >= k).select("a")

@@ -66,10 +66,16 @@ def minhash_band_rows(
     transform independently). Docs with fewer than ``shingle_n`` tokens are
     dropped, as in ``_shingle_frame``.
     """
+    from .functions import tokens
+
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    out = df.withColumn("__w", w).where(F.size("__w") >= shingle_n)
+    # the SHARED tokenizer, not an inline re-implementation: bucket
+    # identity with the batch twin (_shingle_frame) is the convergence
+    # contract, and a future tweak to tokens() must move both in lockstep
+    out = df.withColumn("__w", tokens(F.col(text_col))).where(
+        F.size("__w") >= shingle_n
+    )
     shingles = F.expr(
         f"transform(sequence(1, size(__w) - {shingle_n - 1}), "
         f"i -> array_join(slice(__w, i, {shingle_n}), ' '))"
@@ -214,13 +220,18 @@ def incremental_hll(
     ``id_cols`` are the source's primary keys (default: its table PKs).
     """
     from .operators.sketches import hll_row
+    from .streams import METADATA_COLUMNS
 
     pks = list(id_cols) if id_cols is not None else list(source.primary_keys)
     bucket, rho = hll_row(value_col, b)
 
     def attach(df: DataFrame) -> DataFrame:
+        # change-feed metadata rides through when present (the additive
+        # fast path classifies images by _change_type); absent on the
+        # batch twin's static frames
+        meta = [c for c in METADATA_COLUMNS if c in df.columns]
         return df.select(
-            *pks, *group_cols, bucket.alias("bucket"), rho.alias("rho")
+            *pks, *group_cols, bucket.alias("bucket"), rho.alias("rho"), *meta
         )
 
     return (
@@ -229,5 +240,14 @@ def incremental_hll(
         .to(attach)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
+        # the greatest-recipe puts insert-only batches on the additive
+        # O(delta) fast path (registers are MAX-monotone under insertion);
+        # retractions still route to dirty-group recompute, which is the
+        # only correct path for a shrinking MAX
+        .reduce(
+            "rho",
+            update=lambda stored, new: F.greatest(stored, new),
+            delta_update=lambda pre, post: pre,
+        )
         .writeToPath(path)
     )

@@ -67,9 +67,10 @@ class FileIngest:
         # table is given. Map-only; see operators/expectations.py.
         # Crash semantics: the quarantine commit precedes the ingest-state
         # update, so a crash in between replays the batch. A quarantine
-        # table WITH primary keys absorbs the replay via merge()
-        # (idempotent; latest violation per key wins). A keyless quarantine
-        # table is at-least-once by contract — replays append duplicates.
+        # table keyed on the single column `_qid` (content hash, computed
+        # here) absorbs replays via merge() — exactly-once per distinct bad
+        # row. Any other quarantine table is at-least-once by contract —
+        # replays append duplicates.
         self.rules = rules
         self.quarantine_target = quarantine_target
         self._state_path = os.path.join(target.path, "_ingest_state.json")
@@ -114,11 +115,22 @@ class FileIngest:
                 )
                 # Crash idempotence: the quarantine commit and the bronze
                 # merge land before the ingest-state update, so a crash in
-                # between replays the same files. When the quarantine table
-                # declares primary keys, merge() makes the replay a no-op;
-                # a keyless quarantine table is at-least-once by contract
-                # (documented) and append() keeps every occurrence.
-                if self.quarantine_target.primary_keys:
+                # between replays the same files. A quarantine table keyed
+                # on the single column `_qid` opts into content-addressed
+                # exactly-once: the key is a hash of the full row payload +
+                # violations, so replays merge to no-ops while DISTINCT bad
+                # rows never collide (quarantined rows routinely have NULL
+                # business keys — the very violation — so keying on the
+                # bronze PK would collapse them nondeterministically).
+                # Any other quarantine table is at-least-once by contract.
+                if self.quarantine_target.primary_keys == ("_qid",):
+                    payload = [
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in sorted(bad.columns)
+                    ]
+                    bad = bad.withColumn(
+                        "_qid", F.md5(F.concat_ws("\x1f", *payload))
+                    )
                     self.quarantine_target.merge(bad)
                 else:
                     self.quarantine_target.append(bad)

@@ -118,7 +118,10 @@ class _Governor:
         ``(v0, end]`` within budget — always at least one commit when
         backlog exists, so progress is guaranteed."""
         if v1 <= v0:
-            return v1, 0
+            # a watermark AT or AHEAD of the head (startingVersion pinned
+            # past it) must never regress — return it unchanged so the
+            # pinned range stays skipped when those commits later arrive
+            return v0, 0
         end, total = v0, 0
         for v in range(v0 + 1, v1 + 1):
             b = ct.change_bytes(v)
@@ -341,7 +344,9 @@ class _JoinStage:
         b = self.builder
         lct, rct = b.left.change_table, b.right.change_table
         lv0, rv0 = self.progress.versions
-        if (lct.version(), rct.version()) == (lv0, rv0):
+        # <=, not ==: a startingVersion-seeded watermark may sit AHEAD of
+        # the head — that is "nothing to do until the head passes it"
+        if lct.version() <= lv0 and rct.version() <= rv0:
             return None
 
         dP_ct, dO_ct = (lct, rct) if self.preserved is b.left else (rct, lct)
@@ -355,8 +360,10 @@ class _JoinStage:
         dP = _change_images(self.preserved, dP_ct, pv0 + 1, pv1)
         dO = _change_images(self.other, dO_ct, ov0 + 1, ov1)
         # pinned snapshots at the batch boundary (reference: joins.py:396-433)
-        p_snap = self.preserved.static(pv1)
-        o_snap = self.other.static(ov1)
+        # — clamped to the head for the ahead-of-head watermark case (the
+        # logical snapshot at a not-yet-written version IS the head)
+        p_snap = self.preserved.static(min(pv1, dP_ct.version()))
+        o_snap = self.other.static(min(ov1, dO_ct.version()))
 
         # leg 1: keys directly touched on the preserved side
         affected = dP.select(*self.p_pks)
@@ -478,7 +485,8 @@ class _UnionLegStage:
     def process(self) -> bool:
         ct = self.stream.change_table
         v0 = self.progress.versions[0]
-        if ct.version() == v0:
+        if ct.version() <= v0:
+            # <= not ==: a startingVersion seed may sit ahead of the head
             return False
         v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
         self._slice_bytes = nbytes  # surfaced via stageProgress()
@@ -558,7 +566,8 @@ class _AggStage:
         src = self.gb.source
         ct = src.change_table
         v0 = self.progress.versions[0]
-        if ct.version() == v0:
+        if ct.version() <= v0:
+            # <= not ==: a startingVersion seed may sit ahead of the head
             return False
         v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
         self._slice_bytes = nbytes

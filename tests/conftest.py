@@ -20,6 +20,9 @@ def spark():
         extra_conf={"spark.sql.warehouse.dir": wh},
     )
     yield s
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

@@ -128,6 +128,9 @@ def test_incremental_hll_via_pipeline_builder(spark, tmp_path):
         ["id"],
     )
     w = incremental_hll(ct, str(tmp_path / "regs2"), ["g"], "v", b=5)
+    # the greatest-recipe must put insert-only batches on the additive
+    # O(delta) path (registers are MAX-monotone under insertion)
+    assert w.pipeline.stages[-1].additive is True
     rows = [(i, "a" if i % 3 == 0 else "b", f"val{i}") for i in range(150)]
     ct.merge(spark.createDataFrame(rows, "id long, g string, v string"))
     w.run()

@@ -181,29 +181,39 @@ def test_medallion_quarantine_gate_e2e(spark, tmp_path):
     ) == [2, 9]
 
 
-def test_quarantine_replay_idempotent_with_pk(spark, tmp_path):
+def test_quarantine_replay_idempotent_with_qid(spark, tmp_path):
     """Crash between the quarantine commit and the ingest-state update
-    replays the batch; a PK'd quarantine table must absorb the replay via
-    merge() without duplicating rows (ADVICE r3: quarantine idempotence)."""
+    replays the batch; a `_qid`-keyed quarantine table absorbs the replay
+    via content-addressed merge() without duplicating rows — while two
+    DISTINCT bad rows sharing a NULL business key are both kept (the
+    failure a bronze-PK-keyed quarantine would collapse)."""
     src = tmp_path / "landing"
     ct = ChangeTable.create(
         spark, str(tmp_path / "bronze"),
         spark.createDataFrame([], SCHEMA).schema, ["id"], sequence_by=["seq"],
     )
-    qschema = spark.createDataFrame([], SCHEMA + ", _violations string").schema
-    qt = ChangeTable.create(spark, str(tmp_path / "quarantine"), qschema, ["id"])
+    qschema = spark.createDataFrame(
+        [], SCHEMA + ", _violations string, _qid string"
+    ).schema
+    qt = ChangeTable.create(
+        spark, str(tmp_path / "quarantine"), qschema, ["_qid"]
+    )
     ing = FileIngest(
         spark, f"{src}/*.json", ct, fmt="json", mode="merge",
-        rules={"named": "name <> 'bad'"}, quarantine_target=qt,
+        rules={"id_present": "id IS NOT NULL", "named": "name <> 'bad'"},
+        quarantine_target=qt,
     )
     write_json(src, "a.json", [
         {"id": 1, "name": "x", "seq": 1},
         {"id": 2, "name": "bad", "seq": 1},
+        {"id": None, "name": "y", "seq": 1},     # two distinct NULL-id rows
+        {"id": None, "name": "z", "seq": 1},     # must BOTH survive
     ])
     ing.run()
-    assert qt.snapshot().count() == 1
+    assert qt.snapshot().count() == 3
+    assert {r["name"] for r in qt.snapshot().collect()} == {"bad", "y", "z"}
     # simulate the crash window: state update lost, batch replays
     os.remove(os.path.join(ct.path, "_ingest_state.json"))
     ing.run()
-    assert qt.snapshot().count() == 1          # merge absorbed the replay
+    assert qt.snapshot().count() == 3          # merge absorbed the replay
     assert ct.snapshot().count() == 1          # bronze merge likewise

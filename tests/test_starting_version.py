@@ -107,3 +107,22 @@ def test_starting_version_native_stream_filtered(spark, src_ct, tmp_path):
         for r in spark.sql("select _commit_version from sv_feed").collect()
     }
     assert vers == {3}
+
+
+def test_starting_version_beyond_head_waits(spark, tmp_path, src_ct):
+    """A pin PAST the head means 'only commits ≥ pin' (Delta CDF lets a
+    stream wait for future versions): the seeded watermark must not
+    regress to the head, commits below the pin stay skipped even when
+    they arrive later, and the pipeline neither crashes nor spins."""
+    w = make_writer(spark, src_ct, tmp_path / "out", 6)   # head is 3
+    assert w.run() == 0
+    assert w.toDF().count() == 0
+
+    src_ct.merge(rows(spark, [(7, "eve", "C")]))          # v4 < pin: skipped
+    assert w.run() == 0
+    assert w.toDF().count() == 0
+
+    src_ct.merge(rows(spark, [(8, "fay", "C")]))          # v5 < pin: skipped
+    src_ct.merge(rows(spark, [(9, "gus", "C")]))          # v6 == pin: flows
+    w.run()
+    assert {r["id"] for r in w.toDF().collect()} == {9}
