@@ -120,3 +120,15 @@ def quality_score(col: Column) -> Column:
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
     sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
     return F.round((length_term + punct_term + sw_term) / 3, 4)
+
+
+def to_ddl(schema) -> str:
+    """StructType → DDL string (reference utils.toDDL, elzyme/utils.py:4,
+    which round-trips through the JVM DataType): PySpark's native
+    ``StructType.toDDL`` where available, else composed from field
+    simpleStrings."""
+    if hasattr(schema, "toDDL"):
+        return schema.toDDL()
+    return ",".join(
+        f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields
+    )

@@ -69,6 +69,9 @@ class Stream:
         # from the beginning. Seeds the consumer's initial watermark on its
         # FIRST start only — an existing checkpoint always wins.
         self._starting_version: int | None = None
+        # addressing metadata (reference accessors elzyme/streams.py:149-193)
+        self._path: str | None = None
+        self._table_name: str | None = None
 
     # ------------------------------------------------------------------
     # constructors
@@ -108,7 +111,9 @@ class Stream:
                 f"startingVersion requires a versioned (ChangeTable) path; "
                 f"{path!r} is a static {fmt} source"
             )
-        return Stream(spark, name, lambda version: spark.read.format(fmt).load(path))
+        return Stream(
+            spark, name, lambda version: spark.read.format(fmt).load(path)
+        ).setPath(path)
 
     @staticmethod
     def fromTable(
@@ -127,19 +132,23 @@ class Stream:
 
         path = lookup_table(table)
         if path is not None and ChangeTable.exists(path):
-            return Stream.fromChangeTable(
+            s = Stream.fromChangeTable(
                 ChangeTable(spark, path), name or table.split(".")[-1],
                 startingVersion=startingVersion,
             )
+            s._table_name = table
+            return s
         if startingVersion is not None:
             raise ValueError(
                 f"startingVersion requires a ChangeTable-backed name; "
                 f"{table!r} resolves to a static catalog table"
             )
-        return Stream(
+        s = Stream(
             spark, name or table.split(".")[-1],
             lambda version: spark.read.table(table),
         )
+        s._table_name = table
+        return s
 
     @staticmethod
     def fromChangeTable(
@@ -186,6 +195,48 @@ class Stream:
         """Rename the stream (reference ``setName``, elzyme/streams.py:178)."""
         self.name = name
         return self
+
+    def setPath(self, path: str) -> "Stream":
+        """Reference accessor spelling (elzyme/streams.py:187)."""
+        self._path = path
+        return self
+
+    def path(self) -> str | None:
+        """Backing path, when path-addressed (reference elzyme/streams.py:191;
+        ChangeTable-backed streams report the substrate path)."""
+        if self._path is None and self.change_table is not None:
+            return self.change_table.path
+        return self._path
+
+    def isTable(self) -> bool:
+        """Whether this source is addressed by a catalog/registry table name
+        (reference elzyme/streams.py:149)."""
+        return self._table_name is not None
+
+    def _name_parts(self) -> tuple[str, str, str]:
+        parts = (self._table_name or "").split(".")
+        catalog, schema, table = "", "", parts[-1] if parts else ""
+        if len(parts) == 3:
+            catalog, schema = parts[0], parts[1]
+        elif len(parts) == 2:
+            schema = parts[0]
+        return catalog, schema, table
+
+    def getCatalog(self) -> str | None:
+        """Catalog component of a 3-level table name (reference
+        elzyme/streams.py:163 — Databricks namespace; here the registry name
+        is parsed, no metastore round-trip)."""
+        return self._name_parts()[0] if self.isTable() else None
+
+    def getSchema(self) -> str | None:
+        """Schema (database) component of the table name (reference
+        elzyme/streams.py:168 — NAMESPACE schema, not the StructType)."""
+        return self._name_parts()[1] if self.isTable() else None
+
+    def getTableName(self) -> str | None:
+        """Bare table component of the table name (reference
+        elzyme/streams.py:173)."""
+        return self._name_parts()[2] if self.isTable() else None
 
     def getPrimaryKeys(self) -> tuple[str, ...]:
         """Reference accessor spelling (elzyme/streams.py:219)."""
@@ -240,6 +291,8 @@ class Stream:
         clone._partition_by = self._partition_by
         clone._ignore_deletes = self._ignore_deletes
         clone._starting_version = self._starting_version
+        clone._path = self._path
+        clone._table_name = self._table_name
         return clone
 
     def expect(self, rules: dict, mode: str = "drop") -> "Stream":

@@ -219,3 +219,37 @@ def test_broadcast_hint_same_result(spark, sf_dir):
     same(got, exp)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_reference_accessor_parity(spark, tmp_path):
+    """Thin reference accessors a migrating pipeline may call
+    (elzyme/streams.py:149-193, elzyme/utils.py:4): isTable/getCatalog/
+    getSchema/getTableName parse the addressing name; path() reports the
+    backing path; to_ddl renders a schema."""
+    from streamjoin_spark import Stream
+    from streamjoin_spark.changelog import ChangeTable, register_table
+    from streamjoin_spark.functions import to_ddl
+
+    p = str(tmp_path / "acc")
+    ct = ChangeTable.create(
+        spark, p, spark.createDataFrame([], "id long, v string").schema, ["id"]
+    )
+    register_table("cat.db.acc_t", p)
+
+    s_path = Stream.fromChangeTable(ct, "s")
+    assert s_path.path() == p and not s_path.isTable()
+    assert s_path.getTableName() is None
+
+    s_tbl = Stream.fromTable(spark, "cat.db.acc_t")
+    assert s_tbl.isTable() and s_tbl.path() == p
+    assert s_tbl.getCatalog() == "cat"
+    assert s_tbl.getSchema() == "db"
+    assert s_tbl.getTableName() == "acc_t"
+    # metadata survives .to() cloning
+    assert s_tbl.to(lambda df: df).getTableName() == "acc_t"
+
+    ddl = to_ddl(ct.schema())
+    assert "id" in ddl and "v" in ddl
+
+    s_raw = Stream.fromPath(spark, str(tmp_path / "raw.parquet"), name="raw")
+    assert s_raw.path() == str(tmp_path / "raw.parquet")

@@ -99,3 +99,25 @@ def test_parallel_equals_serial_state(
     ws.run()
     wp.run()
     assert_same(ws.toDF(), wp.toDF())
+
+
+def test_parallel_drain_through_streaming_start(
+    spark, tmp_path, cust_ct, ord_ct, item_ct, pay_ct
+):
+    """stageParallelism applies in continuous mode too: start() drives each
+    trigger through the same level-parallel process_all_available, and the
+    diamond converges to the batch twin."""
+    seed(spark, cust_ct, ord_ct, item_ct, pay_ct)
+    w = (
+        make_diamond(cust_ct, ord_ct, item_ct, pay_ct)
+        .writeToPath(str(tmp_path / "out_stream"))
+        .option("stageParallelism", 2)
+    )
+    w.trigger(availableNow=True).queryName("diamond_par").start()
+    try:
+        w.awaitTermination(120)
+    finally:
+        w.stop()
+    assert_same(
+        w.toDF(), make_diamond(cust_ct, ord_ct, item_ct, pay_ct).toDF()
+    )
