@@ -715,8 +715,10 @@ def prefix_jaccard_pairs(
     # prefix token — hence overlap ≤ (#shared prefix tokens) +
     # min(|A| − last_rn_A, |B| − last_rn_B). The per-occurrence pos_ok
     # above prunes inside the join; this exact pair bound then replaces
-    # dropDuplicates with a same-shuffle groupBy and cuts the surviving
-    # candidates far harder before the expensive set-verification joins.
+    # dropDuplicates with a same-shuffle groupBy — zero extra cost — and
+    # cuts candidates on size-varied corpora before the set-verification
+    # joins (on uniform-size corpora like the synthetic fixture it is
+    # slack and inert; measured honestly in BASELINE.md).
     candidates = (
         pa.join(
             pb,
