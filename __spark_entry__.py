@@ -2578,6 +2578,22 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user trailing EWMA of event values (operators/temporal.py ewma):
+    α=0.3 over the last 8 observations ordered by (ts, event_id),
+    partial-window normalized. Weights are Python-precomputed literals in
+    BOTH engines (pow() is not correctly-rounded; literals cannot drift);
+    sums are strict left folds; the normalization is FLOOR-canonicalized.
+    One shuffle on user_id; bounded 8-value frames; map-only after."""
+    _prep(spark)
+    from streamjoin_spark.operators.temporal import ewma
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    out = ewma(ev, ["user_id"], ["ts", "event_id"], "value",
+               alpha=0.3, window=8)
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2694,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "kcore": q_kcore,
         "dsir_weights": q_dsir_weights,
+        "ewma_user_value": q_ewma_user_value,
     }
 
 
@@ -3435,9 +3452,37 @@ def _kcore_sql(k: int = 3, rounds: int = 20, min_support: int = 1) -> str:
     """
 
 
+def _ewma_sql(alpha: float = 0.3, window: int = 8) -> str:
+    """Weights precomputed in Python and injected as identical double
+    literals in both engines (shortest-repr round-trips exactly); folds via
+    list_reduce (first-element seeding == a 0.0-seeded left fold because
+    0.0 + x == x); normalization FLOOR-canonicalized like the Spark side."""
+    ws = [alpha * (1.0 - alpha) ** d for d in range(window)]
+    warr = "[" + ", ".join(repr(w) for w in ws) + "]"
+    return f"""
+        WITH v AS (SELECT user_id, event_id, ts, value FROM events
+                   WHERE value IS NOT NULL),
+        t AS (SELECT user_id, event_id, value,
+                     list(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+                     ) AS vals
+              FROM v)
+        SELECT user_id, event_id, value,
+               FLOOR(list_reduce(
+                         list_transform(
+                             vals, (x, i) -> x * ({warr})[len(vals) - i + 1]),
+                         (a, b) -> a + b)
+                     / list_reduce(({warr})[1:len(vals)], (a, b) -> a + b)
+                     * 1000000.0) / 1000000.0 AS ewma
+        FROM t
+    """
+
+
 def _round4_oracles() -> dict[str, str]:
     return {
         "kcore": _kcore_sql(k=3, rounds=20, min_support=1),
+        "ewma_user_value": _ewma_sql(alpha=0.3, window=8),
         "dsir_weights": r"""
             WITH toks AS (SELECT d.doc_id, (d.source = 'src0') AS is_t,
                                  unnest(regexp_split_to_array(

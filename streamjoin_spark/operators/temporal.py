@@ -262,3 +262,64 @@ def merge_intervals(
         )
         .drop("__grp")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 8,
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average per key: for each row,
+    EWMA over the last ``window`` observations ordered by ``order_cols``,
+    weight ``alpha·(1-alpha)^d`` at distance ``d`` from the current row,
+    normalized over the weights actually present (so early partial windows
+    are unbiased) — the standard smoothing/anomaly-baseline primitive for
+    event streams.
+
+    Cross-engine determinism: the weights are PRECOMPUTED IN PYTHON and
+    injected as the same double literals into both the Spark expression and
+    any SQL twin — ``pow()`` is not correctly-rounded and may drift a ulp
+    between libm implementations, literals cannot. The weighted sum is a
+    strict left fold from 0.0 (DuckDB twin: ``list_reduce``, whose
+    first-element seeding is exact-equal because 0.0 + x == x); the final
+    normalization is division-derived → FLOOR-canonicalized at 6 dp.
+
+    Scale posture (100 TB): one shuffle on ``key_cols`` for the window; the
+    trailing frame materializes at most ``window`` values per row
+    (bounded state per task, no per-key explosion); everything after the
+    window is map-only codegen over small arrays. Output: key cols, order
+    cols, value, ``ewma``.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    weights = [alpha * (1.0 - alpha) ** d for d in range(window)]
+    warr = F.array(*[F.lit(w) for w in weights])
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    # trailing list is oldest→newest; element at 0-based index i of a
+    # list of size s sits at distance s-1-i from the current row
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    base = df.select(*key_cols, *order_cols, value_col, vals.alias("__vals"))
+    s = F.size("__vals")
+    terms = F.transform(
+        F.col("__vals"),
+        lambda x, i: x * F.element_at(warr, s - i),
+    )
+    wsum = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.aggregate(
+        F.slice(warr, 1, s), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return base.select(
+        *key_cols,
+        *order_cols,
+        value_col,
+        (F.floor(wsum / norm * F.lit(1e6)) / F.lit(1e6)).alias("ewma"),
+    )

@@ -180,3 +180,22 @@ def test_merge_intervals_semantics(spark):
         ("a", 40.0, 50.0, 2),
         ("b", 0.0, 10.0, 1),
     ]
+
+
+def test_ewma_known_sequence(spark):
+    """Hand-computed EWMA (α=0.5): weights 0.5/0.25/0.125, partial-window
+    normalized — row k averages only the weights present."""
+    from streamjoin_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 7.0)],
+        "uid long, seq long, v double",
+    )
+    out = {
+        (r["uid"], r["seq"]): r["ewma"]
+        for r in ewma(df, ["uid"], ["seq"], "v", alpha=0.5, window=8).collect()
+    }
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 2)] == 16.666666          # 12.5 / 0.75, floored 6 dp
+    assert out[(1, 3)] == 24.285714          # 21.25 / 0.875
+    assert out[(2, 1)] == 7.0                # keys never mix
