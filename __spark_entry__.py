@@ -2578,6 +2578,23 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_cross_corpus_neardup(spark, sf_dir):
+    """Cross-corpus near-dup contamination (dedup.minhash_lsh_pairs_between):
+    'src0' documents sharing any MinHash band bucket with a document from
+    any OTHER source — the near-dup complement to the exact-ngram
+    decontaminate query. Both sides reduce to constant-fan-out band
+    buckets; the join shuffles on the uniform (band, bh) key (an eval-sized
+    right side would broadcast)."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import minhash_lsh_pairs_between
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_between(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+
+
 def q_ewma_user_value(spark, sf_dir):
     """Per-user trailing EWMA of event values (operators/temporal.py ewma):
     α=0.3 over the last 8 observations ordered by (ts, event_id),
@@ -2711,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "dsir_weights": q_dsir_weights,
         "ewma_user_value": q_ewma_user_value,
+        "cross_corpus_neardup": q_cross_corpus_neardup,
     }
 
 
@@ -3483,6 +3501,14 @@ def _round4_oracles() -> dict[str, str]:
     return {
         "kcore": _kcore_sql(k=3, rounds=20, min_support=1),
         "ewma_user_value": _ewma_sql(alpha=0.3, window=8),
+        "cross_corpus_neardup": f"""
+            WITH {_MINHASH_CTES},
+            lab AS (SELECT b.doc_id, b.band, b.bh, d.source
+                    FROM bands b JOIN documents d USING (doc_id))
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM lab a JOIN lab b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.source = 'src0' AND b.source <> 'src0'
+        """,
         "dsir_weights": r"""
             WITH toks AS (SELECT d.doc_id, (d.source = 'src0') AS is_t,
                                  unnest(regexp_split_to_array(

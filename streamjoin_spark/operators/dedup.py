@@ -258,6 +258,58 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus LSH candidate pairs: documents of ``left`` that share
+    any (band, bucket-hash) with a document of ``right`` — document-level
+    contamination detection between a training corpus and a benchmark/eval
+    set (the MinHash complement to ``text.decontaminate``'s exact n-gram
+    overlap: near-dup rather than verbatim leakage). Same hash law and
+    banding as ``minhash_lsh_pairs``, so the candidate semantics match the
+    within-corpus operator exactly.
+
+    Scale posture (100 TB × small eval set): both sides reduce to band
+    buckets (constant fan-out per doc); the join shuffles on the uniform
+    (band, bh) key. When ``right`` is eval-sized, AQE broadcasts its bucket
+    frame and the corpus never shuffles at all.
+
+    Output: ``left_id, right_id`` (distinct).
+    """
+    def buckets(df: DataFrame, out: str) -> DataFrame:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        n_bands = num_hashes // band_size
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[f"h{b * band_size + j}" for j in range(band_size)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(out), F.explode(F.array(*structs)).alias("x")
+        ).select(out, "x.band", "x.bh")
+
+    assert num_hashes % band_size == 0
+    lb = buckets(left, "left_id")
+    rb = buckets(right, "right_id")
+    return (
+        lb.join(rb, ["band", "bh"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -913,3 +913,70 @@ def test_dsir_ranks_target_alike_docs_higher(spark):
         for r in dsir_logratio(docs, F.col("source") == "tgt").collect()
     }
     assert out[3] > out[4]
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from("a b c d e f".split()), min_size=2, max_size=10
+            ),
+            min_size=3,
+            max_size=8,
+        ),
+        threshold=st.sampled_from([0.3, 0.5, 0.7]),
+    )
+    def test_prefix_jaccard_matches_python_truth(spark, docs, threshold):
+        """Property pin for the PPJoin prefix/positional/pair-bound math:
+        on random tiny corpora, prefix_jaccard_pairs must equal an exact
+        Python computation of floor-canonicalized n-gram Jaccard — any
+        over-tight candidate filter (the classic PPJoin implementation
+        bug) would drop a true pair here."""
+        import math
+
+        from streamjoin_spark.operators.dedup import prefix_jaccard_pairs
+
+        n = 2
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        sets = {
+            i: {
+                " ".join(toks[j: j + n])
+                for j in range(len(toks) - n + 1)
+            }
+            for i, toks in enumerate(docs)
+            if len(toks) >= n
+        }
+        want = {}
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                j = math.floor(j * 1e6) / 1e6
+                if j >= threshold:
+                    want[(a, b)] = j
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in prefix_jaccard_pairs(
+                df, n=n, threshold=threshold
+            ).collect()
+        }
+        assert got == want
