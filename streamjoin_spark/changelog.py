@@ -240,7 +240,7 @@ class ChangeTable:
         with open(os.path.join(path, "manifests", "v0.json"), "w") as f:
             json.dump({}, f)
         with open(os.path.join(path, "manifests", "t0.json"), "w") as f:
-            json.dump({"commit_ts": time.time()}, f)
+            json.dump({"commit_ts": time.time(), "op": "CREATE"}, f)
         meta = {
             "name": name or os.path.basename(path),
             "version": 0,
@@ -355,6 +355,35 @@ class ChangeTable:
             return None
         with open(p) as f:
             return float(json.load(f)["commit_ts"])
+
+    def describe_history(self) -> DataFrame:
+        """Commit log as a DataFrame (the Delta ``DESCRIBE HISTORY``
+        analog): one row per surviving version with its wall-clock
+        timestamp, operation tag (APPEND / MERGE / REPLACE / DELETE /
+        OPTIMIZE [ZORDER] / RESTORE / CREATE — stamped at commit time) and
+        on-disk change bytes. O(versions) metadata reads on the driver —
+        the same bound as ``snapshot_as_of`` — no data scanned; versions
+        dropped by ``vacuum`` are absent."""
+        rows = []
+        for v in range(self.version() + 1):
+            p = os.path.join(self.path, "manifests", f"t{v}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                meta = json.load(f)
+            rows.append(
+                (
+                    v,
+                    float(meta["commit_ts"]),
+                    meta.get("op", "WRITE"),
+                    self.change_bytes(v) if v > 0 else 0,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, commit_ts double, operation string, "
+            "change_bytes long",
+        )
 
     def snapshot_as_of(self, ts: float) -> DataFrame:
         """TIMESTAMP AS OF read (Delta analog): the snapshot at the latest
@@ -502,6 +531,7 @@ class ChangeTable:
         rewritten_parts: Sequence[int] = (),
         appended: DataFrame | None = None,
         cluster_by: Sequence[str] = (),
+        op: str = "WRITE",
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -569,7 +599,7 @@ class ChangeTable:
         if prev_cts is not None and cts <= prev_cts:
             cts = prev_cts + 1e-3
         with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
-            json.dump({"commit_ts": cts}, f)
+            json.dump({"commit_ts": cts, "op": op}, f)
 
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         (
@@ -608,7 +638,8 @@ class ChangeTable:
                 )
         batch = self._apply_generated(df).select(*self._data_cols())
         self._check_constraints(batch)
-        self._write_commit(v, self._tag(batch, INSERT, v), appended=batch)
+        self._write_commit(v, self._tag(batch, INSERT, v), appended=batch,
+                           op="APPEND")
         return v
 
     def _check_constraints(self, batch: DataFrame) -> None:
@@ -714,7 +745,8 @@ class ChangeTable:
             .unionByName(self._tag(preimages, UPDATE_PRE, v))
             .unionByName(self._tag(postimages, UPDATE_POST, v))
         )
-        self._write_commit(v, changes, rewritten=new_content, rewritten_parts=parts)
+        self._write_commit(v, changes, rewritten=new_content,
+                           rewritten_parts=parts, op="MERGE")
         applied.unpersist()
         staged.unpersist()
         return v
@@ -725,6 +757,7 @@ class ChangeTable:
         key_cols: Sequence[str],
         new_rows: DataFrame,
         hint_broadcast: bool = True,
+        op: str = "REPLACE",
     ) -> int:
         """Replace every row whose ``key_cols`` tuple appears in ``scope_keys``
         with the rows of ``new_rows``, emitting a minimal change feed
@@ -816,7 +849,8 @@ class ChangeTable:
             # change files, re-trigger downstream stages, and loop forever.
             if changes.isEmpty():
                 return v - 1
-            self._write_commit(v, changes, rewritten=new_content, rewritten_parts=parts)
+            self._write_commit(v, changes, rewritten=new_content,
+                               rewritten_parts=parts, op=op)
             return v
         finally:
             old_scope.unpersist()
@@ -841,7 +875,8 @@ class ChangeTable:
             ~condition | condition.isNull()
         )
         changes = self._tag(doomed, DELETE, v)
-        self._write_commit(v, changes, rewritten=remaining, rewritten_parts=parts)
+        self._write_commit(v, changes, rewritten=remaining,
+                           rewritten_parts=parts, op="DELETE")
         doomed.unpersist()
         return v
 
@@ -964,6 +999,7 @@ class ChangeTable:
             rewritten=cur,
             rewritten_parts=all_parts,
             cluster_by=cluster_by,
+            op="OPTIMIZE ZORDER" if cluster_by else "OPTIMIZE",
         )
         return v
 
@@ -997,7 +1033,9 @@ class ChangeTable:
             .unionByName(target.select(*pks))
             .dropDuplicates(pks)
         )
-        return self.replace_keys(scope, pks, target, hint_broadcast=False)
+        return self.replace_keys(
+            scope, pks, target, hint_broadcast=False, op="RESTORE"
+        )
 
     def clone(self, new_path: str, name: str | None = None) -> "ChangeTable":
         """Deep-clone the current snapshot into a fresh table at

@@ -465,3 +465,29 @@ def test_restore_and_clone_with_generated_columns(spark, tmp_path):
     assert [(r["id"], r["bucket"]) for r in cl.snapshot().collect()] == [(1, 1)]
     cl.merge(spark.createDataFrame([(2, 33.0)], "id long, amount double"))
     assert {r["id"]: r["bucket"] for r in cl.snapshot().collect()} == {1: 1, 2: 3}
+
+
+def test_describe_history_operations(spark, tmp_path):
+    """DESCRIBE HISTORY analog: one row per version with the operation tag
+    stamped at commit time and monotone timestamps."""
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "hist"),
+        spark.createDataFrame([], "id long, v string").schema, ["id"],
+    )
+    rows = lambda data: spark.createDataFrame(data, "id long, v string")
+    ct.append(rows([(1, "a"), (2, "b")]))          # v1 APPEND
+    ct.merge(rows([(2, "b2"), (3, "c")]))          # v2 MERGE
+    ct.delete_where("id = 1")                      # v3 DELETE
+    ct.compact()                                   # v4 OPTIMIZE
+    ct.restore(1)                                  # v5 RESTORE
+
+    hist = ct.describe_history().collect()
+    ops = {r["version"]: r["operation"] for r in hist}
+    assert ops == {
+        0: "CREATE", 1: "APPEND", 2: "MERGE", 3: "DELETE",
+        4: "OPTIMIZE", 5: "RESTORE",
+    }
+    ts = [r["commit_ts"] for r in sorted(hist, key=lambda r: r["version"])]
+    assert ts == sorted(ts)
+    assert all(r["change_bytes"] > 0 for r in hist
+               if r["operation"] in ("APPEND", "MERGE", "DELETE", "RESTORE"))
