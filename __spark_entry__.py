@@ -504,6 +504,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ approximate top-5: product-quantized inverted lists (m=8
+    subspaces, 16 sample codewords each), asymmetric full-query vs
+    reconstructed-corpus scoring (operators/similarity.py ivf_pq_topk)."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5,
+        centroid_step=250, nprobe=2, dim=64, m=8, ksub=16, code_step=31,
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile: tokens, ratios, quality, fingerprint,
     language guess."""
@@ -2638,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
@@ -3296,6 +3311,73 @@ def _corpus_oracles() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY query_id
                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5
+        """,
+        "ann_ivf_pq": f"""
+            WITH {_VEC_CTE},
+            samp AS (
+                SELECT e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kk
+                FROM (SELECT vec_id, e FROM v WHERE vec_id % 31 = 0
+                      ORDER BY vec_id LIMIT 16)),
+            cb AS (
+                SELECT CAST(t.mi AS INTEGER) AS mi, kk,
+                       list_transform(generate_series(1, 8),
+                                      j -> e[CAST(t.mi AS INTEGER) * 8 + j]) AS cw
+                FROM samp CROSS JOIN range(0, 8) t(mi)),
+            dists AS (
+                SELECT x.vec_id, c.mi, c.kk,
+                       list_sum(list_transform(generate_series(1, 8),
+                           j -> (x.e[c.mi * 8 + j] - c.cw[j])
+                              * (x.e[c.mi * 8 + j] - c.cw[j]))) AS d
+                FROM v x CROSS JOIN cb c),
+            codes AS (
+                SELECT vec_id, mi, cw FROM (
+                    SELECT d.vec_id, d.mi, cb.cw,
+                           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.mi
+                                              ORDER BY d.d, d.kk) AS rn
+                    FROM dists d JOIN cb ON cb.mi = d.mi AND cb.kk = d.kk)
+                WHERE rn = 1),
+            recon AS (
+                SELECT vec_id, flatten(list(cw ORDER BY mi)) AS r
+                FROM codes GROUP BY vec_id),
+            rq AS (
+                SELECT vec_id, r,
+                       sqrt(list_sum(list_transform(r, x -> x * x))) AS rnrm
+                FROM recon),
+            cents AS (SELECT vec_id AS cent_id, e, nrm FROM n
+                      WHERE vec_id % 250 = 0),
+            assign AS (
+                SELECT __id, cent_id FROM (
+                    SELECT a.vec_id AS __id, c.cent_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY {_COS.format(a="a", b="c")} DESC,
+                                        c.cent_id) AS rn
+                    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+            probes AS (
+                SELECT __id AS query_id, cent_id FROM (
+                    SELECT q.vec_id AS __id, c.cent_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_COS.format(a="q", b="c")} DESC,
+                                        c.cent_id) AS rn
+                    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+                WHERE rn <= 2),
+            scored AS (
+                SELECT p.query_id, a.__id AS neighbor_id,
+                       FLOOR((list_sum(list_transform(
+                                  generate_series(1, len(qn.e)),
+                                  i -> qn.e[i] * rr.r[i]))
+                              / (qn.nrm * rr.rnrm)) * 1e6) / 1e6 AS pq_sim
+                FROM probes p
+                JOIN assign a ON a.cent_id = p.cent_id
+                JOIN n qn ON qn.vec_id = p.query_id
+                JOIN rq rr ON rr.vec_id = a.__id
+                WHERE a.__id <> p.query_id)
+            SELECT query_id, neighbor_id, pq_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY pq_sim DESC, neighbor_id) AS rn
                 FROM scored) WHERE rn <= 5
         """,
         "text_profile": _profile_sql(),

@@ -233,6 +233,145 @@ def ivf_topk(
     )
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² as a strict left fold (cross-engine deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _arr(vals: Sequence[float]) -> Column:
+    # one ArrayType literal, not a CreateArray of scalars — m·ksub of these
+    # appear in the fused quantize expression and the compact form keeps the
+    # serialized plan ~10× smaller
+    return F.lit([float(v) for v in vals])
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_step: int = 250,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    code_step: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-bounded 100 TB ANN tier.
+
+    Product quantization on top of the IVF layout: the vector space is
+    split into ``m`` subspaces of ``dim/m`` dims; each subspace gets a
+    ``ksub``-entry codebook taken from a deterministic corpus sample
+    (rows with ``id % code_step == 0``, lowest ids — the "train on a
+    sample" step; production PQ k-means-refines these, the transport is
+    identical). Every corpus vector is *encoded once at index-build time*:
+    per subspace, the nearest codeword by squared L2 (ties to the lowest
+    code) replaces the true subvector, so the inverted lists store
+    ``m``-byte codes instead of ``dim`` floats — the 32×-compression that
+    makes a 100 TB corpus fit an ANN index. Scoring is asymmetric (ADC):
+    the full-precision query against the reconstructed corpus vector.
+
+    Scale posture: codebooks are ``m·ksub·dim/m`` floats — a bounded
+    driver collect (ksub rows) shipped to every task as literals (the
+    FAISS codebook broadcast); encoding and reconstruction are map-only
+    codegen expressions over the corpus scan — no shuffle beyond the IVF
+    assignment already present in ``ivf_topk``; the candidate join stays
+    keyed on ``cent_id`` with the (small) probe side broadcast.
+
+    Deterministic end-to-end: sample choice, argmin tiebreak, and the
+    FLOOR-canonicalized similarity are exact cross-engine, so the DuckDB
+    oracle reproduces the *same* quantization. Output schema matches
+    ``cosine_topk`` (``pq_sim`` in place of ``cosine_sim``).
+    """
+    dsub = dim // m
+    sample = (
+        corpus.where(F.pmod(F.col(id_col), F.lit(code_step)) == 0)
+        .orderBy(id_col)
+        .limit(ksub)
+        .select(_as_double(F.col(vec_col)).alias("__v"))
+        .collect()
+    )
+    # books[mi][kk] = the kk-th codeword of subspace mi (list of dsub floats)
+    books = [
+        [list(row["__v"][mi * dsub : (mi + 1) * dsub]) for row in sample]
+        for mi in range(m)
+    ]
+
+    def quantize(v: Column) -> Column:
+        """Nearest-codeword reconstruction, subspace by subspace: the
+        encode(+decode) pair fused into one map-only expression. The whole
+        codebook of a subspace is ONE array<array<double>> literal and the
+        distance fold is written once (transform over it), so the plan stays
+        small; ``array_position`` on the min picks the FIRST (lowest-code)
+        codeword achieving it — the oracle's ORDER BY dist, code tiebreak."""
+        parts = []
+        for mi in range(m):
+            book = F.lit([list(cw) for cw in books[mi]])
+            sub = F.slice(v, mi * dsub + 1, dsub)
+            dists = F.transform(book, lambda cw: _sqdist(sub, cw))
+            code = F.array_position(dists, F.array_min(dists)).cast("int")
+            parts.append(F.element_at(book, code))
+        return F.flatten(F.array(*parts))
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cents = F.broadcast(
+        corpus.where(F.pmod(F.col(id_col), F.lit(centroid_step)) == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    sim_c = F.round(cosine(F.col("__v"), F.col("__cvec")), 6)
+    w_assign = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cent_id"))
+
+    def nearest(df: DataFrame, n: int) -> DataFrame:
+        scored = (
+            df.crossJoin(cents)
+            .select("__id", "__v", "cent_id", sim_c.alias("__sim"))
+            .withColumn("__rn", F.row_number().over(w_assign))
+            .where(F.col("__rn") <= n)
+        )
+        return scored.select("__id", "__v", "cent_id")
+
+    inv = nearest(
+        corpus.repartition(par).select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        ),
+        1,
+    ).select(
+        F.col("__id").alias("neighbor_id"),
+        quantize(F.col("__v")).alias("__cv"),
+        "cent_id",
+    )
+    probes = nearest(
+        queries.select(
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        nprobe,
+    ).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), "cent_id"
+    )
+
+    # division-derived → FLOOR-canonicalized (repo invariant), not ROUND
+    sim = F.floor(cosine(F.col("__qv"), F.col("__cv")) * 1e6) / 1e6
+    scored = (
+        F.broadcast(probes)
+        .join(inv, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("pq_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

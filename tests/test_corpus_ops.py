@@ -158,6 +158,78 @@ def test_lsh_bucket_recall(spark):
     assert len(a & e) > 0
 
 
+def test_ivf_pq_matches_python_reference(spark):
+    """ivf_pq_topk ≡ a pure-Python PQ reference when nprobe covers every
+    inverted list: same sample codebooks, same lowest-code argmin tiebreak,
+    same asymmetric (full query × reconstructed corpus) scoring."""
+    import math
+    import random
+
+    rnd = random.Random(11)
+    dim, m, ksub, code_step, cstep = 16, 4, 4, 7, 20
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    vec = {i: [float(np_x) for np_x in v] for i, v in rows}
+    # float32 storage: round-trip through the parquet/DataFrame float type
+    import struct
+
+    vec = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vec.items()
+    }
+    dsub = dim // m
+    sample_ids = sorted(i for i in vec if i % code_step == 0)[:ksub]
+    books = [
+        [vec[i][mi * dsub : (mi + 1) * dsub] for i in sample_ids]
+        for mi in range(m)
+    ]
+
+    def recon(v):
+        out = []
+        for mi in range(m):
+            sub = v[mi * dsub : (mi + 1) * dsub]
+            dists = []
+            for cw in books[mi]:
+                acc = 0.0
+                for x, y in zip(sub, cw):
+                    acc += (x - y) * (x - y)
+                dists.append(acc)
+            out.extend(books[mi][dists.index(min(dists))])
+        return out
+
+    def cos(a, b):
+        dp = na = nb = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+            na += x * x
+            nb += y * y
+        return math.floor(dp / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+
+    expect = {}
+    for q in range(3):
+        scored = sorted(
+            ((-cos(vec[q], recon(vec[c])), c) for c in vec if c != q),
+        )[:5]
+        expect[q] = [(c, -s) for s, c in scored]
+
+    out = similarity.ivf_pq_topk(
+        df, df.where(F.col("vec_id") < 3), k=5,
+        centroid_step=cstep, nprobe=2, dim=dim, m=m, ksub=ksub,
+        code_step=code_step,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["pq_sim"])
+        )
+    for q in expect:
+        got_q = sorted(got[q], key=lambda t: (-t[1], t[0]))
+        assert [c for c, _ in got_q] == [c for c, _ in expect[q]]
+        for (_, a), (_, b) in zip(got_q, expect[q]):
+            assert abs(a - b) < 1e-9
+
+
 def test_text_profile_fields(docs):
     p = {r["doc_id"]: r for r in text.profile(docs).collect()}
     assert p[1]["n_tokens"] == 9

@@ -208,6 +208,16 @@ def test_cms_counters_broadcast_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_ivf_pq_probes_broadcast_no_python(spark, sf_dir):
+    """IVF-PQ: the probe side of the candidate join must broadcast (the
+    corpus inverted lists are the big side and stay put), and the whole
+    quantize/reconstruct path must be codegen expressions — any
+    BatchEvalPython here would put Python in the per-vector hot loop."""
+    p = plan_of(entry.q_ann_ivf_pq(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
     """The Bloom membership checks must be broadcast semi-joins on the
     probe side — the probe is never shuffled for the prune."""
