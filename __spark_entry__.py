@@ -518,6 +518,18 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """FastText/DCLM-style hashed linear quality classifier: mean pooled
+    hashed-bag-of-words weights + bias, keep = score >= 0
+    (operators/text.py hashed_classifier_score)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import hashed_classifier_score
+
+    return hashed_classifier_score(
+        _t(spark, sf_dir, "documents"), n_buckets=512, bias=0.0, threshold=0.0
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile: tokens, ratios, quality, fingerprint,
     language guess."""
@@ -2653,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "quality_classifier": q_quality_classifier,
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
@@ -2942,6 +2955,32 @@ def _bucket_sql(n_planes: int, dim: int) -> str:
             f"i -> e[i] * ({lit})[i])) >= 0 THEN '1' ELSE '0' END"
         )
     return "concat(" + ", ".join(cases) + ")"
+
+
+def _quality_classifier_sql(n_buckets: int = 512, seed: str = "qclf") -> str:
+    """Oracle twin of text.hashed_classifier_score: identical weight-table
+    literals (same Python floats, repr-injected into both engines), the
+    md5-parity bucket hash, a strict left-fold sum, and the
+    FLOOR-canonicalized mean (division-derived — repo invariant)."""
+    from streamjoin_spark.operators.text import classifier_weights
+
+    wlist = "[" + ", ".join(repr(x) for x in classifier_weights(n_buckets, seed)) + "]"
+    bucket = (f"CAST(('0x' || substr(md5('{seed}' || w), 1, 15))::BIGINT"
+              f" % {n_buckets} + 1 AS INTEGER)")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(tk) > 0 THEN
+                       FLOOR((0.0 + list_sum(list_transform(tk,
+                           w -> CAST(({wlist})[{bucket}] AS DOUBLE)))
+                           / len(tk)) * 1e6) / 1e6
+                   ELSE FLOOR(0.0 * 1e6) / 1e6 END AS qc_score
+            FROM t)
+        SELECT doc_id, n_tokens, qc_score, qc_score >= 0.0 AS keep FROM s
+    """
 
 
 def _corpus_oracles() -> dict[str, str]:
@@ -3313,6 +3352,7 @@ def _corpus_oracles() -> dict[str, str]:
                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
                 FROM scored) WHERE rn <= 5
         """,
+        "quality_classifier": _quality_classifier_sql(),
         "ann_ivf_pq": f"""
             WITH {_VEC_CTE},
             samp AS (

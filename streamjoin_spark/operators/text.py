@@ -671,3 +671,77 @@ def dsir_logratio(
             / F.lit(1000000.0)
         ).alias("dsir_score"),
     )
+
+
+def classifier_weights(n_buckets: int = 512, seed: str = "qclf") -> list[float]:
+    """Deterministic md5-seeded weight table in [-1, 1] — the stand-in for
+    a trained hashed-bag-of-words classifier's weight vector (fastText /
+    DCLM-style quality filter). Reproducible everywhere, no RNG state; swap
+    in real trained weights for production use."""
+    import hashlib
+
+    out = []
+    for b in range(n_buckets):
+        h = int(hashlib.md5(f"{seed}_{b}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    seed: str = "qclf",
+) -> DataFrame:
+    """FastText/DCLM-style quality-classifier scoring: a linear model over
+    hashed bag-of-words features, the standard learned quality filter of
+    LLM pretraining pipelines (e.g. DCLM's fastText filter; GPT-3/LLaMA's
+    LR quality classifiers). Each token hashes to one of ``n_buckets``
+    weight slots (hashing trick — vocabulary-free, OOV-safe); the document
+    score is the mean slot weight plus bias (mean pooling, exactly
+    fastText's linear layer), and ``keep`` thresholds it.
+
+    ``weights`` is the trained weight vector (defaults to the
+    deterministic ``classifier_weights`` table so results are
+    oracle-checkable without a training run).
+
+    Scale posture (100 TB): the weight table is ONE array literal of
+    ``n_buckets`` doubles shipped with the plan — scoring is a map-only
+    codegen expression over the corpus scan (hash → element_at → left-fold
+    sum), no shuffle, no Python, no vocabulary join. This is the shape a
+    learned filter must have to run over a full crawl.
+
+    Cross-engine determinism: the md5-parity token hash (``functions.
+    hash64``) is identical in DuckDB; the weight sum is a strict left fold
+    of identical literals; the mean is division-derived and therefore
+    FLOOR-canonicalized to 6 dp (repo invariant — never ROUND a division).
+
+    Output: ``(id_col, n_tokens, qc_score, keep)``; empty documents score
+    exactly ``bias``.
+    """
+    from ..functions import hash64
+
+    w = weights if weights is not None else classifier_weights(n_buckets, seed)
+    wlit = F.lit([float(x) for x in w])
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    slot = lambda t: F.element_at(  # noqa: E731
+        wlit, (F.pmod(hash64(t, seed), F.lit(n_buckets)) + 1).cast("int")
+    )
+    s = F.aggregate(
+        F.transform(toks, slot), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    score = F.when(
+        n > 0,
+        F.floor((F.lit(float(bias)) + s / n) * 1e6) / 1e6,
+    ).otherwise(F.floor(F.lit(float(bias)) * 1e6) / 1e6)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        score.alias("qc_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -239,6 +239,36 @@ def test_text_profile_fields(docs):
     assert 0.0 <= p[1]["quality"] <= 1.0
 
 
+def test_hashed_classifier_score_semantics(spark):
+    """Mean pooling over hashed weight slots + bias; empty docs score
+    exactly bias; keep thresholds the canonicalized score."""
+    import hashlib
+    import math
+
+    n_buckets = 8
+    weights = [0.5, -0.25, 0.125, 1.0, -1.0, 0.75, -0.5, 0.0625]
+    rows = [(1, "alpha beta gamma"), (2, "   "), (3, "alpha alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.hashed_classifier_score(
+            df, n_buckets=n_buckets, weights=weights, bias=0.25,
+            threshold=0.3, seed="t",
+        ).collect()
+    }
+
+    def slot(tok):
+        h = int(hashlib.md5(("t" + tok).encode()).hexdigest()[:15], 16)
+        return weights[h % n_buckets]
+
+    exp1 = math.floor((0.25 + sum(map(slot, ["alpha", "beta", "gamma"])) / 3) * 1e6) / 1e6
+    assert out[1]["qc_score"] == exp1
+    assert out[1]["keep"] == (exp1 >= 0.3)
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["qc_score"] == math.floor(0.25 * 1e6) / 1e6
+    assert out[3]["qc_score"] == math.floor((0.25 + slot("alpha")) * 1e6) / 1e6
+
+
 def test_image_features_plumbing(spark, docs):
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
