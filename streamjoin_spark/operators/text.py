@@ -696,6 +696,7 @@ def hashed_classifier_score(
     bias: float = 0.0,
     threshold: float = 0.0,
     seed: str = "qclf",
+    extra_cols: "list[str] | tuple[str, ...]" = (),
 ) -> DataFrame:
     """FastText/DCLM-style quality-classifier scoring: a linear model over
     hashed bag-of-words features, the standard learned quality filter of
@@ -720,8 +721,9 @@ def hashed_classifier_score(
     of identical literals; the mean is division-derived and therefore
     FLOOR-canonicalized to 6 dp (repo invariant — never ROUND a division).
 
-    Output: ``(id_col, n_tokens, qc_score, keep)``; empty documents score
-    exactly ``bias``.
+    Output: ``(id_col, *extra_cols, n_tokens, qc_score, keep)``; empty
+    documents score exactly ``bias``. ``extra_cols`` ride through untouched
+    (row-local — safe inside a Stream source transform).
     """
     from ..functions import hash64
 
@@ -741,6 +743,7 @@ def hashed_classifier_score(
     ).otherwise(F.floor(F.lit(float(bias)) * 1e6) / 1e6)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n.cast("long").alias("n_tokens"),
         score.alias("qc_score"),
         (score >= F.lit(float(threshold))).alias("keep"),

@@ -41,6 +41,7 @@ __all__ = [
     "incremental_exact_dedup",
     "incremental_minhash_pairs",
     "incremental_hll",
+    "incremental_corpus_stats",
 ]
 
 
@@ -198,6 +199,57 @@ def incremental_minhash_pairs(
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .writeToPath(path)
+    )
+
+
+def incremental_corpus_stats(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 512,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    seed: str = "qclf",
+):
+    """Continuously maintained per-source curation dashboard: document
+    count, total token volume, and how many documents the (fastText-style)
+    hashed quality classifier keeps — per ``group_col``, under CDC.
+
+    The classifier scoring (``text.hashed_classifier_score``) is row-local
+    (hash → weight-slot lookup → mean pool, all within one row), so it is
+    safe as a Stream source transform; the maintained aggregate is pure
+    non-DISTINCT sum/count, so every insert-only batch rides the runtime's
+    ADDITIVE fast path (O(Δ) — no group recompute), and deletes/updates
+    retract exactly. This is the cheapest possible continuously-updated
+    view of "what is my crawl worth per source".
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    from .operators.text import hashed_classifier_score
+    from .streams import METADATA_COLUMNS
+
+    def attach(df: DataFrame) -> DataFrame:
+        meta = [c for c in METADATA_COLUMNS if c in df.columns]
+        return hashed_classifier_score(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+            weights=weights, bias=bias, threshold=threshold, seed=seed,
+            extra_cols=[group_col, *meta],
+        )
+
+    return (
+        Stream.fromChangeTable(docs, f"{docs.name}_qstats")
+        .primaryKeys(id_col)
+        .to(attach)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        )
         .writeToPath(path)
     )
 

@@ -160,3 +160,64 @@ def test_incremental_minhash_pairs_maintained(spark, tmp_path, docs_ct):
     docs_ct.delete_where("doc_id = 4")
     w.run()
     check_pairs(w, docs_ct)
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus stats (quality classifier + additive sums)
+# ---------------------------------------------------------------------------
+DOCS = "doc_id long, text string, source string"
+
+
+def test_incremental_corpus_stats_maintained(spark, tmp_path):
+    """incremental_corpus_stats converges to the batch twin
+    (hashed_classifier_score + groupBy(source) sums) under insert /
+    text-update / source-move / delete, and insert-only batches ride the
+    additive fast path."""
+    from streamjoin_spark.operators.text import hashed_classifier_score
+    from streamjoin_spark.pipelines import incremental_corpus_stats
+
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "docs3"),
+        spark.createDataFrame([], DOCS).schema, ["doc_id"],
+    )
+    w = incremental_corpus_stats(ct, str(tmp_path / "qstats"), n_buckets=16)
+
+    def twin():
+        return (
+            hashed_classifier_score(
+                ct.snapshot(), n_buckets=16, extra_cols=["source"]
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            )
+        )
+
+    rows = lambda data: spark.createDataFrame(data, DOCS)
+    ct.merge(rows([
+        (1, "the cat sat on the mat", "web"),
+        (2, "quarterly spark earnings report", "news"),
+        (3, "", "web"),                      # empty doc scores exactly bias
+        (4, "unique snowflake text", "web"),
+    ]))
+    w.run()
+    assert w.pipeline.stages[-1].additive is True   # pure sum/count aggs
+    assert_same(w.toDF(), twin())
+
+    # text update changes token count + keep; source move shifts groups;
+    # delete shrinks; a brand-new source group appears
+    ct.merge(rows([
+        (1, "rewritten much longer cat text with many more tokens", "web"),
+        (4, "unique snowflake text", "forum"),
+        (5, "fresh insert", "news"),
+    ]))
+    ct.delete_where("doc_id = 2")
+    w.run()
+    assert_same(w.toDF(), twin())
+
+    # group-vanish: delete the only forum doc
+    ct.delete_where("doc_id = 4")
+    w.run()
+    assert_same(w.toDF(), twin())
