@@ -530,6 +530,27 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_gopher_filters(spark, sf_dir):
+    """Gopher-rule heuristic quality gates with per-rule flags
+    (operators/text.py gopher_filters); thresholds loosened to the
+    synthetic corpus's scale so the flags are non-vacuous."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import gopher_filters
+
+    return gopher_filters(
+        _t(spark, sf_dir, "documents"), min_words=30, min_stop_hits=1
+    )
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """sqrt-temperature source-mixing weights (operators/skew.py
+    mixture_temperature): p ∝ share^0.5, integer-micro-unit exact."""
+    _prep(spark)
+    from streamjoin_spark.operators.skew import mixture_temperature
+
+    return mixture_temperature(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile: tokens, ratios, quality, fingerprint,
     language guess."""
@@ -2666,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
         "quality_classifier": q_quality_classifier,
+        "gopher_filters": q_gopher_filters,
+        "mixture_temperature": q_mixture_temperature,
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
@@ -2980,6 +3003,63 @@ def _quality_classifier_sql(n_buckets: int = 512, seed: str = "qclf") -> str:
                    ELSE FLOOR(0.0 * 1e6) / 1e6 END AS qc_score
             FROM t)
         SELECT doc_id, n_tokens, qc_score, qc_score >= 0.0 AS keep FROM s
+    """
+
+
+def _gopher_filters_sql(
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_sym: float = 0.1,
+    min_alpha: float = 0.8,
+    min_stops: int = 1,
+) -> str:
+    """Oracle twin of text.gopher_filters (driver-query thresholds):
+    identical left-fold sums, FLOOR-canonicalized ratios, the same
+    stop-hit CASE sum."""
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    hit_sum = " + ".join(
+        f"(CASE WHEN list_contains(tk, '{s}') THEN 1 ELSE 0 END)" for s in stops
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, list_filter({_TOKS}, x -> x <> '') AS tk
+            FROM documents),
+        f AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_words,
+                   CASE WHEN len(tk) > 0 THEN
+                       FLOOR(list_sum(list_transform(tk,
+                           t -> CAST(length(t) AS DOUBLE)))
+                           / len(tk) * 1e6) / 1e6
+                   ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN len(tk) > 0 THEN
+                       FLOOR(((length(text) - length(replace(text, '#', '')))
+                              + (length(text)
+                                 - length(replace(text, '...', ''))) / 3)
+                             / len(tk) * 1e6) / 1e6
+                   ELSE 0.0 END AS symbol_ratio,
+                   CASE WHEN len(tk) > 0 THEN
+                       FLOOR(len(list_filter(tk,
+                               t -> regexp_matches(t, '[a-z]')))
+                             / len(tk) * 1e6) / 1e6
+                   ELSE 0.0 END AS alpha_frac,
+                   CAST({hit_sum} AS BIGINT) AS stop_hits
+            FROM t),
+        g AS (
+            SELECT *,
+                   n_words >= {min_words} AND n_words <= {max_words}
+                       AS word_count_ok,
+                   mean_word_len >= {min_mwl!r} AND mean_word_len <= {max_mwl!r}
+                       AS mean_len_ok,
+                   symbol_ratio <= {max_sym!r} AS symbol_ok,
+                   alpha_frac >= {min_alpha!r} AS alpha_ok,
+                   stop_hits >= {min_stops} AS stopword_ok
+            FROM f)
+        SELECT *, word_count_ok AND mean_len_ok AND symbol_ok AND alpha_ok
+                  AND stopword_ok AS keep
+        FROM g
     """
 
 
@@ -3353,6 +3433,26 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM scored) WHERE rn <= 5
         """,
         "quality_classifier": _quality_classifier_sql(),
+        "gopher_filters": _gopher_filters_sql(),
+        "mixture_temperature": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang),
+            m AS (
+                SELECT lang, n_docs,
+                       n_docs / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM c)
+                           AS share_raw
+                FROM c),
+            w AS (
+                SELECT lang, n_docs, share_raw,
+                       CAST(FLOOR(sqrt(share_raw) * 1e6) AS BIGINT) AS w6
+                FROM m)
+            SELECT lang, n_docs,
+                   FLOOR(share_raw * 1e6) / 1e6 AS share,
+                   FLOOR(w6 / (SELECT CAST(sum(w6) AS BIGINT) FROM w)
+                         * 1e6) / 1e6 AS p_temp
+            FROM w
+        """,
         "ann_ivf_pq": f"""
             WITH {_VEC_CTE},
             samp AS (

@@ -293,3 +293,48 @@ def mixture_sample(
         .where(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixing weights: sampling probability
+    ∝ share^α with α = 1/2 — the multilingual/multi-source rebalancing of
+    mT5 / GPT-3 (upweight small sources, damp the head) at the one exponent
+    where the math is bit-exact cross-engine: share^0.5 = sqrt(share), and
+    IEEE sqrt is correctly rounded while pow() is not (repo invariant — we
+    refuse exponents that would make the oracle a ulp-lottery).
+
+    Exactness chain: share = n/total is one double division (identical both
+    engines); sqrt is correctly rounded; the weight is floored into INTEGER
+    micro-units (``floor(sqrt(share)·10⁶)``), the normalizer is an exact
+    integer SUM, and only the final probability divides doubles again —
+    FLOOR-canonicalized.
+
+    Scale posture (100 TB): one map-side-combined count per group, then all
+    arithmetic happens on the k-row group frame (k = #sources); the two
+    1-row total frames broadcast. The corpus is scanned once and never
+    re-shuffled. Output: ``(group_col, n_docs, share, p_temp)``.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("__tot"))
+    shared = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        (F.col("n_docs") / F.col("__tot")).alias("__share"),
+    )
+    micro = shared.select(
+        group_col,
+        "n_docs",
+        "__share",
+        F.floor(F.sqrt(F.col("__share")) * 1e6).cast("long").alias("__w6"),
+    )
+    norm = micro.agg(F.sum("__w6").alias("__norm"))
+    return micro.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        "n_docs",
+        (F.floor(F.col("__share") * 1e6) / 1e6).alias("share"),
+        (F.floor(F.col("__w6") / F.col("__norm") * 1e6) / 1e6).alias("p_temp"),
+    )

@@ -748,3 +748,93 @@ def hashed_classifier_score(
         score.alias("qc_score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def gopher_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, Table A1 —
+    the rule bundle FineWeb/Dolma/RefinedWeb all re-derive): per document,
+    the word-level repetition-free gates with an explicit flag per rule so
+    a curation run can report WHY documents fail, plus the conjunction
+    ``keep``. Rules: word count in [min_words, max_words]; mean word
+    length in [min, max]; symbol-to-word ratio (# and ... marks) ≤ max;
+    fraction of words containing an alphabetic character ≥ min; at least
+    ``min_stop_hits`` of the 8 canonical English function words present.
+
+    All flags are pure codegen Column expressions off one scan — no
+    shuffle, no Python, no join; at 100 TB this is a map-only pass you
+    fold into the ingest scan. Ratios are division-derived and therefore
+    FLOOR-canonicalized to 6 dp (repo invariant).
+
+    Output: ``(id_col, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    stop_hits, word_count_ok, mean_len_ok, symbol_ok, alpha_ok,
+    stopword_ok, keep)``.
+    """
+    STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n = F.size(toks)
+    canon = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
+    mwl = F.when(
+        n > 0,
+        canon(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / n
+        ),
+    ).otherwise(F.lit(0.0))
+    hash_marks = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    ellipses = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("...")))
+    ) / 3
+    sym = F.when(n > 0, canon((hash_marks + ellipses) / n)).otherwise(F.lit(0.0))
+    alpha = F.when(
+        n > 0,
+        canon(F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n),
+    ).otherwise(F.lit(0.0))
+    hits = sum(
+        F.array_contains(toks, sw).cast("int") for sw in STOPS
+    )
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_frac"),
+        hits.cast("long").alias("stop_hits"),
+    )
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "word_count_ok"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("mean_len_ok"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("symbol_ok"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("alpha_ok"),
+        (F.col("stop_hits") >= min_stop_hits).alias("stopword_ok"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("word_count_ok")
+            & F.col("mean_len_ok")
+            & F.col("symbol_ok")
+            & F.col("alpha_ok")
+            & F.col("stopword_ok")
+        ).alias("keep"),
+    )

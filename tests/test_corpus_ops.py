@@ -1082,3 +1082,40 @@ if _HAVE_HYP:
             ).collect()
         }
         assert got == want
+
+
+def test_gopher_filters_rules(spark):
+    """Each rule flag fires on its own violation; keep is the conjunction;
+    empty docs fail word count with zeroed ratios."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and that is it"),
+        (2, "a b c d e f g h i j k l"),                 # short words, no stops
+        (3, "#### #### #### the of and ok fine"),        # symbol-heavy
+        (4, ""),                                          # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_filters(
+        df, min_words=5, min_mean_word_len=2.0, min_stop_hits=2
+    ).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[2]["mean_len_ok"] is False          # mean word len 1.0
+    assert out[2]["stopword_ok"] is False
+    assert out[3]["symbol_ok"] is False            # 16 '#' chars / 8 words
+    assert out[3]["alpha_ok"] is False             # 4/8 words lack [a-z]
+    assert out[4]["n_words"] == 0 and out[4]["keep"] is False
+    assert out[4]["mean_word_len"] == 0.0
+
+
+def test_mixture_temperature_upweights_tail(spark):
+    """sqrt-temperature: small sources gain probability relative to their
+    raw share, large sources lose; probabilities ~sum to 1."""
+    from streamjoin_spark.operators.skew import mixture_temperature
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in mixture_temperature(df).collect()}
+    assert out["big"]["share"] == 0.9 and out["small"]["share"] == 0.1
+    assert out["small"]["p_temp"] > out["small"]["share"]
+    assert out["big"]["p_temp"] < out["big"]["share"]
+    assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-4
