@@ -42,6 +42,8 @@ __all__ = [
     "incremental_minhash_pairs",
     "incremental_hll",
     "incremental_corpus_stats",
+    "incremental_term_stats",
+    "term_stat_rows",
 ]
 
 
@@ -249,6 +251,74 @@ def incremental_corpus_stats(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        )
+        .writeToPath(path)
+    )
+
+
+def term_stat_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-local per-document term frequencies: one output row per distinct
+    token of each input row — ``(id, token, tf)`` (+ change-feed metadata
+    when present). Computed WITHIN the row (``array_distinct`` +
+    per-token count over the row's own token array), never via a cross-row
+    groupBy, so pre- and post-images of one document transform
+    independently (the source-transform contract). Cost is
+    O(distinct·n_tokens) per document — bounded by the row, no shuffle.
+    """
+    from .functions import tokens
+    from .streams import METADATA_COLUMNS
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        ),
+    )
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("__p"), *meta
+    ).select(id_col, F.col("__p.token").alias("token"),
+             F.col("__p.tf").alias("tf"), *meta)
+
+
+def incremental_term_stats(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuously maintained inverted-index statistics — the BM25 /
+    TF-IDF backbone (per-term document frequency ``df_docs`` and collection
+    frequency ``cf``) kept converged to the corpus under CDC. Feeding a
+    retrieval layer from this target gives always-fresh idf without ever
+    recounting the corpus.
+
+    The term transform is row-local fan-out (``term_stat_rows``, same
+    contract as the MinHash band transform) with compound PKs
+    ``(id, token)``; the maintained aggregate is pure non-DISTINCT
+    count/sum, so insert-only batches ride the additive fast path and
+    document rewrites/deletes retract exactly (a rewritten doc's pre-image
+    terms decrement, post-image terms increment).
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    def t(df: DataFrame) -> DataFrame:
+        return term_stat_rows(df, text_col, id_col)
+
+    return (
+        Stream.fromChangeTable(docs, f"{docs.name}_terms")
+        .primaryKeys(id_col, "token")
+        .to(t)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum("tf").alias("cf"),
         )
         .writeToPath(path)
     )

@@ -221,3 +221,52 @@ def test_incremental_corpus_stats_maintained(spark, tmp_path):
     ct.delete_where("doc_id = 4")
     w.run()
     assert_same(w.toDF(), twin())
+
+
+# ---------------------------------------------------------------------------
+# inverted-index term stats (BM25 backbone)
+# ---------------------------------------------------------------------------
+def test_incremental_term_stats_maintained(spark, tmp_path):
+    """incremental_term_stats converges to the batch twin (explode +
+    groupBy(token)) under insert / rewrite / delete; a rewritten doc's
+    pre-image terms retract and its post-image terms appear."""
+    from streamjoin_spark.functions import tokens
+    from streamjoin_spark.pipelines import incremental_term_stats
+
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "docs4"),
+        spark.createDataFrame([], DOC).schema, ["doc_id"],
+    )
+    w = incremental_term_stats(ct, str(tmp_path / "terms"))
+
+    def twin():
+        return (
+            ct.snapshot()
+            .select("doc_id", F.explode(
+                F.filter(tokens(F.col("text")), lambda t: t != "")
+            ).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df_docs"), F.sum("tf").alias("cf"))
+        )
+
+    ct.merge(d_rows(spark, [
+        (1, "spark joins spark streams"),
+        (2, "streams of change data"),
+        (3, "spark"),
+    ]))
+    w.run()
+    assert w.pipeline.stages[-1].additive is True
+    assert_same(w.toDF(), twin())
+    got = {r["token"]: (r["df_docs"], r["cf"]) for r in w.toDF().collect()}
+    assert got["spark"] == (2, 3)      # docs 1 (tf=2) and 3 (tf=1)
+
+    # rewrite doc 1 (drops 'joins', adds 'engine'), delete doc 2
+    ct.merge(d_rows(spark, [(1, "spark engine")]))
+    ct.delete_where("doc_id = 2")
+    w.run()
+    assert_same(w.toDF(), twin())
+    got = {r["token"]: (r["df_docs"], r["cf"]) for r in w.toDF().collect()}
+    assert "joins" not in got and "of" not in got
+    assert got["spark"] == (2, 2)
