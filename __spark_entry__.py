@@ -437,6 +437,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.3)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """3-gram containment pairs at C >= 0.8 — the asymmetric-inclusion
+    detector (short doc quoted inside a long one) Jaccard misses."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(12) + LSH banding (4 bands x 3) candidate pairs."""
     _prep(spark)
@@ -2679,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -3152,6 +3164,28 @@ def _corpus_oracles() -> dict[str, str]:
                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                            JOIN sizes sb ON doc_b = sb.doc_id
             ) WHERE jaccard >= 0.3
+        """,
+        "dedup_containment": f"""
+            WITH {_SHINGLE_CTE},
+            hot AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id)
+                                             FROM documents)),
+            shf AS (SELECT * FROM sh
+                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM shf a JOIN shf b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, containment, sz_a, sz_b FROM (
+                SELECT doc_a, doc_b,
+                       FLOOR(i / least(sa.sz, sb.sz) * 1000000.0)
+                           / 1000000.0 AS containment,
+                       CAST(sa.sz AS BIGINT) AS sz_a,
+                       CAST(sb.sz AS BIGINT) AS sz_b
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id
+            ) WHERE containment >= 0.8
         """,
         "distinctive_terms": r"""
             WITH toks AS (SELECT grp, t AS token FROM (

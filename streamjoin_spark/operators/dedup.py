@@ -140,6 +140,35 @@ def ngram_jaccard_pairs(
 
     Output columns: doc_a, doc_b, jaccard.
     """
+    sized = _ngram_pair_frames(df, text_col, id_col, n, max_shingle_df)
+    out = sized.select(
+        "doc_a",
+        "doc_b",
+        # division-derived float: FLOOR-canonicalize (never ROUND) so
+        # Spark and DuckDB agree bit-for-bit at .xxx5 boundaries
+        (
+            F.floor(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    return out
+
+
+def _ngram_pair_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_df: float | int | None,
+) -> DataFrame:
+    """Shared candidate machinery for the exact n-gram pair scorers:
+    shingle explode → optional hot-shingle DF cap → self-join on shingle →
+    per-pair intersection counts joined with both docs' (capped) shingle
+    set sizes. Returns ``(doc_a, doc_b, inter, sz_a, sz_b)``."""
     sh = _shingle_frame(df, text_col, id_col, n)
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
@@ -166,26 +195,54 @@ def ngram_jaccard_pairs(
     # corpus-sized (100 TB ⇒ billions of ids), so a broadcast here OOMs the
     # driver. The join key is the doc id — a plain shuffle join is bounded
     # and usually co-partitioned with `inter`'s groupBy output anyway.
-    out = (
+    return (
         inter.join(sa, F.col("doc_a") == F.col("sa.__id"))
         .join(sb, F.col("doc_b") == F.col("sb.__id"))
         .select(
             "doc_a",
             "doc_b",
-            # division-derived float: FLOOR-canonicalize (never ROUND) so
-            # Spark and DuckDB agree bit-for-bit at .xxx5 boundaries
-            (
-                F.floor(
-                    F.col("inter")
-                    / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
-                    * F.lit(1e6)
-                )
-                / F.lit(1e6)
-            ).alias("jaccard"),
+            "inter",
+            F.col("sa.sz").alias("sz_a"),
+            F.col("sb.sz").alias("sz_b"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
-    return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: float | int | None = 0.5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: C = |A∩B| / min(|A|, |B|) ≥
+    threshold — the asymmetric-duplication detector Jaccard misses. A short
+    article fully quoted inside a long page has tiny Jaccard (the union is
+    dominated by the long side) but containment ≈ 1; this is the news-wire
+    / quotation / wrapper-page dedup case (Broder's containment measure,
+    "On the resemblance and containment of documents", 1997).
+
+    Same candidate machinery, hot-shingle cap and scale posture as
+    ``ngram_jaccard_pairs`` (one shingle-keyed self-join, unhinted
+    id-keyed size joins — nothing corpus-sized broadcasts); the score is
+    division-derived and FLOOR-canonicalized. Output: doc_a, doc_b,
+    ``containment``, ``sz_a``, ``sz_b`` (the sizes tell which side is the
+    contained one).
+    """
+    sized = _ngram_pair_frames(df, text_col, id_col, n, max_shingle_df)
+    return sized.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.floor(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")) * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("containment"),
+        "sz_a",
+        "sz_b",
+    ).where(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -1119,3 +1119,26 @@ def test_mixture_temperature_upweights_tail(spark):
     assert out["small"]["p_temp"] > out["small"]["share"]
     assert out["big"]["p_temp"] < out["big"]["share"]
     assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-4
+
+
+def test_ngram_containment_catches_inclusion(spark):
+    """A short doc fully quoted inside a long page: Jaccard misses it
+    (union dominated by the long side), containment flags it at 1.0."""
+    quoted = "incremental engines maintain joined views over change feeds"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, quoted),
+        (2, f"{filler} {quoted}"),
+        (3, "entirely unrelated content about something else altogether"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jac = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(
+        df, n=3, threshold=0.5, max_shingle_df=None).collect()}
+    cont = {(r["doc_a"], r["doc_b"]): r for r in dedup.ngram_containment_pairs(
+        df, n=3, threshold=0.8, max_shingle_df=None).collect()}
+    assert (1, 2) not in jac
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["sz_a"] < r["sz_b"]       # the contained side is the small one
+    assert not any(3 in p for p in cont)
