@@ -111,11 +111,13 @@ def test_ngram_jaccard_sizes_not_broadcast(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         p = plan_of(dedup.ngram_jaccard_pairs(docs))
+        pc = plan_of(dedup.ngram_containment_pairs(docs, threshold=0.1))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[doc_a", p)
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[doc_b", p)
-    assert not re.search(r"BroadcastHashJoin \[doc_[ab]", p)
+    for plan in (p, pc):   # both scorers ride the shared candidate machinery
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[doc_a", plan)
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[doc_b", plan)
+        assert not re.search(r"BroadcastHashJoin \[doc_[ab]", plan)
 
 
 def test_q7_nation_legs_broadcast(spark, sf_dir):
