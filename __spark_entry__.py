@@ -1817,6 +1817,16 @@ def q_decontaminate(spark, sf_dir):
     return contamination_report(tr, ev, n=4)
 
 
+def q_perplexity_bands(spark, sf_dir):
+    """CCNet-style per-language fluency bands (1=head..3=tail) from the
+    unigram-LM score — quantile bucketing by histogram thresholds, no
+    per-language global sort (operators/text.py perplexity_bands)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import perplexity_bands
+
+    return perplexity_bands(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_logprob(spark, sf_dir):
     """Unigram-LM fluency scores (operators/text.py unigram_logprob) — the
     cheap tier of CCNet-style perplexity filtering, self-trained on the
@@ -2749,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "decontaminate": q_decontaminate,
         "lm_logprob": q_lm_logprob,
+        "perplexity_bands": q_perplexity_bands,
         "profile_orders": q_profile_orders,
         "histogram_totalprice": q_histogram_totalprice,
         "zorder_key": q_zorder_key,
@@ -4825,6 +4836,50 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT ev.eval_id) AS n_eval_docs
             FROM tr JOIN ev USING (shingle)
             GROUP BY tr.doc_id
+        """,
+        "perplexity_bands": r"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_split_to_array(
+                                     lower(trim(text)), '\s+')) AS tok
+                          FROM documents),
+            dt AS (SELECT doc_id, tok, COUNT(*) AS c
+                   FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cnt
+                      FROM dt GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+            lp AS (SELECT tok,
+                          CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total), 6)
+                               AS DECIMAL(18,6)) AS lp
+                   FROM vocab CROSS JOIN tot),
+            s AS (SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+                         SUM(CAST(dt.c AS DECIMAL(18,0)) * lp.lp) AS s
+                  FROM dt JOIN lp USING (tok) GROUP BY 1),
+            lmout AS (
+                SELECT doc_id, n_tokens,
+                       FLOOR(CAST(s AS DOUBLE) / n_tokens * 1000000)
+                           / 1000000.0 AS avg_logprob
+                FROM s),
+            sc AS (SELECT l.doc_id, d.lang, l.n_tokens, l.avg_logprob,
+                          CAST(FLOOR(l.avg_logprob * 100) AS BIGINT) AS bin
+                   FROM lmout l JOIN documents d USING (doc_id)),
+            b AS (SELECT lang, bin, count(*) AS c FROM sc GROUP BY 1, 2),
+            cum AS (SELECT lang, bin,
+                           SUM(c) OVER (PARTITION BY lang ORDER BY bin DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+                           SUM(c) OVER (PARTITION BY lang) AS n
+                    FROM b),
+            th AS (SELECT lang,
+                          MAX(CASE WHEN cum >= FLOOR((n * 1 + 2) / 3)
+                                   THEN bin END) AS t1,
+                          MAX(CASE WHEN cum >= FLOOR((n * 2 + 2) / 3)
+                                   THEN bin END) AS t2
+                   FROM cum GROUP BY lang)
+            SELECT doc_id, lang, n_tokens, avg_logprob,
+                   CASE WHEN bin >= t1 THEN 1
+                        WHEN bin >= t2 THEN 2
+                        ELSE 3 END AS band
+            FROM sc JOIN th USING (lang)
         """,
         "lm_logprob": r"""
             WITH toks AS (SELECT doc_id,

@@ -838,3 +838,69 @@ def gopher_filters(
             & F.col("stopword_ok")
         ).alias("keep"),
     )
+
+
+def perplexity_bands(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity banding (Wenzek et al. 2020): split each
+    language's documents into ``n_bands`` fluency bands (head / middle /
+    tail for 3) by their unigram-LM score, the step CCNet uses to keep the
+    head and discard or down-sample the tail.
+
+    The quantile boundaries are computed WITHOUT a per-language global
+    sort — the pattern that survives 100 TB: scores (already
+    floor-canonicalized by ``unigram_logprob``) are binned at 2 dp, one
+    tiny (lang, bin) count aggregate is cumulated from the best bin down
+    (a window over ~hundreds of bins per language, not over documents),
+    the ``n_bands-1`` threshold bins fall out of a conditional max, and
+    every document is banded map-only against its language's broadcast
+    thresholds. Band boundaries have histogram resolution (documents
+    sharing a 0.01-wide score bin land in the same band) — the standard
+    trade of distributed quantile bucketing, deterministic cross-engine.
+
+    Output: ``(id_col, lang_col, n_tokens, avg_logprob, band)`` with
+    ``band`` in 1..n_bands (1 = most fluent). Empty documents follow
+    ``unigram_logprob``'s convention (the empty string counts as one
+    token, so they score like a rare-token singleton).
+    """
+    from pyspark.sql import Window
+
+    lm = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    scored = lm.join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    ).withColumn("__bin", F.floor(F.col("avg_logprob") * 100).cast("long"))
+    bins = scored.groupBy(lang_col, "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("__bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy(lang_col))
+    )
+    # threshold bin for band i: the LARGEST bin whose from-the-top
+    # cumulative count reaches ceil(i·n/n_bands) (integer-exact ceil)
+    th = cum.groupBy(lang_col).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("__cum")
+                    >= F.floor((F.col("__n") * i + (n_bands - 1)) / n_bands),
+                    F.col("__bin"),
+                )
+            ).alias(f"__t{i}")
+            for i in range(1, n_bands)
+        ]
+    )
+    banded = scored.join(F.broadcast(th), lang_col)
+    band = F.lit(n_bands)
+    for i in range(n_bands - 1, 0, -1):
+        band = F.when(F.col("__bin") >= F.col(f"__t{i}"), i).otherwise(band)
+    return banded.select(
+        id_col, lang_col, "n_tokens", "avg_logprob", band.alias("band")
+    )

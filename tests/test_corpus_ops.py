@@ -1142,3 +1142,30 @@ def test_ngram_containment_catches_inclusion(spark):
     assert r["containment"] == 1.0
     assert r["sz_a"] < r["sz_b"]       # the contained side is the small one
     assert not any(3 in p for p in cont)
+
+
+def test_perplexity_bands_thirds(spark):
+    """Per-language fluency bands: ~thirds at histogram resolution, band 1
+    scores >= band 3 scores within a language, empty docs absent."""
+    import random
+
+    rnd = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randint(5, 30))), "en")
+        for i in range(60)
+    ] + [(100, "", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text.perplexity_bands(df).collect()
+    # empty doc follows unigram_logprob's convention: one '' token
+    empty = [r for r in out if r["doc_id"] == 100]
+    assert len(empty) == 1 and empty[0]["n_tokens"] == 1
+    by_band = {}
+    for r in out:
+        if r["doc_id"] == 100:
+            continue
+        by_band.setdefault(r["band"], []).append(r["avg_logprob"])
+    assert set(by_band) == {1, 2, 3}
+    assert min(by_band[1]) >= max(by_band[3])
+    # thirds within histogram-bin resolution
+    assert 10 <= len(by_band[1]) <= 30
