@@ -1169,3 +1169,57 @@ def test_perplexity_bands_thirds(spark):
     assert min(by_band[1]) >= max(by_band[3])
     # thirds within histogram-bin resolution
     assert 10 <= len(by_band[1]) <= 30
+
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from("a b c d e f".split()), min_size=2, max_size=10
+            ),
+            min_size=3,
+            max_size=8,
+        ),
+        threshold=st.sampled_from([0.5, 0.8, 1.0]),
+    )
+    def test_containment_matches_python_truth(spark, docs, threshold):
+        """Property pin for containment: on random tiny corpora (cap
+        disabled), ngram_containment_pairs must equal the exact Python
+        C = |A∩B| / min(|A|,|B|) over distinct-shingle sets."""
+        import math
+
+        from streamjoin_spark.operators.dedup import ngram_containment_pairs
+
+        n = 2
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        sets = {
+            i: {" ".join(toks[j: j + n]) for j in range(len(toks) - n + 1)}
+            for i, toks in enumerate(docs)
+            if len(toks) >= n
+        }
+        want = {}
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                c = inter / min(len(sets[a]), len(sets[b]))
+                c = math.floor(c * 1e6) / 1e6
+                if c >= threshold:
+                    want[(a, b)] = c
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in ngram_containment_pairs(
+                df, n=n, threshold=threshold, max_shingle_df=None
+            ).collect()
+        }
+        assert got == want

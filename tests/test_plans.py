@@ -220,6 +220,15 @@ def test_ivf_pq_probes_broadcast_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_perplexity_bands_thresholds_broadcast(spark, sf_dir):
+    """The per-language threshold frame (k-langs rows) must broadcast for
+    the map-only banding join, and the vocab log-prob frame must broadcast
+    back for scoring — no corpus re-shuffle, no Python anywhere."""
+    p = plan_of(entry.q_perplexity_bands(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
     """The Bloom membership checks must be broadcast semi-joins on the
     probe side — the probe is never shuffled for the prune."""
