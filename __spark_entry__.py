@@ -233,6 +233,33 @@ def q_union(spark, sf_dir):
     )
 
 
+def q_set_ops(spark, sf_dir):
+    """Relational set operations beyond UNION: customers holding an urgent
+    order INTERSECT building-segment customers, and EXCEPT them — tagged
+    and unioned into one frame. Both compile to Spark aggregate/anti-join
+    plans (no sort-based distinct), both sides semantically DISTINCT."""
+    _prep(spark)
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    building = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    both = urgent.intersect(building).select(
+        "c_custkey", F.lit("both").alias("tag")
+    )
+    only_urgent = urgent.exceptAll(building).select(
+        "c_custkey", F.lit("urgent_only").alias("tag")
+    )
+    return both.unionByName(only_urgent)
+
+
 def q_agg_sum_count(spark, sf_dir):
     """A1: additive grouped aggregation (sum/count)."""
     _prep(spark)
@@ -2689,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_transform": q_select_transform,
         "drop_column": q_drop_column,
         "union_all": q_union,
+        "set_ops": q_set_ops,
         "agg_sum_count": q_agg_sum_count,
         "agg_avg_min_max": q_agg_avg_min_max,
         "join_then_agg": q_join_then_agg,
@@ -3902,6 +3930,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 1000
             UNION ALL
             SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000
+        """,
+        "set_ops": """
+            WITH u AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+            b AS (SELECT DISTINCT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+            SELECT c_custkey, 'both' AS tag
+            FROM (SELECT c_custkey FROM u INTERSECT SELECT c_custkey FROM b)
+            UNION ALL
+            SELECT c_custkey, 'urgent_only' AS tag
+            FROM (SELECT c_custkey FROM u EXCEPT SELECT c_custkey FROM b)
         """,
         "agg_sum_count": """
             SELECT l_returnflag, l_linestatus,

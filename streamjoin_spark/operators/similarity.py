@@ -296,6 +296,11 @@ def ivf_pq_topk(
         .select(_as_double(F.col(vec_col)).alias("__v"))
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "ivf_pq_topk: no codebook sample rows — no corpus id is a "
+            f"multiple of code_step={code_step}; lower code_step"
+        )
     # books[mi][kk] = the kk-th codeword of subspace mi (list of dsub floats)
     books = [
         [list(row["__v"][mi * dsub : (mi + 1) * dsub]) for row in sample]
