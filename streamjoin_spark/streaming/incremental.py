@@ -948,6 +948,26 @@ def _build_pipeline(
                 generated_columns=generated_columns if final else None,
             )
             stages.append(_AggStage(op, target, _Progress(target_path, 1), governor))
+        elif isinstance(op, Stream):
+            # maintained projection: the simplest IVM case — a single
+            # source's (transformed) rows materialized as a keyed table.
+            # _UnionLegStage already implements exactly this contract
+            # (Δ keys → scoped pinned snapshot → replace_keys), used here
+            # with one leg and no siblings.
+            bind_input(op, f"{target_path}__stages/src")
+            if not op.primary_keys:
+                raise ValueError(
+                    "a maintained view needs primaryKeys() on the source"
+                )
+            schema = op.static().schema
+            target = ChangeTable.create(
+                spark, target_path, schema, list(op.primary_keys),
+                partition_by=parts,
+                generated_columns=generated_columns if final else None,
+            )
+            stages.append(
+                _UnionLegStage(op, target, _Progress(target_path, 1), governor)
+            )
         else:
             raise TypeError(f"cannot run {type(op).__name__} incrementally")
 
@@ -991,6 +1011,8 @@ class _WriterBase:
     # -- core ----------------------------------------------------------
     def _spark(self) -> SparkSession:
         op = self.operator
+        if isinstance(op, Stream):        # maintained-view writer
+            return op.spark
         left = getattr(op, "left", None) or getattr(op, "source")
         return left.spark
 
@@ -1154,3 +1176,10 @@ class IncrementalJoinWriter(_WriterBase):
 
 class IncrementalAggWriter(_WriterBase):
     pass
+
+
+class IncrementalViewWriter(IncrementalJoinWriter):
+    """Writer for a maintained projection (``Stream.writeToPath``): one
+    source, its row-local transforms applied, materialized as a keyed
+    ChangeTable kept converged under CDC — the classic materialized view,
+    expressed as a single-leg ``_UnionLegStage``."""

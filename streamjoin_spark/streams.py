@@ -381,6 +381,44 @@ class Stream:
 
         return GroupBy(self, cols)
 
+    def writeToPath(
+        self,
+        path: str,
+        partition_by: "Sequence[str]" = (),
+        generated_columns: dict[str, str] | None = None,
+    ):
+        """Maintained projection — materialize this stream's (transformed)
+        rows as a keyed ChangeTable kept converged under CDC: the classic
+        incremental materialized view, and the missing rung below
+        join/groupBy pipelines (a ``.to()``-enriched table with no second
+        input). Requires ``primaryKeys()``; row-local transforms only (the
+        source-transform contract). Returns the ordinary incremental
+        writer (``.run()`` / ``.start()`` / ``.toDF()``)."""
+        from .streaming.incremental import IncrementalViewWriter
+
+        return IncrementalViewWriter(
+            self, path, partition_by=tuple(partition_by),
+            generated_columns=generated_columns,
+        )
+
+    def writeToTable(
+        self,
+        table_name: str,
+        partition_by: "Sequence[str]" = (),
+        generated_columns: dict[str, str] | None = None,
+    ):
+        """Name-addressed ``writeToPath`` (resolves through the session
+        registry, registers the result for ``Stream.fromTable``)."""
+        from .changelog import register_table, resolve_table_path
+        from .streaming.incremental import IncrementalViewWriter
+
+        path = resolve_table_path(self.spark, table_name)
+        register_table(table_name, path)
+        return IncrementalViewWriter(
+            self, path, partition_by=tuple(partition_by),
+            generated_columns=generated_columns,
+        )
+
     def __repr__(self) -> str:
         return f"Stream({self.name!r}, pk={self._primary_keys}, seq={self._sequence_by})"
 

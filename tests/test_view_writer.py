@@ -1,0 +1,101 @@
+"""Maintained projections (Stream.writeToPath without join/groupBy): the
+simplest IVM case — a row-locally transformed, keyed materialized view kept
+converged under CDC by a single-leg _UnionLegStage."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamjoin_spark.changelog import ChangeTable
+from streamjoin_spark.streams import Stream
+
+from .test_incremental import assert_same
+
+DOC = "doc_id long, text string"
+
+
+def enrich(df):
+    from streamjoin_spark.functions import normalize_text, token_count
+
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+
+
+@pytest.fixture()
+def docs_ct(spark, tmp_path):
+    return ChangeTable.create(
+        spark, str(tmp_path / "docs"),
+        spark.createDataFrame([], DOC).schema, ["doc_id"],
+    )
+
+
+def rows(spark, data):
+    return spark.createDataFrame(data, DOC)
+
+
+def test_maintained_view_converges(spark, tmp_path, docs_ct):
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_view_src")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view"))
+    )
+    docs_ct.merge(rows(spark, [(1, "a b c"), (2, "hello world")]))
+    w.run()
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+
+    # update rewrites the derived row; delete removes it; insert adds
+    docs_ct.merge(rows(spark, [(1, "a b c d e"), (3, "fresh")]))
+    docs_ct.delete_where("doc_id = 2")
+    w.run()
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+    got = {r["doc_id"]: r["n_tokens"] for r in w.toDF().collect()}
+    assert got == {1: 5, 3: 1}
+
+    # restart on the same path: watermark persisted → no replay, and the
+    # view is still converged
+    w2 = (
+        Stream.fromChangeTable(docs_ct, "docs_view_src2")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view"))
+    )
+    assert w2.run() == 0
+    assert_same(w2.toDF(), enrich(docs_ct.snapshot()))
+
+
+def test_view_requires_primary_keys(spark, tmp_path, docs_ct):
+    w = Stream.fromChangeTable(docs_ct, "nopk").to(enrich).writeToPath(
+        str(tmp_path / "v2")
+    )
+    with pytest.raises(ValueError, match="primaryKeys"):
+        w.run()
+
+
+def test_view_feeds_downstream_stream(spark, tmp_path, docs_ct):
+    """The maintained view is a first-class ChangeTable: a downstream
+    consumer can read its change feed and chain further pipelines."""
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_view_src3")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view3"))
+    )
+    docs_ct.merge(rows(spark, [(1, "x y"), (2, "x y"), (3, "z")]))
+    w.run()
+    agg = (
+        w.toStream()
+        .primaryKeys("doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "agg3"))
+    )
+    agg.run()
+    assert_same(
+        agg.toDF(),
+        enrich(docs_ct.snapshot()).groupBy("fp").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
