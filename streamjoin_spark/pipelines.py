@@ -44,6 +44,8 @@ __all__ = [
     "incremental_corpus_stats",
     "incremental_term_stats",
     "term_stat_rows",
+    "sampled_centroids",
+    "incremental_ivf_lists",
 ]
 
 
@@ -321,6 +323,91 @@ def incremental_term_stats(
             F.sum("tf").alias("cf"),
         )
         .writeToPath(path)
+    )
+
+
+def sampled_centroids(
+    vecs: DataFrame,
+    step: int = 250,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid sample for an IVF index (rows with
+    ``id % step == 0`` — the same law as ``similarity.ivf_topk``), collected
+    to the driver: K = corpus/step rows, the bounded "train on a sample"
+    collect every ANN index build performs. Returns ``[(cent_id, vector)]``
+    sorted by id."""
+    rows = (
+        vecs.where(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .orderBy("__id")
+        .collect()
+    )
+    return [(int(r["__id"]), list(r["__v"])) for r in rows]
+
+
+def incremental_ivf_lists(
+    vecs: ChangeTable,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuously maintained IVF inverted lists — streaming ANN index
+    maintenance: every vector's nearest-centroid assignment (the index-build
+    pass of ``similarity.ivf_topk``) kept converged under CDC, so inserts
+    index themselves, re-embedded vectors MOVE between lists and deletes
+    leave no tombstones. Queries probe the maintained table exactly like
+    the batch IVF tier's inverted lists.
+
+    The assignment transform is row-local map-only work against the fixed
+    ``centroids`` (broadcast into the plan as two array literals — K·dim
+    floats, the FAISS coarse-quantizer broadcast; each cosine fold is
+    written once, ``array_position`` of the max picks the first/lowest
+    centroid on ties). The target partitions by ``cent_id``, co-locating
+    each inverted list — at 100 TB a probe reads only its ``nprobe``
+    partitions. Re-train centroids by building a fresh index table; a
+    drifting coarse quantizer is a rebuild, not an update, exactly as in
+    FAISS.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    from .streams import METADATA_COLUMNS
+
+    cent_ids = F.lit([int(c) for c, _ in centroids])
+    cent_vecs = F.lit([[float(x) for x in v] for _, v in centroids])
+
+    def assign(df: DataFrame) -> DataFrame:
+        meta = [c for c in METADATA_COLUMNS if c in df.columns]
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+        def cos(cw: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(v, cw, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            nrm = F.sqrt(F.aggregate(cw, F.lit(0.0), lambda a, x: a + x * x))
+            return dot / (vn * nrm)
+
+        sims = F.transform(cent_vecs, cos)
+        pos = F.array_position(sims, F.array_max(sims)).cast("int")
+        return df.select(
+            F.col(id_col),
+            F.element_at(cent_ids, pos).alias("cent_id"),
+            F.col(vec_col),
+            *meta,
+        )
+
+    return (
+        Stream.fromChangeTable(vecs, f"{vecs.name}_ivf")
+        .primaryKeys(id_col)
+        .to(assign)
+        .writeToPath(path, partition_by=("cent_id",))
     )
 
 

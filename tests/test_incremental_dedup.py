@@ -270,3 +270,68 @@ def test_incremental_term_stats_maintained(spark, tmp_path):
     got = {r["token"]: (r["df_docs"], r["cf"]) for r in w.toDF().collect()}
     assert "joins" not in got and "of" not in got
     assert got["spark"] == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# IVF inverted lists (streaming ANN index maintenance)
+# ---------------------------------------------------------------------------
+def test_incremental_ivf_lists_maintained(spark, tmp_path):
+    """incremental_ivf_lists keeps every vector's nearest-centroid
+    assignment converged under CDC: inserts index themselves, a re-embedded
+    vector MOVES between lists, deletes vanish."""
+    import random
+
+    from streamjoin_spark.pipelines import (
+        incremental_ivf_lists,
+        sampled_centroids,
+    )
+
+    rnd = random.Random(5)
+    VEC = "vec_id long, embedding array<float>"
+    dim = 8
+
+    def vrows(data):
+        return spark.createDataFrame(data, VEC)
+
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame([], VEC).schema, ["vec_id"],
+    )
+    base = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    ct.merge(vrows(base))
+    cents = sampled_centroids(ct.snapshot(), step=10)
+    assert [c for c, _ in cents] == [0, 10, 20]
+
+    w = incremental_ivf_lists(ct, str(tmp_path / "ivf"), cents)
+    w.run()
+
+    def batch_assign():
+        # independent python reference for the nearest-centroid assignment
+        import math
+
+        out = []
+        snap = {r["vec_id"]: list(r["embedding"])
+                for r in ct.snapshot().collect()}
+        for vid, v in snap.items():
+            v = [float(x) for x in v]
+            vn = math.sqrt(sum(x * x for x in v))
+            best, best_s = None, None
+            for cid, cw in cents:
+                nrm = math.sqrt(sum(x * x for x in cw))
+                s = sum(x * y for x, y in zip(v, cw)) / (vn * nrm)
+                if best_s is None or s > best_s:
+                    best, best_s = cid, s
+            out.append((vid, best))
+        return dict(out)
+
+    got = {r["vec_id"]: r["cent_id"] for r in w.toDF().collect()}
+    assert got == batch_assign()
+
+    # move vector 7 onto centroid 20's exact embedding; delete 3; insert 99
+    target = dict(cents)[20]
+    ct.merge(vrows([(7, target), (99, [0.5] * dim)]))
+    ct.delete_where("vec_id = 3")
+    w.run()
+    got = {r["vec_id"]: r["cent_id"] for r in w.toDF().collect()}
+    assert got == batch_assign()
+    assert got[7] == 20 and 3 not in got and 99 in got
