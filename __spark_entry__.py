@@ -1854,6 +1854,16 @@ def q_perplexity_bands(spark, sf_dir):
     return perplexity_bands(_t(spark, sf_dir, "documents"))
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD outlier flags per event_type — histogram-threshold
+    medians, no per-group sort (operators/profiling.py robust_outliers)."""
+    _prep(spark)
+    from streamjoin_spark.operators.profiling import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return robust_outliers(ev, ["event_type"], "value", k=5.0)
+
+
 def q_lm_logprob(spark, sf_dir):
     """Unigram-LM fluency scores (operators/text.py unigram_logprob) — the
     cheap tier of CCNet-style perplexity filtering, self-trained on the
@@ -2788,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_logprob": q_lm_logprob,
         "perplexity_bands": q_perplexity_bands,
+        "robust_outliers": q_robust_outliers,
         "profile_orders": q_profile_orders,
         "histogram_totalprice": q_histogram_totalprice,
         "zorder_key": q_zorder_key,
@@ -4875,6 +4886,41 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT ev.eval_id) AS n_eval_docs
             FROM tr JOIN ev USING (shingle)
             GROUP BY tr.doc_id
+        """,
+        "robust_outliers": """
+            WITH b AS (
+                SELECT event_id, event_type, value,
+                       CAST(FLOOR(value * 100.0) AS BIGINT) AS bin
+                FROM events WHERE value IS NOT NULL),
+            h AS (SELECT event_type, bin, count(*) AS c
+                  FROM b GROUP BY 1, 2),
+            cum AS (SELECT event_type, bin,
+                           SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+                           SUM(c) OVER (PARTITION BY event_type) AS n
+                    FROM h),
+            med AS (SELECT event_type,
+                           MIN(CASE WHEN cum >= FLOOR((n + 1) / 2)
+                                    THEN bin END) AS med
+                    FROM cum GROUP BY 1),
+            dev AS (SELECT h.event_type, med, abs(bin - med) AS d,
+                           SUM(c) AS c
+                    FROM h JOIN med USING (event_type) GROUP BY 1, 2, 3),
+            dcum AS (SELECT event_type, med, d,
+                            SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                            SUM(c) OVER (PARTITION BY event_type) AS n
+                     FROM dev),
+            mad AS (SELECT event_type, med,
+                           MIN(CASE WHEN cum >= FLOOR((n + 1) / 2)
+                                    THEN d END) AS mad
+                    FROM dcum GROUP BY 1, 2)
+            SELECT b.event_id, b.event_type, b.value,
+                   med / 100.0 AS med, mad / 100.0 AS mad,
+                   abs(bin - med) > 5.0 * mad AS is_outlier
+            FROM b JOIN mad USING (event_type)
         """,
         "perplexity_bands": r"""
             WITH toks AS (SELECT doc_id,

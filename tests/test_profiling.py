@@ -107,3 +107,27 @@ def test_hilbert_key_matches_reference_grid(spark):
         assert got[(x, y)] == xy2d_ref(n, x, y), (x, y)
     # bijection over the grid
     assert sorted(got.values()) == list(range(n * n))
+
+
+def test_robust_outliers_median_mad(spark):
+    """Median/MAD flags survive what drags a z-score: one huge outlier
+    shifts the mean but not the median, so it is the ONLY flagged row;
+    median and MAD report at bin resolution."""
+    from streamjoin_spark.operators.profiling import robust_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(
+        [10.0, 10.5, 11.0, 11.5, 12.0, 12.5, 13.0, 1000.0]
+    )] + [(100, "h", 5.0), (101, "h", 5.1), (102, "h", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    out = {r["id"]: r for r in robust_outliers(
+        df, ["grp"], "value", k=5.0).collect()}
+
+    assert out[7]["is_outlier"] is True            # the 1000.0 spike
+    assert all(out[i]["is_outlier"] is False for i in range(7))
+    assert out[0]["med"] == 11.5                   # median of 8 = 4th bin
+    assert out[0]["mad"] == 1.0                    # |devs| median at bins
+    assert 102 not in out                          # NULLs dropped
+    # two-point group: med = lower value, mad = 0 -> only exact-median rows
+    # escape flagging; 5.1 sits 10 bins away with mad 0 -> flagged
+    assert out[100]["is_outlier"] is False
+    assert out[101]["is_outlier"] is True
