@@ -589,6 +589,25 @@ def q_mixture_temperature(spark, sf_dir):
     return mixture_temperature(_t(spark, sf_dir, "documents"), group_col="lang")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the LSH tier vs the exact tier per query — the ANN
+    tuning harness (operators/similarity.py ann_recall)."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return ann_recall(
+        cosine_topk(emb, q, k=5),
+        lsh_bucket_topk(emb, q, k=5, n_planes=4, dim=64),
+        k=5,
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile: tokens, ratios, quality, fingerprint,
     language guess."""
@@ -2745,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "ann_ivf_pq": q_ann_ivf_pq,
         "quality_classifier": q_quality_classifier,
         "gopher_filters": q_gopher_filters,
@@ -3536,6 +3556,40 @@ def _corpus_oracles() -> dict[str, str]:
                    FLOOR(w6 / (SELECT CAST(sum(w6) AS BIGINT) FROM w)
                          * 1e6) / 1e6 AS p_temp
             FROM w
+        """,
+        "ann_recall": f"""
+            WITH {_VEC_CTE},
+            bk AS (SELECT vec_id, e, nrm, {_bucket_sql(4, 64)} AS bucket
+                   FROM n),
+            qs AS (SELECT * FROM n WHERE vec_id < 10),
+            ex AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_COS.format(a="q", b="c")} DESC,
+                                        c.vec_id) AS rn
+                    FROM qs q JOIN n c ON c.vec_id <> q.vec_id)
+                WHERE rn <= 5),
+            ap AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_COS.format(a="q", b="c")} DESC,
+                                        c.vec_id) AS rn
+                    FROM bk q JOIN bk c
+                      ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+                    WHERE q.vec_id < 10)
+                WHERE rn <= 5),
+            hits AS (SELECT e.query_id, count(*) AS n_hits
+                     FROM ex e JOIN ap USING (query_id, neighbor_id)
+                     GROUP BY 1),
+            base AS (SELECT DISTINCT query_id FROM ex)
+            SELECT base.query_id,
+                   CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                   FLOOR(COALESCE(n_hits, 0) / 5.0 * 1e6) / 1e6 AS recall
+            FROM base LEFT JOIN hits USING (query_id)
         """,
         "ann_ivf_pq": f"""
             WITH {_VEC_CTE},

@@ -412,3 +412,41 @@ def embedding_neardup_pairs(
         .select("doc_a", "doc_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate ANN tier against the exact tier — the
+    evaluation harness that turns "tune n_planes / nprobe" from guesswork
+    into a measured trade. Both inputs are top-k frames in the shared
+    output schema (``query_id, neighbor_id, …``); recall per query =
+    |approx ∩ exact| / k, using the EXACT tier's k as the denominator so a
+    bucket with fewer than k candidates is penalized, not excused.
+
+    Scale: both inputs are already k-bounded per query, so everything here
+    is k·|Q|-sized — one equi-join on (query_id, neighbor_id), one count
+    per query. Output: ``(query_id, n_hits, recall)`` (recall
+    FLOOR-canonicalized; division-derived).
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = e.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)) * 1e6
+                )
+                / 1e6
+            ).alias("recall"),
+        )
+    )

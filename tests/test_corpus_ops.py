@@ -1223,3 +1223,21 @@ if _HAVE_HYP:
             ).collect()
         }
         assert got == want
+
+
+def test_ann_recall_math(spark):
+    """Recall = |approx ∩ exact| / k with the exact tier's k as the
+    denominator; queries the approx tier missed entirely score 0."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in
+           similarity.ann_recall(exact, approx, k=2).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["recall"] == 0.5
+    assert out[2]["n_hits"] == 2 and out[2]["recall"] == 1.0
+    assert out[3]["n_hits"] == 0 and out[3]["recall"] == 0.0
