@@ -99,3 +99,38 @@ def test_view_feeds_downstream_stream(spark, tmp_path, docs_ct):
             F.count(F.lit(1)).alias("n")
         ),
     )
+
+
+def test_maintained_view_streaming_mode(spark, tmp_path, docs_ct):
+    """The view writer under start(): a real writeStream trigger drains
+    the backlog through the single-leg stage; a second start() resumes
+    from the persisted watermark and catches the new churn."""
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_view_stream")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "sview"))
+    )
+    docs_ct.merge(rows(spark, [(1, "a b"), (2, "c d e")]))
+    docs_ct.merge(rows(spark, [(3, "f")]))
+    w.trigger(availableNow=True).queryName("view_stream").start()
+    try:
+        w.awaitTermination(120)
+    finally:
+        w.stop()
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+
+    docs_ct.merge(rows(spark, [(1, "a b c d")]))
+    docs_ct.delete_where("doc_id = 2")
+    w2 = (
+        Stream.fromChangeTable(docs_ct, "docs_view_stream2")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "sview"))
+    )
+    w2.trigger(availableNow=True).start()
+    try:
+        w2.awaitTermination(120)
+    finally:
+        w2.stop()
+    assert_same(w2.toDF(), enrich(docs_ct.snapshot()))
