@@ -229,6 +229,15 @@ def test_perplexity_bands_thresholds_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_robust_outliers_stats_broadcast(spark, sf_dir):
+    """The per-group (median, MAD) table is k-groups-sized and must
+    broadcast back for map-only flagging; the cumulative windows must be
+    partitioned (they run over the bin histogram, never a global sort)."""
+    p = plan_of(entry.q_robust_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
     """The Bloom membership checks must be broadcast semi-joins on the
     probe side — the probe is never shuffled for the prune."""
