@@ -217,3 +217,30 @@ def test_quarantine_replay_idempotent_with_qid(spark, tmp_path):
     ing.run()
     assert qt.snapshot().count() == 3          # merge absorbed the replay
     assert ct.snapshot().count() == 1          # bronze merge likewise
+
+
+def test_ingest_parquet_files(spark, tmp_path):
+    """fmt='parquet': binary-columnar landing files merge like JSON — the
+    format knob is a pure reader swap, discovery/state/merge unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "landing_pq"
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": [1, 2], "name": ["a", "b"], "seq": [1, 1]}),
+        str(src / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": [2, 3], "name": ["b2", "c"], "seq": [2, 2]}),
+        str(src / "f2.parquet"),
+    )
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "bronze_pq"),
+        spark.createDataFrame([], SCHEMA).schema, ["id"], sequence_by=["seq"],
+    )
+    ing = FileIngest(spark, f"{src}/*.parquet", ct, fmt="parquet", mode="merge")
+    assert ing.run() > 0
+    got = {r["id"]: r["name"] for r in ct.snapshot().collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}     # seq-ordered upsert wins
+    assert ing.run_once() == 0                  # nothing new -> no commit
