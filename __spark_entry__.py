@@ -790,6 +790,18 @@ def q_events_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_hopping_rollup(spark, sf_dir):
+    """Hopping-window rollup (1h windows every 15min): each event in 4
+    overlapping windows, epoch-second starts
+    (operators/temporal.py hopping_rollup)."""
+    _prep(spark)
+    from streamjoin_spark.operators.temporal import hopping_rollup
+
+    return hopping_rollup(
+        _t(spark, sf_dir, "events"), size_s=3600, slide_s=900
+    )
+
+
 def q_agg_count_distinct(spark, sf_dir):
     """Non-additive aggregate (count distinct) — served by the dirty-group
     recomputation path incrementally."""
@@ -2778,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "frame_sample": q_frame_sample,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "hopping_rollup": q_hopping_rollup,
         "agg_count_distinct": q_agg_count_distinct,
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
@@ -4097,6 +4110,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
                         AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_rollup": """
+            SELECT ws AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                        AS DOUBLE) AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900
+                           - k * 900 AS ws,
+                       epoch(ts) AS ep
+                FROM events CROSS JOIN range(0, 4) t(k))
+            WHERE ws + 3600 > ep
+            GROUP BY 1, 2
         """,
         "agg_count_distinct": """
             SELECT l_returnflag,

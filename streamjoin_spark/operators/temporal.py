@@ -323,3 +323,60 @@ def ewma(
         value_col,
         (F.floor(wsum / norm * F.lit(1e6)) / F.lit(1e6)).alias("ewma"),
     )
+
+
+def hopping_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: "Sequence[str]" = ("event_type",),
+    value_col: str = "value",
+    size_s: int = 3600,
+    slide_s: int = 900,
+) -> DataFrame:
+    """Hopping (sliding) window rollup — the overlapping-window companion
+    to the tumbling rollup: each event lands in every ``size_s``-second
+    window whose epoch-aligned start lies within ``size_s`` of it, windows
+    starting every ``slide_s`` seconds (Spark's ``F.window(size, slide)``
+    semantics, materialized explicitly so the fan-out and the oracle are
+    exact).
+
+    Emits ``window_start`` as epoch SECONDS (BIGINT) — integer window
+    arithmetic is bit-exact cross-engine, where timestamp-typed window
+    bounds invite tz-semantics drift. Fan-out per row is
+    ``ceil(size/slide)`` (here 4), filtered so partial trailing windows
+    drop nothing: a window qualifies iff ``start + size > ts``.
+
+    Scale posture (100 TB): the explode is map-only off the scan with a
+    constant fan-out; the single shuffle is the (window, group) aggregate,
+    map-side combined. Sums follow the float invariant (per-row-rounded
+    DECIMAL). ANSI note: ``sequence(0, n-1)`` has constant positive
+    bounds — no guard needed.
+    """
+    if size_s <= 0 or slide_s <= 0 or size_s < slide_s:
+        raise ValueError("need size_s >= slide_s > 0")
+    import math
+
+    nwin = math.ceil(size_s / slide_s)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    base = (F.floor(epoch / slide_s) * slide_s).cast("long")
+    starts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwin - 1)),
+            lambda k: base - k.cast("long") * slide_s,
+        ),
+        lambda s: s + size_s > epoch,
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.col(value_col),
+            F.explode(starts).alias("window_start"),
+        )
+        .groupBy("window_start", *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

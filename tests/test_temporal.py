@@ -199,3 +199,42 @@ def test_ewma_known_sequence(spark):
     assert out[(1, 2)] == 16.666666          # 12.5 / 0.75, floored 6 dp
     assert out[(1, 3)] == 24.285714          # 21.25 / 0.875
     assert out[(2, 1)] == 7.0                # keys never mix
+
+
+def test_hopping_rollup_fanout_and_edges(spark):
+    """Each event lands in exactly ceil(size/slide) windows (trailing
+    partial windows included), counts per window match a python reference,
+    and window starts are epoch-aligned to the slide."""
+    from streamjoin_spark.operators.temporal import hopping_rollup
+
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "a", 1.0, base),
+        (2, "a", 2.0, base + dt.timedelta(seconds=899)),   # same slide slot
+        (3, "a", 4.0, base + dt.timedelta(seconds=900)),   # next slot
+        (4, "b", 8.0, base + dt.timedelta(seconds=3600)),  # one hour on
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+    out = hopping_rollup(df, size_s=3600, slide_s=900)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+
+    # python reference
+    want = {}
+    for _, et, v, ts in rows:
+        ep = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        b = ep // 900 * 900
+        for k in range(4):
+            ws = b - k * 900
+            if ws + 3600 > ep:
+                key = (ws, et)
+                n, s = want.get(key, (0, 0.0))
+                want[key] = (n + 1, s + v)
+    assert got == want
+    assert all(ws % 900 == 0 for ws, _ in got)
+    # every event appears in exactly 4 windows
+    assert sum(n for n, _ in got.values()) == 4 * len(rows)
