@@ -46,6 +46,8 @@ __all__ = [
     "term_stat_rows",
     "sampled_centroids",
     "incremental_ivf_lists",
+    "passage_rows",
+    "incremental_passage_dedup",
 ]
 
 
@@ -408,6 +410,82 @@ def incremental_ivf_lists(
         .primaryKeys(id_col)
         .to(assign)
         .writeToPath(path, partition_by=("cent_id",))
+    )
+
+
+def passage_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 20,
+) -> DataFrame:
+    """Row-local passage split: one output row per consecutive
+    non-overlapping ``passage_tokens`` window of each input row —
+    ``(id, pos, passage_md5)`` (+ change-feed metadata when present). The
+    same split law as ``text.passage_dedup``; row-local (each image
+    shingles independently), ANSI-guarded for empty token lists."""
+    from .functions import tokens
+    from .streams import METADATA_COLUMNS
+
+    P = passage_tokens
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    npass = F.ceil(F.size(toks).cast("double") / F.lit(float(P))).cast("int")
+    idx = F.when(npass > 0, F.sequence(F.lit(1), npass)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pass_arr = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, (i - 1) * P + 1, P)))
+    )
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    return df.select(
+        F.col(id_col), F.posexplode(pass_arr).alias("__pos0", "passage_md5"),
+        *meta,
+    ).select(
+        id_col, (F.col("__pos0") + 1).cast("int").alias("pos"), "passage_md5",
+        *meta,
+    )
+
+
+def incremental_passage_dedup(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 20,
+):
+    """Continuously maintained passage-granular dedup state (the
+    incremental companion of ``text.passage_dedup``): per distinct passage
+    hash, the FIRST global occurrence (min ``(doc, pos)`` — the C4-style
+    survivor) and the copy count, kept converged under CDC. A document
+    rewrite retracts its old passages (freeing survivorship for later
+    copies) and registers its new ones; deletes re-elect the keeper where
+    the first occurrence vanishes. Read-time doc reassembly = join a
+    snapshot's passages against this table and keep rows whose
+    ``(keep_doc, keep_pos)`` is their own.
+
+    Row-local fan-out (compound PKs ``(id, pos)``), non-additive min →
+    dirty-group recompute (the path that fixes the reference's
+    max-retraction bug). One (passage-hash) shuffle per slice, groups are
+    duplicate-set-sized.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    def t(df: DataFrame) -> DataFrame:
+        return passage_rows(df, text_col, id_col, passage_tokens)
+
+    return (
+        Stream.fromChangeTable(docs, f"{docs.name}_passages")
+        .primaryKeys(id_col, "pos")
+        .to(t)
+        .groupBy("passage_md5")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos")))[id_col]
+            .alias("keep_doc"),
+            F.min(F.struct(F.col(id_col), F.col("pos")))["pos"]
+            .alias("keep_pos"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .writeToPath(path)
     )
 
 

@@ -335,3 +335,60 @@ def test_incremental_ivf_lists_maintained(spark, tmp_path):
     got = {r["vec_id"]: r["cent_id"] for r in w.toDF().collect()}
     assert got == batch_assign()
     assert got[7] == 20 and 3 not in got and 99 in got
+
+
+# ---------------------------------------------------------------------------
+# passage-granular dedup state
+# ---------------------------------------------------------------------------
+def test_incremental_passage_dedup_maintained(spark, tmp_path, docs_ct):
+    """incremental_passage_dedup keeps first-global-occurrence passage
+    survivorship converged under CDC: a rewrite retracts old passages,
+    deleting the keeper re-elects the next copy."""
+    from streamjoin_spark.pipelines import (
+        incremental_passage_dedup,
+        passage_rows,
+    )
+
+    P = 3
+    w = incremental_passage_dedup(
+        docs_ct, str(tmp_path / "pass"), passage_tokens=P
+    )
+
+    def twin():
+        return (
+            passage_rows(docs_ct.snapshot(), passage_tokens=P)
+            .groupBy("passage_md5")
+            .agg(
+                F.min(F.struct(F.col("doc_id"), F.col("pos")))["doc_id"]
+                .alias("keep_doc"),
+                F.min(F.struct(F.col("doc_id"), F.col("pos")))["pos"]
+                .alias("keep_pos"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        )
+
+    boiler = "subscribe to our list"          # shared 3-token-ish tail
+    docs_ct.merge(d_rows(spark, [
+        (1, f"alpha beta gamma {boiler}"),
+        (2, f"delta epsilon zeta {boiler}"),   # repeats doc 1's tail window
+        (3, "unique words only here"),
+    ]))
+    w.run()
+    assert_same(w.toDF(), twin())
+    # the shared passage survives at its first occurrence (doc 1)
+    shared = [r for r in w.toDF().collect() if r["n_copies"] > 1]
+    assert shared and all(r["keep_doc"] == 1 for r in shared)
+
+    # delete the keeper: survivorship re-elects doc 2's copy
+    docs_ct.delete_where("doc_id = 1")
+    w.run()
+    assert_same(w.toDF(), twin())
+    shared_after = {r["passage_md5"]: r for r in w.toDF().collect()}
+    for r in shared:
+        nxt = shared_after.get(r["passage_md5"])
+        assert nxt is not None and nxt["keep_doc"] == 2
+
+    # rewrite doc 2 away from the shared tail: passage count shrinks
+    docs_ct.merge(d_rows(spark, [(2, "completely different body now")]))
+    w.run()
+    assert_same(w.toDF(), twin())
