@@ -131,3 +131,61 @@ def test_robust_outliers_median_mad(spark):
     # escape flagging; 5.1 sits 10 bins away with mad 0 -> flagged
     assert out[100]["is_outlier"] is False
     assert out[101]["is_outlier"] is True
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-50, max_value=50, allow_nan=False,
+                      width=32),
+            min_size=3,
+            max_size=20,
+        ),
+        k=st.sampled_from([1.0, 3.0]),
+    )
+    def test_robust_outliers_matches_python_truth(spark, vals, k):
+        """Property pin for the histogram-median math: robust_outliers
+        must equal a python reference computing bin-resolution median,
+        MAD, and flags on arbitrary value lists."""
+        import math
+
+        from streamjoin_spark.operators.profiling import robust_outliers
+
+        rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, grp string, value double")
+        got = {r["id"]: (r["med"], r["mad"], r["is_outlier"])
+               for r in robust_outliers(df, ["grp"], "value", k=k).collect()}
+
+        bins = sorted(math.floor(float(v) * 100) for v in vals)
+        n = len(bins)
+
+        def hist_median(sorted_bins):
+            target = (len(sorted_bins) + 1) // 2
+            # smallest bin whose ascending cumulative reaches ceil(n/2)
+            seen = 0
+            for b in sorted(set(sorted_bins)):
+                seen += sorted_bins.count(b)
+                if seen >= target:
+                    return b
+            raise AssertionError
+
+        med = hist_median(bins)
+        mad = hist_median(sorted(abs(b - med) for b in bins))
+        for i, v in enumerate(vals):
+            b = math.floor(float(v) * 100)
+            want = (med / 100.0, mad / 100.0, abs(b - med) > k * mad)
+            assert got[i] == want, (i, v, got[i], want)
