@@ -649,6 +649,19 @@ def q_multimodal_image_features(spark, sf_dir):
     return image_features(docs, decode="fake")
 
 
+def q_multimodal_image_neardup(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs (hamming <= 4): Arrow-batched
+    phash + pigeonhole-blocked pairing
+    (operators/multimodal.py image_neardup_pairs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import image_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return image_neardup_pairs(docs, max_hamming=4, decode="fake")
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week, then
     distinct active users per (cohort, weeks-since-cohort) cell — the
@@ -2784,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_audio_features": q_multimodal_audio_features,
         "token_stats": q_token_stats,
         "merge_intervals": q_merge_intervals,
@@ -3717,6 +3731,43 @@ def _corpus_oracles() -> dict[str, str]:
                    CAST(1 + (('0x' || substr(md5(text), 16, 15))::BIGINT % 4096) AS INT) AS height,
                    (('0x' || substr(md5(text), 18, 15))::BIGINT % 256000) / 1000.0 AS mean_luma
             FROM documents
+        """,
+        "multimodal_image_neardup": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, octet_length(encode(text)) - 3),
+                    i -> substr(text, CAST(i AS INT), 4))) AS win
+                FROM documents WHERE octet_length(encode(text)) >= 4),
+            h2 AS (SELECT doc_id,
+                          ('0x' || substr(md5(win), 1, 8))::BIGINT AS v1,
+                          ('0x' || substr(md5(win), 9, 8))::BIGINT AS v2
+                   FROM w),
+            votes AS (
+                SELECT h2.doc_id, t.k,
+                       SUM(CASE WHEN (CASE WHEN t.k < 32
+                                      THEN (v2 >> CAST(t.k AS INT))
+                                      ELSE (v1 >> CAST(t.k - 32 AS INT))
+                                 END) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM h2 CROSS JOIN range(0, 64) t(k) GROUP BY 1, 2),
+            grid AS (SELECT d.doc_id, t.k
+                     FROM documents d CROSS JOIN range(0, 64) t(k)),
+            p AS (
+                SELECT g.doc_id,
+                       string_agg(CASE WHEN COALESCE(votes.s, 0) > 0
+                                       THEN '1' ELSE '0' END,
+                                  '' ORDER BY g.k) AS phash
+                FROM grid g LEFT JOIN votes
+                  ON votes.doc_id = g.doc_id AND votes.k = g.k
+                GROUP BY g.doc_id)
+            SELECT doc_a, doc_b, hamming FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_filter(generate_series(1, 64),
+                           i -> substr(a.phash, CAST(i AS INT), 1)
+                              <> substr(b.phash, CAST(i AS INT), 1)))
+                            AS INT) AS hamming
+                FROM p a JOIN p b ON a.doc_id < b.doc_id)
+            WHERE hamming <= 4
         """,
         "cohort_retention": """
             WITH w AS (SELECT DISTINCT user_id,

@@ -607,56 +607,55 @@ def _cc_star(
         nodes.unpersist()
 
 
-def _hamming(sa: Column, sb: Column) -> Column:
+def _hamming(sa: Column, sb: Column, n_bits: int = SIMHASH_BITS) -> Column:
     return sum(
         F.when(F.substring(sa, i + 1, 1) != F.substring(sb, i + 1, 1), 1).otherwise(0)
-        for i in range(SIMHASH_BITS)
+        for i in range(n_bits)
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def signature_pairs(
+    sigs: DataFrame,
     id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bits: int = SIMHASH_BITS,
     max_hamming: int = 4,
     blocked: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
-
-    Default path is **pigeonhole bit-segment blocking** (same physics as
-    MinHash banding): the 32 bits split into ``max_hamming + 1`` segments;
-    two signatures within the radius differ in ≤ max_hamming positions, so
-    they must agree *exactly* on at least one segment — candidates are the
-    per-segment bucket joins, a uniform-key equi-join, never the O(n²)
-    cross product. Exact hamming then filters the candidates, so the
-    result is IDENTICAL to all-pairs (no recall loss — pigeonhole is a
-    guarantee, not a heuristic). ``blocked=False`` keeps the all-pairs
-    formulation as the small-scale correctness oracle.
+    """Pairs of ids whose fixed-width bit-string signatures are within
+    ``max_hamming`` — the generic pigeonhole machinery behind
+    ``simhash_pairs`` (text) and ``image_neardup_pairs`` (perceptual
+    hashes): ``n_bits`` split into ``max_hamming + 1`` segments; two
+    signatures within the radius must agree exactly on at least one
+    segment, so candidates are the per-segment bucket joins (uniform-key
+    equi-join, never O(n²)), and exact hamming filters them — IDENTICAL
+    output to all-pairs, blocking is a guarantee not a heuristic.
+    ``blocked=False`` keeps the all-pairs formulation as the small-scale
+    correctness oracle. Output: ``doc_a < doc_b, hamming``.
     """
-    sh = simhash(df, text_col, id_col)
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sigs.alias("a"), sigs.alias("b")
     if not blocked:
         cand = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
             F.col(f"a.{id_col}").alias("doc_a"),
-            F.col("a.simhash").alias("sim_a"),
+            F.col(f"a.{sig_col}").alias("sim_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col(f"b.{sig_col}").alias("sim_b"),
         )
     else:
         n_seg = max_hamming + 1
         segs, pos = [], 1
         for s in range(n_seg):
-            ln = SIMHASH_BITS // n_seg + (1 if s < SIMHASH_BITS % n_seg else 0)
+            ln = n_bits // n_seg + (1 if s < n_bits % n_seg else 0)
             segs.append(
                 F.struct(
                     F.lit(s).alias("seg"),
-                    F.substring("simhash", pos, ln).alias("sv"),
+                    F.substring(sig_col, pos, ln).alias("sv"),
                 )
             )
             pos += ln
-        blocks = sh.select(
-            F.col(id_col), F.col("simhash"), F.explode(F.array(*segs)).alias("x")
-        ).select(id_col, "simhash", F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv"))
+        blocks = sigs.select(
+            F.col(id_col), F.col(sig_col), F.explode(F.array(*segs)).alias("x")
+        ).select(id_col, sig_col, F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv"))
         ba, bb = blocks.alias("a"), blocks.alias("b")
         cand = (
             ba.join(
@@ -667,17 +666,37 @@ def simhash_pairs(
             )
             .select(
                 F.col(f"a.{id_col}").alias("doc_a"),
-                F.col("a.simhash").alias("sim_a"),
+                F.col(f"a.{sig_col}").alias("sim_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
-                F.col("b.simhash").alias("sim_b"),
+                F.col(f"b.{sig_col}").alias("sim_b"),
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
     return cand.select(
         "doc_a",
         "doc_b",
-        _hamming(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+        _hamming(F.col("sim_a"), F.col("sim_b"), n_bits).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    blocked: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming — the SimHash
+    front-end over the generic ``signature_pairs`` pigeonhole machinery
+    (see there for why blocking is lossless)."""
+    return signature_pairs(
+        simhash(df, text_col, id_col),
+        id_col=id_col,
+        sig_col="simhash",
+        n_bits=SIMHASH_BITS,
+        max_hamming=max_hamming,
+        blocked=blocked,
+    )
 
 
 def fuzzy_pairs(

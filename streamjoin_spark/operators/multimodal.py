@@ -276,3 +276,107 @@ def frame_sample_plan(
     return df.select(
         F.col(id_col), F.explode(F.sequence(F.lit(0), n)).alias("frame_idx")
     ).withColumn("frame_ts_s", F.col("frame_idx") * F.lit(every_n_seconds))
+
+
+PHASH = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def _fake_phash(blob: bytes) -> str:
+    """Deterministic stand-in perceptual hash that is genuinely
+    LOCALITY-SENSITIVE (an md5-of-the-whole-payload stub would avalanche —
+    near-identical payloads must land near each other or the pairing tier
+    is never exercised): a 64-bit simhash over the payload's sliding
+    4-byte windows. Each window's md5 votes ±1 per bit position; a small
+    edit perturbs only the windows it touches, flipping a few bits, while
+    unrelated payloads land ~32 apart — the aHash distance profile.
+    Payloads shorter than 4 bytes hash to all-zeros. Exact SQL twin
+    (ASCII payloads; the real tier decodes actual pixels)."""
+    bits = [0] * 64
+    for i in range(max(0, len(blob) - 3)):
+        h = int(hashlib.md5(blob[i : i + 4]).hexdigest()[:16], 16)
+        for k in range(64):
+            bits[k] += 1 if (h >> k) & 1 else -1
+    return "".join("1" if v > 0 else "0" for v in bits)
+
+
+def _real_phash(blob: bytes) -> str:
+    """True average-hash: 8×8 grayscale resize, bit = pixel > mean —
+    the classic aHash (near-identical images differ in a few bits)."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - Pillow not in this env
+        raise NotImplementedError(
+            "real image decode needs Pillow: pip install pillow"
+        ) from e
+    px = list(
+        Image.open(BytesIO(blob)).convert("L").resize((8, 8)).getdata()
+    )
+    mean = sum(px) / 64.0
+    return "".join("1" if p > mean else "0" for p in px)
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Perceptual hash per image via Arrow-batched ``mapInPandas`` —
+    the signature half of image near-dup dedup. ``decode="real"`` is the
+    true 8×8 aHash behind the Pillow import guard; ``decode="fake"`` the
+    deterministic md5 stub with an exact SQL twin. Output: (doc_id, phash)
+    with a 64-char bit string."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hasher = _real_phash if decode == "real" else _fake_phash
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": [hasher(bytes(b)) for b in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(run, schema=PHASH)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    decode: str = "fake",
+    blocked: bool = True,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hashes within ``max_hamming``
+    bits — re-encoded/resized/lightly-edited copies of the same picture
+    land a few aHash bits apart, exact byte dups at 0. Pairing rides the
+    generic pigeonhole bit-segment machinery (``dedup.signature_pairs``,
+    lossless blocking), so at 100 TB the candidate join is per-segment
+    uniform-key equi-joins over the (tiny) signature frame — the payloads
+    themselves are touched exactly once, in the Arrow decode pass.
+    Output: ``doc_a < doc_b, hamming``.
+    """
+    from .dedup import signature_pairs
+
+    return signature_pairs(
+        image_phash(df, payload_col, id_col, decode),
+        id_col="doc_id",
+        sig_col="phash",
+        n_bits=64,
+        max_hamming=max_hamming,
+        blocked=blocked,
+    )

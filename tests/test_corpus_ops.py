@@ -1241,3 +1241,28 @@ def test_ann_recall_math(spark):
     assert out[1]["n_hits"] == 1 and out[1]["recall"] == 0.5
     assert out[2]["n_hits"] == 2 and out[2]["recall"] == 1.0
     assert out[3]["n_hits"] == 0 and out[3]["recall"] == 0.0
+
+
+def test_image_neardup_phash_locality(spark):
+    """The fake perceptual hash is locality-sensitive: an edited copy sits
+    a few bits from its original, unrelated payloads ~half the bits away;
+    blocked pairing equals all-pairs (pigeonhole is lossless)."""
+    from streamjoin_spark.operators.multimodal import image_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy", 1)),   # one small edit
+        (3, "completely different content with other words " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    blocked = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in image_neardup_pairs(df, max_hamming=10).collect()}
+    allp = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in image_neardup_pairs(
+                df, max_hamming=10, blocked=False).collect()}
+    assert blocked == allp
+    assert (1, 2) in blocked and blocked[(1, 2)] <= 10
+    assert not any(3 in p for p in blocked)
