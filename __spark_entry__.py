@@ -2262,6 +2262,21 @@ def q_cube_agg(spark, sf_dir):
     )
 
 
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (3 rounds, deterministic
+    min-label tie-break) over the part co-occurrence graph
+    (operators/graph.py label_propagation)."""
+    _prep(spark)
+    from streamjoin_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    l = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(l, "l_orderkey", "l_partkey", min_support=2)
+    return label_propagation(edges, rounds=3)
+
+
 def q_triangle_count(spark, sf_dir):
     """Graph analytics: triangles in the part co-purchase graph (edge =
     two parts co-ordered in >= 2 distinct orders; operators/graph.py
@@ -2877,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "cube_agg": q_cube_agg,
         "triangle_count": q_triangle_count,
+        "lpa_communities": q_lpa_communities,
         "fuzzy_match": q_fuzzy_match,
         "ntile_quartiles": q_ntile_quartiles,
         "cms_topk": q_cms_topk,
@@ -5276,6 +5292,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "lpa_communities": """
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT x.l_partkey AS p1, y.l_partkey AS p2
+                FROM pp x JOIN pp y
+                  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            und AS MATERIALIZED (
+                SELECT p1 AS a, p2 AS b FROM e
+                UNION ALL SELECT p2, p1 FROM e),
+            l0 AS MATERIALIZED (
+                SELECT DISTINCT a AS node, a AS label FROM und),
+            l1 AS MATERIALIZED (
+                SELECT a AS node, label FROM (
+                    SELECT u.a, l.label, COUNT(*) AS c,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY u.a
+                               ORDER BY COUNT(*) DESC, l.label) AS rn
+                    FROM und u JOIN l0 l ON u.b = l.node
+                    GROUP BY u.a, l.label)
+                WHERE rn = 1),
+            l2 AS MATERIALIZED (
+                SELECT a AS node, label FROM (
+                    SELECT u.a, l.label, COUNT(*) AS c,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY u.a
+                               ORDER BY COUNT(*) DESC, l.label) AS rn
+                    FROM und u JOIN l1 l ON u.b = l.node
+                    GROUP BY u.a, l.label)
+                WHERE rn = 1),
+            l3 AS MATERIALIZED (
+                SELECT a AS node, label FROM (
+                    SELECT u.a, l.label, COUNT(*) AS c,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY u.a
+                               ORDER BY COUNT(*) DESC, l.label) AS rn
+                    FROM und u JOIN l2 l ON u.b = l.node
+                    GROUP BY u.a, l.label)
+                WHERE rn = 1)
+            SELECT node, label AS community FROM l3
         """,
         "triangle_count": """
             WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -199,3 +199,55 @@ def k_core(
     return deg.where(F.col("core_degree") >= k).select(
         F.col("a").alias("node"), "core_degree"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    p1: str = "p1",
+    p2: str = "p2",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), the near-linear-time communities pass: every node starts as
+    its own label; each round it adopts the label most frequent among its
+    neighbors (ties → smallest label — the determinism the classic
+    random-tie-break variant lacks, and the property that makes an exact
+    cross-engine oracle possible). A FIXED ``rounds`` count rather than a
+    convergence probe: LPA oscillates on bipartite-ish structures, so
+    fixed-round semantics are both the standard remedy and reproducible.
+
+    Distinct from connected components: labels follow local majority, so
+    dense cliques keep their own community even when a thin bridge joins
+    them into one component.
+
+    Scale posture (100 TB): per round one |E|-bounded join + a
+    (node, label) map-side-combined count + a per-node top-1 window
+    (partitioned by node — group size = a node's distinct neighbor-label
+    count, degree-bounded); labels ``localCheckpoint`` per round
+    (iterative-operator invariant). Output: ``node, community``.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
+    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("__c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(F.col("a"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -1266,3 +1266,28 @@ def test_image_neardup_phash_locality(spark):
     assert blocked == allp
     assert (1, 2) in blocked and blocked[(1, 2)] <= 10
     assert not any(3 in p for p in blocked)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """LPA vs CC on a barbell: two 4-cliques joined by one bridge edge are
+    ONE connected component but TWO majority communities; tie-breaks are
+    deterministic (min label)."""
+    from streamjoin_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+
+    comm = {r["node"]: r["community"]
+            for r in label_propagation(df, rounds=4).collect()}
+    assert len(set(comm.values())) == 2
+    assert len({comm[i] for i in [1, 2, 3]}) == 1
+    assert len({comm[i] for i in [11, 12, 13]}) == 1
+    assert comm[1] != comm[11]
+
+    cc = {r["node"]: r["cluster_id"] if "cluster_id" in r else r["label"]
+          for r in dedup.connected_components(
+              df, src="p1", dst="p2").collect()}
+    assert len(set(cc.values())) == 1          # CC merges across the bridge
