@@ -296,12 +296,23 @@ def _fake_phash(blob: bytes) -> str:
     unrelated payloads land ~32 apart — the aHash distance profile.
     Payloads shorter than 4 bytes hash to all-zeros. Exact SQL twin
     (ASCII payloads; the real tier decodes actual pixels)."""
-    bits = [0] * 64
-    for i in range(max(0, len(blob) - 3)):
-        h = int(hashlib.md5(blob[i : i + 4]).hexdigest()[:16], 16)
-        for k in range(64):
-            bits[k] += 1 if (h >> k) & 1 else -1
-    return "".join("1" if v > 0 else "0" for v in bits)
+    n = len(blob) - 3
+    if n <= 0:
+        return "0" * 64
+    import numpy as np
+
+    # one md5 per window (C-speed), then vectorized bit votes: unpackbits
+    # is MSB-first per byte, so column j holds bit (63-j) of the big-endian
+    # 8-byte digest prefix — identical semantics to (h >> k) & 1 on
+    # int(hexdigest[:16], 16), which the SQL twin mirrors
+    packed = np.frombuffer(
+        b"".join(hashlib.md5(blob[i : i + 4]).digest()[:8] for i in range(n)),
+        dtype=np.uint8,
+    ).reshape(n, 8)
+    ones = np.unpackbits(packed, axis=1).sum(axis=0)
+    return "".join(
+        "1" if 2 * int(ones[63 - k]) > n else "0" for k in range(64)
+    )
 
 
 def _real_phash(blob: bytes) -> str:
