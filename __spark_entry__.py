@@ -662,6 +662,21 @@ def q_multimodal_image_neardup(spark, sf_dir):
     return image_neardup_pairs(docs, max_hamming=4, decode="fake")
 
 
+def q_multimodal_audio_neardup(spark, sf_dir):
+    """Energy-diff audio fingerprints (64 bits, 4-byte windows) paired at
+    hamming <= 3 via pigeonhole blocking
+    (operators/multimodal.py audio_neardup_pairs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import audio_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return audio_neardup_pairs(
+        docs, bytes_per_window=4, n_bits=64, max_hamming=3, decode="fake"
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week, then
     distinct active users per (cohort, weeks-since-cohort) cell — the
@@ -2813,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": q_text_quality_by_source,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_neardup": q_multimodal_image_neardup,
+        "multimodal_audio_neardup": q_multimodal_audio_neardup,
         "multimodal_audio_features": q_multimodal_audio_features,
         "token_stats": q_token_stats,
         "merge_intervals": q_merge_intervals,
@@ -3864,6 +3880,43 @@ def _corpus_oracles() -> dict[str, str]:
                    (('0x' || substr(md5(chunk_hex), 16, 15))::BIGINT
                     % 1000) / 1000.0 AS zcr
             FROM c
+        """,
+        "multimodal_audio_neardup": """
+            WITH a AS (SELECT doc_id, hex(encode(text)) AS hx
+                       FROM documents),
+            w AS (SELECT doc_id, hx,
+                         unnest(range(0, CAST(greatest(
+                             ceil((length(hx) / 2) / 4.0), 1) AS BIGINT)))
+                             AS widx
+                  FROM a),
+            c AS (SELECT doc_id, CAST(widx AS INT) AS window_idx,
+                         (('0x' || substr(md5(substr(hx,
+                              CAST(widx * 8 + 1 AS BIGINT), 8)), 1, 15))
+                              ::BIGINT % 100000) / 1000.0 AS rms
+                  FROM w WHERE widx <= 64),
+            grid AS (SELECT d.doc_id, t.k
+                     FROM documents d CROSS JOIN range(0, 64) t(k)),
+            sig AS (
+                SELECT g.doc_id,
+                       string_agg(CASE WHEN nxt.rms IS NOT NULL
+                                        AND cur.rms IS NOT NULL
+                                        AND nxt.rms > cur.rms
+                                       THEN '1' ELSE '0' END,
+                                  '' ORDER BY g.k) AS afp
+                FROM grid g
+                LEFT JOIN c cur ON cur.doc_id = g.doc_id
+                               AND cur.window_idx = g.k
+                LEFT JOIN c nxt ON nxt.doc_id = g.doc_id
+                               AND nxt.window_idx = g.k + 1
+                GROUP BY g.doc_id)
+            SELECT doc_a, doc_b, hamming FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_filter(generate_series(1, 64),
+                           i -> substr(a.afp, CAST(i AS INT), 1)
+                              <> substr(b.afp, CAST(i AS INT), 1)))
+                            AS INT) AS hamming
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+            WHERE hamming <= 3
         """,
         "frame_sample": """
             SELECT doc_id, frame_idx, CAST(frame_idx AS DOUBLE) AS frame_ts_s

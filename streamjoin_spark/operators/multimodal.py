@@ -391,3 +391,79 @@ def image_neardup_pairs(
         max_hamming=max_hamming,
         blocked=blocked,
     )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bytes_per_window: int = 4000,
+    n_bits: int = 64,
+    decode: str = "fake",
+) -> DataFrame:
+    """Chromaprint-style audio fingerprint: the sign of the energy CHANGE
+    between consecutive analysis windows, packed into an ``n_bits`` bit
+    string (bit k = window k+1 louder than window k; recordings shorter
+    than ``n_bits+1`` windows zero-pad). Windowed RMS comes from
+    ``audio_features`` (Arrow decode — real PCM path behind the same
+    guard), so a per-window wobble flips only its neighboring bits while
+    unrelated audio lands ~half the bits apart — the energy-diff
+    fingerprint real audio dedup (Chromaprint/AcoustID) is built on.
+
+    Signature assembly is pure codegen off the feature frame: one
+    ``collect_list`` per recording (bounded to n_bits+1 windows by the
+    pre-filter), ``array_sort``, and a lazily-guarded element walk (CASE
+    short-circuits, so out-of-range ``element_at`` never evaluates — ANSI
+    safe). Output: ``(doc_id, afp)``.
+    """
+    feats = audio_features(
+        df, payload_col, id_col, bytes_per_window, decode
+    ).where(F.col("window_idx") <= n_bits)
+    agg = feats.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("window_idx", "rms"))
+        ).alias("__w")
+    )
+    # nested whens, not `cond & element_at(...)`: & does NOT short-circuit,
+    # so an out-of-range element_at would throw under ANSI even when the
+    # size guard is false — CASE branches are the only lazy construct
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        lambda i: F.when(
+            F.size(F.col("__w")) >= i + 1,
+            F.when(
+                F.element_at(F.col("__w"), (i + 1).cast("int"))["rms"]
+                > F.element_at(F.col("__w"), i.cast("int"))["rms"],
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ).otherwise(F.lit("0")),
+    )
+    return agg.select("doc_id", F.array_join(bits, "").alias("afp"))
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bytes_per_window: int = 4000,
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    decode: str = "fake",
+    blocked: bool = True,
+) -> DataFrame:
+    """Audio near-duplicate pairs: energy-diff fingerprints within
+    ``max_hamming`` bits, paired by the generic pigeonhole machinery
+    (``dedup.signature_pairs`` — lossless blocking, payloads decoded
+    exactly once). Output: ``doc_a < doc_b, hamming``."""
+    from .dedup import signature_pairs
+
+    return signature_pairs(
+        audio_fingerprint(
+            df, payload_col, id_col, bytes_per_window, n_bits, decode
+        ),
+        id_col="doc_id",
+        sig_col="afp",
+        n_bits=n_bits,
+        max_hamming=max_hamming,
+        blocked=blocked,
+    )

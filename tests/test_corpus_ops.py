@@ -1291,3 +1291,28 @@ def test_label_propagation_splits_bridged_cliques(spark):
           for r in dedup.connected_components(
               df, src="p1", dst="p2").collect()}
     assert len(set(cc.values())) == 1          # CC merges across the bridge
+
+
+def test_audio_neardup_fingerprint_locality(spark):
+    """Energy-diff fingerprints are prefix-stable: a recording with extra
+    trailing content keeps its early windows' bits, unrelated audio lands
+    far away; blocked pairing equals all-pairs."""
+    from streamjoin_spark.operators.multimodal import audio_neardup_pairs
+
+    base = "abcdefgh" * 40
+    rows = [
+        (1, base),
+        (2, base + "XYZW" * 3),                # same prefix, longer tail
+        (3, "zyxwvuts" * 40),                  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    kw = dict(bytes_per_window=4, n_bits=64, max_hamming=10)
+    blocked = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in audio_neardup_pairs(df, **kw).collect()}
+    allp = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in audio_neardup_pairs(df, blocked=False, **kw).collect()}
+    assert blocked == allp
+    assert (1, 2) in blocked
+    assert not any(3 in p for p in blocked)
