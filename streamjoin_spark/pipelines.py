@@ -48,6 +48,8 @@ __all__ = [
     "incremental_ivf_lists",
     "passage_rows",
     "incremental_passage_dedup",
+    "phash_segment_rows",
+    "incremental_image_pairs",
 ]
 
 
@@ -485,6 +487,124 @@ def incremental_passage_dedup(
             .alias("keep_pos"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+        .writeToPath(path)
+    )
+
+
+def phash_segment_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    max_hamming: int = 4,
+    suffix: str = "",
+) -> DataFrame:
+    """Row-local perceptual-hash segment rows for the incremental image
+    near-dup pipeline: per input row, the 64-bit phash (Arrow
+    ``mapInPandas`` — row-local by construction, each image hashes
+    independently) split into ``max_hamming + 1`` pigeonhole segments —
+    one output row per segment carrying the segment value and the full
+    signature. Same segment law as ``dedup.signature_pairs``. Output:
+    ``{id}{suffix}, seg{suffix}, sv{suffix}, ph{suffix}`` (+ metadata)."""
+    from .operators.multimodal import image_phash
+    from .streams import METADATA_COLUMNS
+
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    keep = df.select(F.col(id_col), F.col(payload_col), *meta)
+    hashed = image_phash(keep, payload_col, id_col).withColumnRenamed(
+        "doc_id", "__pid"
+    )
+    # mapInPandas drops extra columns; join metadata back on the id (both
+    # frames are the same rows of one change image — an id-keyed join is
+    # row-local in effect)
+    hashed = keep.select(F.col(id_col).alias("__pid"), *meta).join(
+        hashed, "__pid"
+    )
+    n_seg = max_hamming + 1
+    segs, pos = [], 1
+    for s in range(n_seg):
+        ln = n_bits // n_seg + (1 if s < n_bits % n_seg else 0)
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.substring("phash", pos, ln).alias("sv"),
+            )
+        )
+        pos += ln
+    return hashed.select(
+        F.col("__pid").alias(f"{id_col}{suffix}"),
+        F.explode(F.array(*segs)).alias("__x"),
+        F.col("phash").alias(f"ph{suffix}"),
+        *meta,
+    ).select(
+        f"{id_col}{suffix}",
+        F.col("__x.seg").alias(f"seg{suffix}"),
+        F.col("__x.sv").alias(f"sv{suffix}"),
+        f"ph{suffix}",
+        *meta,
+    )
+
+
+def incremental_image_pairs(
+    docs: ChangeTable,
+    path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    max_hamming: int = 4,
+):
+    """Continuously maintained image near-duplicate pairs (the incremental
+    twin of ``multimodal.image_neardup_pairs``): two perceptual-hash
+    segment streams self-join on (segment, value) with ``doc_a < doc_b``,
+    the exact hamming filter runs row-locally on the joined output, and a
+    pair-keyed groupBy dedups across segments — target keyed
+    ``(doc_a, doc_b)`` with ``hamming``. Ingesting, re-encoding or
+    deleting an image adds/retracts exactly its pairs; the decode runs
+    once per changed image, inside the slice.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    def seg(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            return phash_segment_rows(
+                df, payload_col, id_col, n_bits, max_hamming, suffix=suffix
+            )
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(docs, f"{docs.name}_ph_a")
+        .primaryKeys("doc_a", "seg_a")
+        .to(seg("_a"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_a", "doc_a"))
+    )
+    b = (
+        Stream.fromChangeTable(docs, f"{docs.name}_ph_b")
+        .primaryKeys("doc_b", "seg_b")
+        .to(seg("_b"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_b", "doc_b"))
+    )
+    from .operators.dedup import _hamming
+
+    def ham_filter(df: DataFrame) -> DataFrame:
+        h = _hamming(F.col("ph_a"), F.col("ph_b"), n_bits)
+        return df.withColumn("__h", h).where(F.col("__h") <= max_hamming)
+
+    return (
+        a.join(b, "inner")
+        .on(
+            (a["seg_a"] == b["seg_b"])
+            & (a["sv_a"] == b["sv_b"])
+            & (a["doc_a"] < b["doc_b"])
+        )
+        # both sides' segment PKs stay in the projection: the join's
+        # staging target is keyed by the composed PKs (doc_a, seg_a,
+        # doc_b, seg_b); the pair groupBy below dedups across segments
+        .select(a["doc_a"], a["seg_a"], b["doc_b"], b["seg_b"],
+                a["ph_a"], b["ph_b"])
+        .to(ham_filter)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("__h").alias("hamming"))
         .writeToPath(path)
     )
 

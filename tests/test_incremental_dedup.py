@@ -392,3 +392,62 @@ def test_incremental_passage_dedup_maintained(spark, tmp_path, docs_ct):
     docs_ct.merge(d_rows(spark, [(2, "completely different body now")]))
     w.run()
     assert_same(w.toDF(), twin())
+
+
+# ---------------------------------------------------------------------------
+# image near-dup pairs (perceptual hashes)
+# ---------------------------------------------------------------------------
+def test_incremental_image_pairs_maintained(spark, tmp_path):
+    """incremental_image_pairs converges to the batch twin
+    (multimodal.image_neardup_pairs) under image ingest / re-encode /
+    delete; re-encoding an image away from its twin retracts the pair."""
+    from streamjoin_spark.operators.multimodal import image_neardup_pairs
+    from streamjoin_spark.pipelines import incremental_image_pairs
+
+    IMG = "doc_id long, payload binary"
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "imgs"),
+        spark.createDataFrame([], IMG).schema, ["doc_id"],
+    )
+
+    def irows(data):
+        return spark.createDataFrame(
+            [(i, t.encode()) for i, t in data], IMG
+        )
+
+    def twin():
+        return image_neardup_pairs(ct.snapshot(), max_hamming=6)
+
+    def check(w):
+        got = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in w.toDF().collect()}
+        want = {(r["doc_a"], r["doc_b"], r["hamming"])
+                for r in twin().collect()}
+        assert got == want, f"only-inc={got - want} only-batch={want - got}"
+
+    w = incremental_image_pairs(
+        ct, str(tmp_path / "ipairs"), max_hamming=6
+    )
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    ct.merge(irows([
+        (1, base),
+        (2, base.replace("lazy", "hazy", 1)),    # near-dup of 1
+        (3, "entirely different content with other words " * 4),
+    ]))
+    w.run()
+    check(w)
+    assert {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()} == {(1, 2)}
+
+    # re-encode 2 away from 1 -> pair retracts; new near-dup of 3 appears
+    ct.merge(irows([
+        (2, "now totally unrelated to everything else " * 4),
+        (4, ("entirely different content with other words " * 4)
+            .replace("other", "OTHER", 1).lower()),
+    ]))
+    w.run()
+    check(w)
+
+    # delete one member of the surviving pair
+    ct.delete_where("doc_id = 4")
+    w.run()
+    check(w)
