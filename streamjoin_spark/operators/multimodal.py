@@ -338,30 +338,45 @@ def image_phash(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     decode: str = "fake",
+    extra_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Perceptual hash per image via Arrow-batched ``mapInPandas`` —
     the signature half of image near-dup dedup. ``decode="real"`` is the
     true 8×8 aHash behind the Pillow import guard; ``decode="fake"`` the
-    deterministic md5 stub with an exact SQL twin. Output: (doc_id, phash)
-    with a 64-char bit string."""
+    deterministic md5 stub with an exact SQL twin. Output:
+    (doc_id, phash, *extra_cols) with a 64-char bit string.
+
+    ``extra_cols`` ride THROUGH the pandas stage row-by-row (not joined
+    back on the id afterwards): a change frame can carry pre- and
+    post-images of the same key, and an id-keyed join-back would
+    cross-product them — pass-through is the only row-local way to keep
+    ancillary columns."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    extra_cols = list(extra_cols)
     par = df.sparkSession.sparkContext.defaultParallelism
     src = df.repartition(par).select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        *extra_cols,
+    )
+    schema = T.StructType(
+        list(PHASH.fields)
+        + [src.schema[c] for c in extra_cols]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hasher = _real_phash if decode == "real" else _fake_phash
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "phash": [hasher(bytes(b)) for b in pdf["payload"]],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash": [hasher(bytes(b)) for b in pdf["payload"]],
+            }
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(run, schema=PHASH)
+    return src.mapInPandas(run, schema=schema)
 
 
 def image_neardup_pairs(

@@ -510,16 +510,13 @@ def phash_segment_rows(
     from .streams import METADATA_COLUMNS
 
     meta = [c for c in METADATA_COLUMNS if c in df.columns]
-    keep = df.select(F.col(id_col), F.col(payload_col), *meta)
-    hashed = image_phash(keep, payload_col, id_col).withColumnRenamed(
-        "doc_id", "__pid"
-    )
-    # mapInPandas drops extra columns; join metadata back on the id (both
-    # frames are the same rows of one change image — an id-keyed join is
-    # row-local in effect)
-    hashed = keep.select(F.col(id_col).alias("__pid"), *meta).join(
-        hashed, "__pid"
-    )
+    # metadata rides THROUGH the Arrow stage (image_phash extra_cols):
+    # a change frame carries pre- AND post-images of one key, so an
+    # id-keyed join-back would cross-product them — pass-through is the
+    # row-local form the source-transform contract requires
+    hashed = image_phash(
+        df, payload_col, id_col, extra_cols=meta
+    ).withColumnRenamed("doc_id", "__pid")
     n_seg = max_hamming + 1
     segs, pos = [], 1
     for s in range(n_seg):
