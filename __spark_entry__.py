@@ -3884,25 +3884,33 @@ def _corpus_oracles() -> dict[str, str]:
         "multimodal_audio_neardup": """
             WITH a AS (SELECT doc_id, hex(encode(text)) AS hx
                        FROM documents),
-            w AS (SELECT doc_id, hx,
-                         unnest(range(0, CAST(greatest(
-                             ceil((length(hx) / 2) / 4.0), 1) AS BIGINT)))
-                             AS widx
-                  FROM a),
+            base AS (SELECT doc_id, hx,
+                            CAST(least(greatest(
+                                ceil((length(hx) / 2) / 4.0), 1), 65)
+                                AS BIGINT) AS nw
+                     FROM a),
+            w AS (SELECT doc_id, hx, unnest(range(0, nw)) AS widx
+                  FROM base),
             c AS (SELECT doc_id, CAST(widx AS INT) AS window_idx,
                          (('0x' || substr(md5(substr(hx,
                               CAST(widx * 8 + 1 AS BIGINT), 8)), 1, 15))
                               ::BIGINT % 100000) / 1000.0 AS rms
                   FROM w WHERE widx <= 64),
-            grid AS (SELECT d.doc_id, t.k
-                     FROM documents d CROSS JOIN range(0, 64) t(k)),
+            grid AS (SELECT doc_id, nw, t.k
+                     FROM base CROSS JOIN range(0, 64) t(k)),
             sig AS (
                 SELECT g.doc_id,
-                       string_agg(CASE WHEN nxt.rms IS NOT NULL
-                                        AND cur.rms IS NOT NULL
-                                        AND nxt.rms > cur.rms
-                                       THEN '1' ELSE '0' END,
-                                  '' ORDER BY g.k) AS afp
+                       string_agg(
+                           CASE WHEN nxt.rms IS NOT NULL
+                                 AND cur.rms IS NOT NULL THEN
+                               (CASE WHEN nxt.rms > cur.rms
+                                     THEN '1' ELSE '0' END)
+                           ELSE CAST((('0x' || substr(
+                                    md5(CAST(g.nw AS VARCHAR)),
+                                    (g.k % 16) + 1, 1))::BIGINT % 2)
+                                AS VARCHAR)
+                           END,
+                           '' ORDER BY g.k) AS afp
                 FROM grid g
                 LEFT JOIN c cur ON cur.doc_id = g.doc_id
                                AND cur.window_idx = g.k

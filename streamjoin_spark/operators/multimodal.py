@@ -431,17 +431,38 @@ def audio_fingerprint(
     short-circuits, so out-of-range ``element_at`` never evaluates — ANSI
     safe). Output: ``(doc_id, afp)``.
     """
+    # truncate the payload JVM-side BEFORE the decode stage: a filter on
+    # window_idx cannot push through mapInPandas (opaque to Catalyst), so
+    # without this every window of an hour-long recording would decode in
+    # Python only to be discarded — the substr caps Python work at
+    # (n_bits+1) windows per recording. Window n_bits of a longer payload
+    # is a full window either way, so the kept windows are bit-identical.
+    cap = (n_bits + 1) * bytes_per_window
+    trunc = df.withColumn(
+        payload_col, F.col(payload_col).substr(F.lit(1), F.lit(cap))
+    )
     feats = audio_features(
-        df, payload_col, id_col, bytes_per_window, decode
+        trunc, payload_col, id_col, bytes_per_window, decode
     ).where(F.col("window_idx") <= n_bits)
     agg = feats.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("window_idx", "rms"))
         ).alias("__w")
     )
-    # nested whens, not `cond & element_at(...)`: & does NOT short-circuit,
-    # so an out-of-range element_at would throw under ANSI even when the
-    # size guard is false — CASE branches are the only lazy construct
+    # Bits past the recording's last window are a deterministic function
+    # of its WINDOW COUNT (hex digits of md5(n_windows), parity per
+    # position), not zeros: a shared all-zero tail would put every short
+    # recording in one giant pigeonhole bucket and turn the candidate
+    # join quadratic (measured: ~20 s at sf0.1, dominated by one
+    # degenerate segment). Length-salted padding makes the fingerprint
+    # duration-sensitive — the Chromaprint stance: clips of clearly
+    # different length are not near-dups — and bucket sizes collapse to
+    # per-duration populations.
+    # Nested whens, not `cond & element_at(...)`: & does NOT
+    # short-circuit, so an out-of-range element_at would throw under ANSI
+    # even when the size guard is false — CASE branches are the only lazy
+    # construct.
+    padh = F.md5(F.size(F.col("__w")).cast("string"))
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(n_bits)),
         lambda i: F.when(
@@ -451,7 +472,16 @@ def audio_fingerprint(
                 > F.element_at(F.col("__w"), i.cast("int"))["rms"],
                 F.lit("1"),
             ).otherwise(F.lit("0")),
-        ).otherwise(F.lit("0")),
+        ).otherwise(
+            F.pmod(
+                F.conv(
+                    F.substring(padh, F.pmod(i - 1, F.lit(16)) + 1, F.lit(1)),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ).cast("string")
+        ),
     )
     return agg.select("doc_id", F.array_join(bits, "").alias("afp"))
 
