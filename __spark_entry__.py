@@ -677,6 +677,21 @@ def q_multimodal_audio_neardup(spark, sf_dir):
     )
 
 
+def q_multimodal_video_neardup(spark, sf_dir):
+    """Frame-fingerprint video near-dup: 8 fixed-offset key frames per
+    payload, phash each, pair videos sharing >= 2 distinct frame
+    fingerprints (operators/multimodal.py video_neardup_pairs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import video_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return video_neardup_pairs(
+        docs, frame_bytes=64, n_frames=8, min_shared=2, decode="fake"
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week, then
     distinct active users per (cohort, weeks-since-cohort) cell — the
@@ -2829,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_audio_neardup": q_multimodal_audio_neardup,
+        "multimodal_video_neardup": q_multimodal_video_neardup,
         "multimodal_audio_features": q_multimodal_audio_features,
         "token_stats": q_token_stats,
         "merge_intervals": q_merge_intervals,
@@ -3925,6 +3941,47 @@ def _corpus_oracles() -> dict[str, str]:
                             AS INT) AS hamming
                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
             WHERE hamming <= 3
+        """,
+        "multimodal_video_neardup": """
+            WITH fr AS (
+                SELECT doc_id, t.f,
+                       substr(text, CAST(t.f * 64 + 1 AS BIGINT), 64) AS ftxt
+                FROM documents CROSS JOIN range(0, 8) t(f)),
+            fr2 AS (SELECT * FROM fr WHERE length(ftxt) >= 4),
+            w AS (SELECT doc_id, f, unnest(list_transform(
+                       generate_series(1, length(ftxt) - 3),
+                       i -> substr(ftxt, CAST(i AS INT), 4))) AS win
+                  FROM fr2),
+            h2 AS (SELECT doc_id, f,
+                          ('0x' || substr(md5(win), 1, 8))::BIGINT AS v1,
+                          ('0x' || substr(md5(win), 9, 8))::BIGINT AS v2
+                   FROM w),
+            votes AS (
+                SELECT h2.doc_id, h2.f, t.k,
+                       SUM(CASE WHEN (CASE WHEN t.k < 32
+                                      THEN (v2 >> CAST(t.k AS INT))
+                                      ELSE (v1 >> CAST(t.k - 32 AS INT))
+                                 END) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM h2 CROSS JOIN range(0, 64) t(k) GROUP BY 1, 2, 3),
+            p AS (
+                SELECT doc_id, f,
+                       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY k) AS fp
+                FROM votes GROUP BY 1, 2),
+            dp AS (SELECT DISTINCT doc_id, fp FROM p),
+            dfq AS (SELECT fp FROM dp GROUP BY fp
+                    HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id)
+                                             FROM documents)),
+            dpc AS (SELECT * FROM dp
+                    WHERE fp NOT IN (SELECT fp FROM dfq))
+            SELECT doc_a, doc_b, n_shared FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_shared
+                FROM dpc a JOIN dpc b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            WHERE n_shared >= 2
         """,
         "frame_sample": """
             SELECT doc_id, frame_idx, CAST(frame_idx AS DOUBLE) AS frame_ts_s

@@ -512,3 +512,95 @@ def audio_neardup_pairs(
         max_hamming=max_hamming,
         blocked=blocked,
     )
+
+
+def video_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    n_frames: int = 8,
+    decode: str = "fake",
+) -> DataFrame:
+    """Per-frame perceptual hashes for video near-dup: sample ``n_frames``
+    fixed-offset key frames JVM-side (binary ``substr`` — Python only ever
+    sees one frame, the ``frame_sample_plan`` physics) and perceptual-hash
+    each through the image path (Arrow-batched; real tier = 8×8 aHash of
+    the decoded frame). Frames shorter than 4 bytes (past end-of-payload)
+    are dropped. Output: ``(doc_id, frame_idx, fphash)``."""
+    frames = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(payload_col).alias("payload"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias(
+                "frame_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.col("payload")
+            .substr(
+                F.col("frame_idx") * F.lit(frame_bytes) + F.lit(1),
+                F.lit(frame_bytes),
+            )
+            .alias("frame"),
+        )
+        .where(F.length("frame") >= 4)
+    )
+    return image_phash(
+        frames, "frame", "doc_id", decode, extra_cols=["frame_idx"]
+    ).select("doc_id", "frame_idx", F.col("phash").alias("fphash"))
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    n_frames: int = 8,
+    min_shared: int = 2,
+    max_fp_df: float | int | None = 0.5,
+    decode: str = "fake",
+) -> DataFrame:
+    """Video near-duplicate pairs: videos sharing at least ``min_shared``
+    distinct frame fingerprints — the content-based video retrieval
+    inverted-index move (match on frames, rank by how many agree; robust
+    to trims and re-muxes that keep frames intact). The join key is the
+    frame phash itself: a uniform equi-join, never all-pairs.
+
+    ``max_fp_df`` is the hot-frame guard (same physics as the hot-shingle
+    cap): a frame fingerprint shared by k videos contributes k² candidate
+    pairs, and universal boilerplate (intro cards, color bars) would go
+    quadratic — fingerprints whose video-frequency exceeds the cap (a
+    fraction of the corpus when ≤ 1, absolute otherwise) are dropped
+    before the join; such frames carry no near-dup signal. ``None``
+    disables. Output: ``doc_a < doc_b, n_shared``.
+    """
+    fps = video_fingerprints(
+        df, payload_col, id_col, frame_bytes, n_frames, decode
+    )
+    dp = fps.select("doc_id", "fphash").distinct()
+    if max_fp_df is not None:
+        dfreq = dp.groupBy("fphash").agg(F.count(F.lit(1)).alias("__df"))
+        if max_fp_df <= 1:
+            total = df.select(
+                F.countDistinct(F.col(id_col)).alias("__n")
+            )
+            hot = dfreq.crossJoin(F.broadcast(total)).where(
+                F.col("__df") > F.col("__n") * F.lit(float(max_fp_df))
+            )
+        else:
+            hot = dfreq.where(F.col("__df") > F.lit(int(max_fp_df)))
+        dp = dp.join(
+            F.broadcast(hot.select("fphash")), "fphash", "left_anti"
+        )
+    a = dp.select(F.col("doc_id").alias("doc_a"), "fphash")
+    b = dp.select(F.col("doc_id").alias("doc_b"), "fphash")
+    return (
+        a.join(b, "fphash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1316,3 +1316,30 @@ def test_audio_neardup_fingerprint_locality(spark):
     assert blocked == allp
     assert (1, 2) in blocked
     assert not any(3 in p for p in blocked)
+
+
+def test_video_neardup_shared_frames(spark):
+    """Frame-fingerprint matching: a trimmed copy (same frames, fewer)
+    pairs with its original at the shared-frame count; the hot-frame cap
+    drops universal boilerplate frames."""
+    from streamjoin_spark.operators.multimodal import video_neardup_pairs
+
+    seg = lambda tag: (tag * 80)[:64]          # one distinct 64-byte frame
+    boiler = seg("Z")                          # frame shared by EVERYONE
+    rows = [
+        (1, boiler + seg("a") + seg("b") + seg("c")),
+        (2, boiler + seg("a") + seg("b")),     # trimmed copy of 1
+        (3, boiler + seg("x") + seg("y")),     # unrelated but same intro
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    kw = dict(frame_bytes=64, n_frames=8, min_shared=2)
+    uncapped = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                for r in video_neardup_pairs(
+                    df, max_fp_df=None, **kw).collect()}
+    assert uncapped[(1, 2)] == 3               # boiler + a + b
+    # with the cap, the universal intro frame stops pairing strangers
+    capped = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+              for r in video_neardup_pairs(df, max_fp_df=2, **kw).collect()}
+    assert capped == {(1, 2): 2}               # a + b only; (1,3)/(2,3) gone
