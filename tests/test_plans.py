@@ -229,6 +229,16 @@ def test_perplexity_bands_thresholds_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_video_hot_frame_cap_anti_join(spark, sf_dir):
+    """The hot-frame guard must be a broadcast anti-join (the hot set is
+    tiny by construction) and the pairing an equi-join on the fingerprint
+    — no cartesian anywhere."""
+    p = plan_of(entry.q_multimodal_video_neardup(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
 def test_robust_outliers_stats_broadcast(spark, sf_dir):
     """The per-group (median, MAD) table is k-groups-sized and must
     broadcast back for map-only flagging; the cumulative windows must be
