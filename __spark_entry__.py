@@ -692,6 +692,24 @@ def q_multimodal_video_neardup(spark, sf_dir):
     )
 
 
+def q_lag_features(spark, sf_dir):
+    """Per-user lag/lead feature prep: previous/next event values and the
+    step delta (operators/windows.py lag_lead_features); order is the
+    deterministic (ts, event_id) total order."""
+    _prep(spark)
+    from streamjoin_spark.operators.windows import lag_lead_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return lag_lead_features(
+        ev, ["user_id"], ["ts", "event_id"], "value", lags=(1, 2), leads=(1,)
+    ).select(
+        "event_id", "user_id", "value",
+        "value_lag1", "value_lag2", "value_lead1", "value_delta",
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-activity week, then
     distinct active users per (cohort, weeks-since-cohort) cell — the
@@ -2845,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_audio_neardup": q_multimodal_audio_neardup,
         "multimodal_video_neardup": q_multimodal_video_neardup,
+        "lag_features": q_lag_features,
         "multimodal_audio_features": q_multimodal_audio_features,
         "token_stats": q_token_stats,
         "merge_intervals": q_merge_intervals,
@@ -3941,6 +3960,15 @@ def _corpus_oracles() -> dict[str, str]:
                             AS INT) AS hamming
                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
             WHERE hamming <= 3
+        """,
+        "lag_features": """
+            SELECT event_id, user_id, value,
+                   LAG(value, 1) OVER w AS value_lag1,
+                   LAG(value, 2) OVER w AS value_lag2,
+                   LEAD(value, 1) OVER w AS value_lead1,
+                   value - LAG(value, 1) OVER w AS value_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "multimodal_video_neardup": """
             WITH fr AS (

@@ -75,3 +75,47 @@ def cumulative_agg(
     for name, (fn, col) in aggs.items():
         out = out.withColumn(name, getattr(F, fn)(col).over(w))
     return out
+
+
+def lag_lead_features(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (1,),
+) -> DataFrame:
+    """Per-key lag/lead feature engineering — the standard temporal
+    feature-prep pass before model training: for every row, the previous /
+    next values of ``value_col`` within its key at the given offsets, plus
+    the delta vs lag 1 (``{col}_delta``). NULL where the offset runs off
+    the partition edge (no default fill — imputation is a modeling choice).
+
+    ``order_by`` must be a deterministic total order within each partition
+    (e.g. ts then a unique id) or results are run-dependent. Deltas are
+    SUBTRACTION-derived, not division: exact on identical doubles, no
+    canonicalization needed.
+
+    Scale: one partitioned window over ``partition_by`` — a single
+    key-shuffle, frames bounded by max(lags, leads). Mandatory partition
+    keys, as everywhere in this module (an unpartitioned ordered window is
+    a single-task global sort).
+    """
+    if not partition_by:
+        raise ValueError("partition_by is required (global sort otherwise)")
+    w = _ordered_window(partition_by, order_by)
+    out = df
+    for n in lags:
+        out = out.withColumn(
+            f"{value_col}_lag{n}", F.lag(value_col, n).over(w)
+        )
+    for n in leads:
+        out = out.withColumn(
+            f"{value_col}_lead{n}", F.lead(value_col, n).over(w)
+        )
+    if 1 in lags:
+        out = out.withColumn(
+            f"{value_col}_delta",
+            F.col(value_col) - F.col(f"{value_col}_lag1"),
+        )
+    return out

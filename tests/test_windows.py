@@ -45,3 +45,21 @@ def test_empty_partition_by_refused(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     with pytest.raises(ValueError, match="partition_by"):
         rolling_agg(o, [], ["o_orderkey"], {"x": ("sum", F.col("o_totalprice"))})
+
+
+def test_lag_lead_features_edges(spark):
+    """Lags/leads NULL off the partition edge; delta = value - lag1;
+    partition keys mandatory."""
+    import pytest
+
+    from streamjoin_spark.operators.windows import lag_lead_features
+
+    rows = [(1, "u", 1, 10.0), (2, "u", 2, 13.0), (3, "v", 1, 5.0)]
+    df = spark.createDataFrame(rows, "id long, k string, t long, value double")
+    out = {r["id"]: r for r in lag_lead_features(
+        df, ["k"], ["t", "id"], "value", lags=(1,), leads=(1,)).collect()}
+    assert out[1]["value_lag1"] is None and out[1]["value_lead1"] == 13.0
+    assert out[2]["value_lag1"] == 10.0 and out[2]["value_delta"] == 3.0
+    assert out[3]["value_lag1"] is None and out[3]["value_lead1"] is None
+    with pytest.raises(ValueError, match="partition_by"):
+        lag_lead_features(df, [], ["t"], "value")
