@@ -50,6 +50,8 @@ __all__ = [
     "incremental_passage_dedup",
     "phash_segment_rows",
     "incremental_image_pairs",
+    "simhash_segment_rows",
+    "incremental_simhash_pairs",
 ]
 
 
@@ -599,6 +601,131 @@ def incremental_image_pairs(
         # doc_b, seg_b); the pair groupBy below dedups across segments
         .select(a["doc_a"], a["seg_a"], b["doc_b"], b["seg_b"],
                 a["ph_a"], b["ph_b"])
+        .to(ham_filter)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("__h").alias("hamming"))
+        .writeToPath(path)
+    )
+
+
+def simhash_segment_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    suffix: str = "",
+) -> DataFrame:
+    """Row-local SimHash segment rows: each input row's 32-bit signature
+    computed from its OWN token array (one md5 transform + 32 in-row ±1
+    folds — identical multiset semantics to ``dedup.simhash``'s
+    explode+groupBy, which would MERGE a change frame's pre/post images of
+    one key and is therefore unusable as a source transform), split into
+    ``max_hamming + 1`` pigeonhole segments. Rows with no tokens are
+    dropped (as in the batch twin, where they never reach the groupBy).
+    Output: ``{id}{suffix}, seg{suffix}, sv{suffix}, sh{suffix}``
+    (+ metadata)."""
+    from .functions import tokens
+    from .operators.dedup import SIMHASH_BITS, _HIGH_NIBBLE
+    from .streams import METADATA_COLUMNS
+
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    out = df.withColumn("__m", md5s).where(F.size("__m") > 0)
+
+    def bit(b: int) -> Column:
+        s = F.aggregate(
+            F.transform(
+                F.col("__m"),
+                lambda h: F.when(
+                    F.substring(h, b + 1, 1).isin(_HIGH_NIBBLE), 1
+                ).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s > 0, "1").otherwise("0")
+
+    sig = F.concat(*[bit(b) for b in range(SIMHASH_BITS)])
+    out = out.withColumn("__sig", sig)
+    n_seg = max_hamming + 1
+    segs, pos = [], 1
+    for s in range(n_seg):
+        ln = SIMHASH_BITS // n_seg + (1 if s < SIMHASH_BITS % n_seg else 0)
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.substring("__sig", pos, ln).alias("sv"),
+            )
+        )
+        pos += ln
+    return out.select(
+        F.col(id_col).alias(f"{id_col}{suffix}"),
+        F.explode(F.array(*segs)).alias("__x"),
+        F.col("__sig").alias(f"sh{suffix}"),
+        *meta,
+    ).select(
+        f"{id_col}{suffix}",
+        F.col("__x.seg").alias(f"seg{suffix}"),
+        F.col("__x.sv").alias(f"sv{suffix}"),
+        f"sh{suffix}",
+        *meta,
+    )
+
+
+def incremental_simhash_pairs(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+):
+    """Continuously maintained SimHash near-dup pairs (the incremental
+    twin of ``dedup.simhash_pairs``): two row-local segment streams
+    self-join on (segment, value) with ``doc_a < doc_b``, the exact
+    hamming filter runs row-locally on the joined output, and a
+    pair-keyed groupBy dedups across segments — target keyed
+    ``(doc_a, doc_b)`` with ``hamming``. Same pipeline shape as the
+    image-phash pairs; pigeonhole blocking stays lossless.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    from .operators.dedup import SIMHASH_BITS, _hamming
+
+    def seg(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            return simhash_segment_rows(
+                df, text_col, id_col, max_hamming, suffix=suffix
+            )
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(docs, f"{docs.name}_sh_a")
+        .primaryKeys("doc_a", "seg_a")
+        .to(seg("_a"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_a", "doc_a"))
+    )
+    b = (
+        Stream.fromChangeTable(docs, f"{docs.name}_sh_b")
+        .primaryKeys("doc_b", "seg_b")
+        .to(seg("_b"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_b", "doc_b"))
+    )
+
+    def ham_filter(df: DataFrame) -> DataFrame:
+        h = _hamming(F.col("sh_a"), F.col("sh_b"), SIMHASH_BITS)
+        return df.withColumn("__h", h).where(F.col("__h") <= max_hamming)
+
+    return (
+        a.join(b, "inner")
+        .on(
+            (a["seg_a"] == b["seg_b"])
+            & (a["sv_a"] == b["sv_b"])
+            & (a["doc_a"] < b["doc_b"])
+        )
+        .select(a["doc_a"], a["seg_a"], b["doc_b"], b["seg_b"],
+                a["sh_a"], b["sh_b"])
         .to(ham_filter)
         .groupBy("doc_a", "doc_b")
         .agg(F.min("__h").alias("hamming"))

@@ -451,3 +451,55 @@ def test_incremental_image_pairs_maintained(spark, tmp_path):
     ct.delete_where("doc_id = 4")
     w.run()
     check(w)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+def test_simhash_segment_rows_match_batch_signature(spark):
+    """The row-local simhash must equal the batch explode+groupBy
+    signature bit-for-bit (same ±1 multiset sums)."""
+    from streamjoin_spark.pipelines import simhash_segment_rows
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x  y z"), (3, "   ")], DOC
+    )
+    rowwise = {r["doc_id"]: r["sh"] for r in simhash_segment_rows(docs)
+               .select("doc_id", "sh").distinct().collect()}
+    batch = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash(docs).collect()}
+    assert rowwise == batch        # doc 3 (no tokens) absent from both
+
+
+def test_incremental_simhash_pairs_maintained(spark, tmp_path, docs_ct):
+    """incremental_simhash_pairs converges to dedup.simhash_pairs under
+    insert / rewrite / delete."""
+    from streamjoin_spark.pipelines import incremental_simhash_pairs
+
+    w = incremental_simhash_pairs(
+        docs_ct, str(tmp_path / "shpairs"), max_hamming=6
+    )
+
+    def check():
+        got = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in w.toDF().collect()}
+        want = {(r["doc_a"], r["doc_b"], r["hamming"])
+                for r in dedup.simhash_pairs(
+                    docs_ct.snapshot(), max_hamming=6).collect()}
+        assert got == want, f"only-inc={got - want} only-batch={want - got}"
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs_ct.merge(d_rows(spark, [
+        (1, base),
+        (2, base + " tail"),
+        (3, "completely unrelated words in this document body"),
+        (4, base),
+    ]))
+    w.run()
+    check()
+    assert any(r["hamming"] == 0 for r in w.toDF().collect())  # exact dup
+
+    docs_ct.merge(d_rows(spark, [(2, "rewritten into something far away entirely")]))
+    docs_ct.delete_where("doc_id = 4")
+    w.run()
+    check()
