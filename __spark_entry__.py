@@ -531,14 +531,15 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-flat approximate top-5: hash-sampled centroids, nearest-list
-    assignment, nprobe=2 probing (operators/similarity.py ivf_topk)."""
+    """IVF-flat approximate top-5: fixed-K md5-ordered centroid sample
+    (k-bounded at any corpus size), nearest-list assignment, nprobe=2
+    probing (operators/similarity.py ivf_topk)."""
     _prep(spark)
     from streamjoin_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_step=250, nprobe=2
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=2
     )
 
 
@@ -552,7 +553,7 @@ def q_ann_ivf_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5,
-        centroid_step=250, nprobe=2, dim=64, m=8, ksub=16, code_step=31,
+        n_centroids=16, nprobe=2, dim=64, m=8, ksub=16, code_step=31,
     )
 
 
@@ -3598,7 +3599,7 @@ def _corpus_oracles() -> dict[str, str]:
         "ann_ivf_topk": f"""
             WITH {_VEC_CTE},
             cents AS (SELECT vec_id AS cent_id, e, nrm FROM n
-                      WHERE vec_id % 250 = 0),
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
             assign AS (
                 SELECT __id, cent_id FROM (
                     SELECT a.vec_id AS __id, c.cent_id,
@@ -3717,7 +3718,7 @@ def _corpus_oracles() -> dict[str, str]:
                        sqrt(list_sum(list_transform(r, x -> x * x))) AS rnrm
                 FROM recon),
             cents AS (SELECT vec_id AS cent_id, e, nrm FROM n
-                      WHERE vec_id % 250 = 0),
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
             assign AS (
                 SELECT __id, cent_id FROM (
                     SELECT a.vec_id AS __id, c.cent_id,

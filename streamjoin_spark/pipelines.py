@@ -334,25 +334,28 @@ def incremental_term_stats(
 
 def sampled_centroids(
     vecs: DataFrame,
-    step: int = 250,
+    n_centroids: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid sample for an IVF index (rows with
-    ``id % step == 0`` — the same law as ``similarity.ivf_topk``), collected
-    to the driver: K = corpus/step rows, the bounded "train on a sample"
-    collect every ANN index build performs. Returns ``[(cent_id, vector)]``
-    sorted by id."""
+    """Deterministic fixed-size centroid sample for an IVF index (the same
+    ``similarity.centroid_sample`` law: the ``n_centroids`` lowest-md5(id)
+    rows — a k-bounded TakeOrderedAndProject, never O(corpus)), collected
+    to the driver: exactly K rows, the bounded "train on a sample" collect
+    every ANN index build performs. K is the explicit FAISS ``nlist`` knob
+    — at 100× the corpus the collect and the downstream broadcast stay the
+    same size. Returns ``[(cent_id, vector)]`` sorted by id."""
+    from .operators.similarity import centroid_sample
+
     rows = (
-        vecs.where(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        centroid_sample(vecs, n_centroids, id_col, vec_col)
         .select(
-            F.col(id_col).alias("__id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            F.col("cent_id").alias("__id"),
+            F.transform(F.col("__cvec"), lambda x: x.cast("double")).alias("__v"),
         )
-        .orderBy("__id")
         .collect()
     )
-    return [(int(r["__id"]), list(r["__v"])) for r in rows]
+    return sorted((int(r["__id"]), list(r["__v"])) for r in rows)
 
 
 def incremental_ivf_lists(

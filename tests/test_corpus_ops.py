@@ -166,7 +166,7 @@ def test_ivf_pq_matches_python_reference(spark):
     import random
 
     rnd = random.Random(11)
-    dim, m, ksub, code_step, cstep = 16, 4, 4, 7, 20
+    dim, m, ksub, code_step, ncent = 16, 4, 4, 7, 2
     rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
@@ -215,7 +215,7 @@ def test_ivf_pq_matches_python_reference(spark):
 
     out = similarity.ivf_pq_topk(
         df, df.where(F.col("vec_id") < 3), k=5,
-        centroid_step=cstep, nprobe=2, dim=dim, m=m, ksub=ksub,
+        n_centroids=ncent, nprobe=2, dim=dim, m=m, ksub=ksub,
         code_step=code_step,
     )
     got = {}

@@ -299,8 +299,14 @@ def test_incremental_ivf_lists_maintained(spark, tmp_path):
     )
     base = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
     ct.merge(vrows(base))
-    cents = sampled_centroids(ct.snapshot(), step=10)
-    assert [c for c, _ in cents] == [0, 10, 20]
+    cents = sampled_centroids(ct.snapshot(), n_centroids=3)
+    # the fixed-K law: the 3 lowest-md5(id) rows, returned sorted by id
+    import hashlib
+
+    expect_ids = sorted(
+        sorted(range(30), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+    )
+    assert [c for c, _ in cents] == expect_ids
 
     w = incremental_ivf_lists(ct, str(tmp_path / "ivf"), cents)
     w.run()
@@ -327,14 +333,16 @@ def test_incremental_ivf_lists_maintained(spark, tmp_path):
     got = {r["vec_id"]: r["cent_id"] for r in w.toDF().collect()}
     assert got == batch_assign()
 
-    # move vector 7 onto centroid 20's exact embedding; delete 3; insert 99
-    target = dict(cents)[20]
+    # move vector 7 onto the last centroid's exact embedding; delete 3;
+    # insert 99
+    last_cid = cents[-1][0]
+    target = dict(cents)[last_cid]
     ct.merge(vrows([(7, target), (99, [0.5] * dim)]))
     ct.delete_where("vec_id = 3")
     w.run()
     got = {r["vec_id"]: r["cent_id"] for r in w.toDF().collect()}
     assert got == batch_assign()
-    assert got[7] == 20 and 3 not in got and 99 in got
+    assert got[7] == last_cid and 3 not in got and 99 in got
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,17 @@ def test_cms_counters_broadcast_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_ivf_centroid_frame_k_bounded(spark, sf_dir):
+    """The IVF centroid sample must compile to a k-bounded
+    TakeOrderedAndProject (fixed n_centroids rows — FAISS nlist), never an
+    O(corpus) filter: the r4 VERDICT's `id % step` law grew the broadcast
+    and the O(N·K) assignment without bound at 100×."""
+    for q in (entry.q_ann_ivf_topk, entry.q_ann_ivf_pq):
+        p = plan_of(q(spark, sf_dir))
+        assert "TakeOrderedAndProject(limit=16" in p, q.__name__
+        assert "BroadcastHashJoin" in p
+
+
 def test_ivf_pq_probes_broadcast_no_python(spark, sf_dir):
     """IVF-PQ: the probe side of the candidate join must broadcast (the
     corpus inverted lists are the big side and stay put), and the whole
