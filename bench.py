@@ -77,10 +77,20 @@ def main() -> None:
                 dt = round(time.monotonic() - t0, 3)
                 if name not in timings or (0 <= dt < timings[name]) or timings[name] < 0:
                     timings[name] = dt
+                # iterative-CC queries: stamp the round count so a slow
+                # recording is diagnosable as iteration-count variance vs
+                # host noise from the stderr log alone (VERDICT r4 #7)
+                extra = ""
+                if name.startswith("dedup_clusters"):
+                    from streamjoin_spark.operators import dedup as _dd
+
+                    alg = "star" if name.endswith("star") else "label"
+                    r = _dd.LAST_CC_ROUNDS.get(alg)
+                    extra = f" cc_rounds={r}" if r is not None else ""
                 if attempt == 0:
-                    print(f"# {name}: {dt}s rows={n}", file=sys.stderr, flush=True)
+                    print(f"# {name}: {dt}s rows={n}{extra}", file=sys.stderr, flush=True)
                 else:
-                    print(f"# {name} (best): {timings[name]}s", file=sys.stderr, flush=True)
+                    print(f"# {name} (best): {timings[name]}s{extra}", file=sys.stderr, flush=True)
             except Exception as e:  # noqa: BLE001 — record failure, keep benching
                 timings.setdefault(name, -1.0)
                 print(f"# bench failure {name}: {e}", file=sys.stderr, flush=True)

@@ -26,6 +26,10 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# rounds taken by the most recent connected_components call, per algorithm
+# ("label"/"star") — bench telemetry; see connected_components
+LAST_CC_ROUNDS: dict[str, int] = {}
+
 
 def latest_per_key(
     df: DataFrame,
@@ -435,11 +439,16 @@ def connected_components(
     is NULL, exiting after one round unconverged).
     """
     if algorithm == "star":
-        labels, _ = _cc_star(pairs, src, dst, max_iter)
+        labels, rounds = _cc_star(pairs, src, dst, max_iter)
     elif algorithm == "label":
-        labels, _ = _cc_label(pairs, src, dst, max_iter)
+        labels, rounds = _cc_label(pairs, src, dst, max_iter)
     else:
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    # round-count telemetry: CC runs its loop eagerly (convergence probes
+    # are actions), so callers — bench.py in particular — can read how many
+    # rounds the last call took and tell iteration-count variance apart
+    # from host noise in round-over-round timings
+    LAST_CC_ROUNDS[algorithm] = rounds
     return labels
 
 
