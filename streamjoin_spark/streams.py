@@ -106,6 +106,23 @@ class Stream:
                 ChangeTable(spark, path.rstrip("/")), name,
                 startingVersion=startingVersion,
             )
+        from .sources.delta import has_delta, is_delta_path
+
+        if is_delta_path(path.rstrip("/")):
+            # an existing Delta table root (the reference's native source):
+            # route through the CDF interop adapter when the runtime is
+            # present, fail with guidance instead of misreading the parquet
+            # parts as a static table when it is not
+            if not has_delta():
+                raise ImportError(
+                    f"{path!r} is a Delta table (_delta_log present) but "
+                    "delta-spark is not installed; pip install delta-spark "
+                    "or read a native ChangeTable path instead"
+                )
+            return Stream.fromDelta(
+                spark, path.rstrip("/"), name=name,
+                startingVersion=startingVersion,
+            )
         if startingVersion is not None:
             raise ValueError(
                 f"startingVersion requires a versioned (ChangeTable) path; "
@@ -148,6 +165,42 @@ class Stream:
             lambda version: spark.read.table(table),
         )
         s._table_name = table
+        return s
+
+    @staticmethod
+    def fromDelta(
+        spark: SparkSession,
+        source: str,
+        table: bool = False,
+        name: str | None = None,
+        startingVersion: int | None = None,
+    ) -> "Stream":
+        """Incremental source over a REAL Delta Lake table with CDF enabled
+        — the migration bridge for reference users (the reference reads
+        Delta CDF natively, elzyme/streams.py:126-144). ``source`` is a
+        table path by default, a catalog name with ``table=True``. The
+        Delta table rides the same ChangeTable duck surface
+        (sources/delta.DeltaSourceTable), so it can feed any incremental
+        pipeline: snapshots pin with ``versionAsOf``, the change feed is
+        the normalized CDF batch read, and the microbatch governor's byte
+        budget comes from commit operationMetrics. Deltas PROPAGATE by
+        default here (Delta CDF carries them; the reference filters them —
+        chain ``.ignoreDeletes()`` for strict reference behavior). Targets
+        stay native: a Delta source never becomes a write target.
+        Requires delta-spark (raises ImportError with guidance otherwise).
+        """
+        from .sources.delta import DeltaSourceTable
+
+        adapter = (
+            DeltaSourceTable(spark, table=source, name=name)
+            if table
+            else DeltaSourceTable(spark, path=source, name=name)
+        )
+        s = Stream.fromChangeTable(adapter, adapter.name, startingVersion)
+        if table:
+            s._table_name = source
+        else:
+            s._path = source
         return s
 
     @staticmethod
