@@ -486,6 +486,94 @@ def audio_fingerprint(
     return agg.select("doc_id", F.array_join(bits, "").alias("afp"))
 
 
+def _afp_from_bytes(
+    data: bytes, bytes_per_window: int, n_bits: int, decoder
+) -> str:
+    """Pure-Python rendition of the ``audio_fingerprint`` law for ONE
+    payload: capped windowing, per-window RMS via ``decoder``, energy-diff
+    sign bits, length-salted md5 padding. Kept in exact lockstep with the
+    Column-expression law (pinned by
+    tests/test_corpus_ops.py::test_audio_afp_row_local_matches_batch)."""
+    data = data[: (n_bits + 1) * bytes_per_window]
+    n_win = max(-(-len(data) // bytes_per_window), 1)
+    n_win = min(n_win, n_bits + 1)
+    rms = [
+        decoder(data[k * bytes_per_window : (k + 1) * bytes_per_window])[0]
+        for k in range(n_win)
+    ]
+    padh = hashlib.md5(str(n_win).encode()).hexdigest()
+    bits = []
+    for i in range(1, n_bits + 1):
+        if n_win >= i + 1:
+            bits.append("1" if rms[i] > rms[i - 1] else "0")
+        else:
+            bits.append(str(int(padh[(i - 1) % 16], 16) % 2))
+    return "".join(bits)
+
+
+def audio_afp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bytes_per_window: int = 4000,
+    n_bits: int = 64,
+    decode: str = "fake",
+    extra_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """ROW-LOCAL audio fingerprint: one input row → one ``(doc_id, afp)``
+    row, bit-identical to ``audio_fingerprint`` (same window/RMS/padding
+    law), but each recording's windows fold INSIDE its own Arrow row
+    instead of a cross-row ``collect_list`` groupBy. That makes it legal
+    as an incremental source transform: a change frame carries pre- AND
+    post-images of one key, and the batch operator's groupBy would merge
+    them into a garbage signature (the row-locality contract,
+    pipelines.simhash_segment_rows precedent) — here each image
+    fingerprints independently.
+
+    Scale posture: the payload is truncated JVM-side to
+    ``(n_bits+1)·bytes_per_window`` BEFORE the Arrow stage (filters do not
+    push through mapInPandas), so Python work per recording is bounded
+    regardless of duration; ``extra_cols`` (change-feed metadata) ride
+    through the pandas stage row-by-row, never joined back on the id.
+    Parallelism is across recordings — right for the incremental path's
+    bounded slices; the batch operator's window-exploded form remains the
+    better shape for one huge backfill of hour-long blobs.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+    extra_cols = list(extra_cols)
+    cap = (n_bits + 1) * bytes_per_window
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).substr(F.lit(1), F.lit(cap)).alias("payload"),
+        *extra_cols,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("afp", T.StringType()),
+        ]
+        + [src.schema[c] for c in extra_cols]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _real_audio_decode if decode == "real" else _fake_audio_decode
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "afp": [
+                    _afp_from_bytes(bytes(b), bytes_per_window, n_bits, decoder)
+                    for b in pdf["payload"]
+                ],
+            }
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def audio_neardup_pairs(
     df: DataFrame,
     payload_col: str = "payload",

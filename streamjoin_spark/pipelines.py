@@ -611,6 +611,232 @@ def incremental_image_pairs(
     )
 
 
+def afp_segment_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bytes_per_window: int = 4000,
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    suffix: str = "",
+) -> DataFrame:
+    """Row-local audio-fingerprint segment rows for the incremental audio
+    near-dup pipeline: per input row, the energy-diff fingerprint
+    (``multimodal.audio_afp`` — bit-identical to the batch
+    ``audio_fingerprint`` law, but folded inside its own Arrow row, so
+    pre-/post-images of one recording never merge) split into
+    ``max_hamming + 1`` pigeonhole segments. Same segment law as
+    ``dedup.signature_pairs``; payload truncated JVM-side before the Arrow
+    stage. Output: ``{id}{suffix}, seg{suffix}, sv{suffix},
+    afp{suffix}`` (+ metadata)."""
+    from .operators.multimodal import audio_afp
+    from .streams import METADATA_COLUMNS
+
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    hashed = audio_afp(
+        df, payload_col, id_col, bytes_per_window, n_bits, extra_cols=meta
+    ).withColumnRenamed("doc_id", "__pid")
+    n_seg = max_hamming + 1
+    segs, pos = [], 1
+    for s in range(n_seg):
+        ln = n_bits // n_seg + (1 if s < n_bits % n_seg else 0)
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.substring("afp", pos, ln).alias("sv"),
+            )
+        )
+        pos += ln
+    return hashed.select(
+        F.col("__pid").alias(f"{id_col}{suffix}"),
+        F.explode(F.array(*segs)).alias("__x"),
+        F.col("afp").alias(f"afp{suffix}"),
+        *meta,
+    ).select(
+        f"{id_col}{suffix}",
+        F.col("__x.seg").alias(f"seg{suffix}"),
+        F.col("__x.sv").alias(f"sv{suffix}"),
+        f"afp{suffix}",
+        *meta,
+    )
+
+
+def incremental_audio_pairs(
+    docs: ChangeTable,
+    path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bytes_per_window: int = 4000,
+    n_bits: int = 64,
+    max_hamming: int = 3,
+):
+    """Continuously maintained audio near-duplicate pairs — the incremental
+    twin of ``multimodal.audio_neardup_pairs`` (same fingerprint and
+    pigeonhole laws), VERDICT r4 #3: ingesting, re-mastering or deleting a
+    recording adds/retracts exactly its pairs, decoding each changed
+    payload once inside the slice. Structure mirrors
+    ``incremental_image_pairs``: two segment streams self-join on
+    (segment, value) with ``doc_a < doc_b``, exact hamming filters
+    row-locally, a pair-keyed groupBy dedups across segments.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    def seg(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            return afp_segment_rows(
+                df, payload_col, id_col, bytes_per_window, n_bits,
+                max_hamming, suffix=suffix,
+            )
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(docs, f"{docs.name}_afp_a")
+        .primaryKeys("doc_a", "seg_a")
+        .to(seg("_a"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_a", "doc_a"))
+    )
+    b = (
+        Stream.fromChangeTable(docs, f"{docs.name}_afp_b")
+        .primaryKeys("doc_b", "seg_b")
+        .to(seg("_b"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_b", "doc_b"))
+    )
+    from .operators.dedup import _hamming
+
+    def ham_filter(df: DataFrame) -> DataFrame:
+        h = _hamming(F.col("afp_a"), F.col("afp_b"), n_bits)
+        return df.withColumn("__h", h).where(F.col("__h") <= max_hamming)
+
+    return (
+        a.join(b, "inner")
+        .on(
+            (a["seg_a"] == b["seg_b"])
+            & (a["sv_a"] == b["sv_b"])
+            & (a["doc_a"] < b["doc_b"])
+        )
+        .select(a["doc_a"], a["seg_a"], b["doc_b"], b["seg_b"],
+                a["afp_a"], b["afp_b"])
+        .to(ham_filter)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("__h").alias("hamming"))
+        .writeToPath(path)
+    )
+
+
+def video_frame_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    n_frames: int = 8,
+    suffix: str = "",
+) -> DataFrame:
+    """Row-local video frame-fingerprint rows: one input row fans out into
+    ≤ ``n_frames`` ``({id}{suffix}, frame{suffix}, fp{suffix})`` rows —
+    the same law as ``multimodal.video_fingerprints`` (fixed-offset
+    JVM-side binary slicing, <4-byte tail frames dropped, per-frame
+    perceptual hash through the Arrow image path). Row-local fan-out
+    (every output row derives from ONE input row, the
+    ``minhash_band_rows`` contract), metadata pass-through."""
+    from .operators.multimodal import image_phash
+    from .streams import METADATA_COLUMNS
+
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    frames = (
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.col(payload_col).alias("payload"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_frames - 1))
+            ).alias("frame_idx"),
+            *meta,
+        )
+        .select(
+            "__vid",
+            "frame_idx",
+            F.col("payload")
+            .substr(
+                F.col("frame_idx") * F.lit(frame_bytes) + F.lit(1),
+                F.lit(frame_bytes),
+            )
+            .alias("frame"),
+            *meta,
+        )
+        .where(F.length("frame") >= 4)
+    )
+    hashed = image_phash(
+        frames, "frame", "__vid", extra_cols=["frame_idx", *meta]
+    )
+    return hashed.select(
+        F.col("doc_id").alias(f"{id_col}{suffix}"),
+        F.col("frame_idx").alias(f"frame{suffix}"),
+        F.col("phash").alias(f"fp{suffix}"),
+        *meta,
+    )
+
+
+def incremental_video_pairs(
+    docs: ChangeTable,
+    path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    n_frames: int = 8,
+    min_shared: int = 2,
+):
+    """Continuously maintained video near-duplicate pairs — the incremental
+    twin of ``multimodal.video_neardup_pairs(max_fp_df=None)`` (VERDICT r4
+    #3): videos sharing ≥ ``min_shared`` distinct frame fingerprints, kept
+    converged under CDC. The frame streams are row-local fan-outs
+    (``video_frame_rows``), the candidate join keys on the fingerprint
+    itself (uniform equi-join, never all-pairs), and the pair aggregate is
+    ``countDistinct`` — non-additive, so touched pairs ride the
+    dirty-group recompute path and retract exactly; the ``min_shared``
+    floor is a post-agg ``.to`` filter, so a pair dropping below the floor
+    becomes a delete via replace_keys scope-diff.
+
+    The batch tier's hot-frame cap (``max_fp_df``) is a corpus-global
+    frequency aggregate and intentionally NOT maintained here — a frame
+    crossing the hotness threshold would retract pairs across the whole
+    corpus, the opposite of incremental. Deploy the cap by periodic batch
+    rebuild when boilerplate frames are a concern; the maintained pipeline
+    stays exact without it.
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    def fr(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            return video_frame_rows(
+                df, payload_col, id_col, frame_bytes, n_frames, suffix=suffix
+            )
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(docs, f"{docs.name}_vf_a")
+        .primaryKeys("doc_a", "frame_a")
+        .to(fr("_a"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_a", "doc_a"))
+    )
+    b = (
+        Stream.fromChangeTable(docs, f"{docs.name}_vf_b")
+        .primaryKeys("doc_b", "frame_b")
+        .to(fr("_b"))
+        .to(lambda df: df.withColumnRenamed(f"{id_col}_b", "doc_b"))
+    )
+    return (
+        a.join(b, "inner")
+        .on((a["fp_a"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"]))
+        .select(a["doc_a"], a["frame_a"], b["doc_b"], b["frame_b"],
+                a["fp_a"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("fp_a")).alias("n_shared"))
+        .to(lambda df: df.where(F.col("n_shared") >= min_shared))
+        .writeToPath(path)
+    )
+
+
 def simhash_segment_rows(
     df: DataFrame,
     text_col: str = "text",

@@ -1343,3 +1343,33 @@ def test_video_neardup_shared_frames(spark):
     capped = {(r["doc_a"], r["doc_b"]): r["n_shared"]
               for r in video_neardup_pairs(df, max_fp_df=2, **kw).collect()}
     assert capped == {(1, 2): 2}               # a + b only; (1,3)/(2,3) gone
+
+
+def test_audio_afp_row_local_matches_batch(spark):
+    """audio_afp (row-local, the incremental pipeline's Arrow transform)
+    is bit-identical to audio_fingerprint (batch, window-exploded +
+    collect_list) across the law's edge shapes: multi-window, one-window,
+    exact-multiple length, beyond-cap length, empty payload."""
+    from streamjoin_spark.operators.multimodal import (
+        audio_afp,
+        audio_fingerprint,
+    )
+
+    rows = [
+        (1, "abcdefgh" * 40),        # many full windows
+        (2, "xy"),                   # single partial window
+        (3, "abcd" * 4),             # exact window multiples
+        (4, "q" * 4 * 40),           # longer than the (n_bits+1)-window cap
+        (5, ""),                     # empty payload
+        (6, "abcdefgh" * 40),        # byte-identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    kw = dict(bytes_per_window=4, n_bits=16)
+    batch = {r["doc_id"]: r["afp"]
+             for r in audio_fingerprint(df, **kw).collect()}
+    local = {r["doc_id"]: r["afp"] for r in audio_afp(df, **kw).collect()}
+    assert local == batch
+    assert local[1] == local[6]
+    assert all(len(v) == 16 for v in local.values())

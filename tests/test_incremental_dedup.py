@@ -511,3 +511,128 @@ def test_incremental_simhash_pairs_maintained(spark, tmp_path, docs_ct):
     docs_ct.delete_where("doc_id = 4")
     w.run()
     check()
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup pairs (energy-diff fingerprints)
+# ---------------------------------------------------------------------------
+def test_incremental_audio_pairs_maintained(spark, tmp_path):
+    """incremental_audio_pairs converges to the batch twin
+    (multimodal.audio_neardup_pairs) under ingest / re-master / delete:
+    the row-local audio_afp transform keeps pre-/post-images separate, so
+    a re-mastered recording retracts its old pairs exactly."""
+    from streamjoin_spark.operators.multimodal import audio_neardup_pairs
+    from streamjoin_spark.pipelines import incremental_audio_pairs
+
+    AUD = "doc_id long, payload binary"
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "auds"),
+        spark.createDataFrame([], AUD).schema, ["doc_id"],
+    )
+
+    def arows(data):
+        return spark.createDataFrame(
+            [(i, t.encode()) for i, t in data], AUD
+        )
+
+    KW = dict(bytes_per_window=4, n_bits=16, max_hamming=3)
+
+    def twin():
+        return audio_neardup_pairs(ct.snapshot(), **KW)
+
+    def check(w):
+        got = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in w.toDF().collect()}
+        want = {(r["doc_a"], r["doc_b"], r["hamming"])
+                for r in twin().collect()}
+        assert got == want, f"only-inc={got - want} only-batch={want - got}"
+
+    w = incremental_audio_pairs(ct, str(tmp_path / "apairs"), **KW)
+    base = "abcdefgh" * 10                      # 20 windows of 4 bytes
+    tweaked = base[:8] + "QQQQ" + base[12:]     # one window re-recorded
+    ct.merge(arows([
+        (1, base),
+        (2, tweaked),                           # near-dup of 1 (≤2 bits)
+        (3, "zyxwvuts" * 10),                   # unrelated
+    ]))
+    w.run()
+    check(w)
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+
+    # re-master 2 away from 1 -> pair retracts; exact copy of 3 appears
+    ct.merge(arows([
+        (2, "totally different sound " * 4),
+        (4, "zyxwvuts" * 10),
+    ]))
+    w.run()
+    check(w)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+    assert (1, 2) not in pairs and (3, 4) in pairs
+
+    # delete one member of the surviving pair
+    ct.delete_where("doc_id = 4")
+    w.run()
+    check(w)
+
+
+# ---------------------------------------------------------------------------
+# video near-dup pairs (shared frame fingerprints)
+# ---------------------------------------------------------------------------
+def test_incremental_video_pairs_maintained(spark, tmp_path):
+    """incremental_video_pairs converges to the batch twin
+    (multimodal.video_neardup_pairs with the corpus-global hot-frame cap
+    off) under ingest / re-edit / delete; a pair dropping below
+    min_shared retracts via the post-agg filter + scope-diff."""
+    from streamjoin_spark.operators.multimodal import video_neardup_pairs
+    from streamjoin_spark.pipelines import incremental_video_pairs
+
+    VID = "doc_id long, payload binary"
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "vids"),
+        spark.createDataFrame([], VID).schema, ["doc_id"],
+    )
+
+    def vrows(data):
+        return spark.createDataFrame(
+            [(i, t.encode()) for i, t in data], VID
+        )
+
+    seg = lambda tag: (tag * 80)[:64]           # one distinct 64-byte frame
+    KW = dict(frame_bytes=64, n_frames=8, min_shared=2)
+
+    def twin():
+        return video_neardup_pairs(ct.snapshot(), max_fp_df=None, **KW)
+
+    def check(w):
+        got = {(r["doc_a"], r["doc_b"], r["n_shared"])
+               for r in w.toDF().collect()}
+        want = {(r["doc_a"], r["doc_b"], r["n_shared"])
+                for r in twin().collect()}
+        assert got == want, f"only-inc={got - want} only-batch={want - got}"
+
+    w = incremental_video_pairs(ct, str(tmp_path / "vpairs"), **KW)
+    ct.merge(vrows([
+        (1, seg("a") + seg("b") + seg("c")),
+        (2, seg("a") + seg("b")),               # trimmed copy of 1
+        (3, seg("x") + seg("y")),               # unrelated
+    ]))
+    w.run()
+    check(w)
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in w.toDF().collect()}
+    assert got == {(1, 2): 2}
+
+    # re-edit 2: one shared frame left -> drops below min_shared, retracts;
+    # a new two-frame overlap with 3 appears
+    ct.merge(vrows([
+        (2, seg("a") + seg("q")),
+        (4, seg("x") + seg("y") + seg("w")),
+    ]))
+    w.run()
+    check(w)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+    assert (1, 2) not in pairs and (3, 4) in pairs
+
+    ct.delete_where("doc_id = 3")
+    w.run()
+    check(w)
