@@ -52,6 +52,12 @@ __all__ = [
     "incremental_image_pairs",
     "simhash_segment_rows",
     "incremental_simhash_pairs",
+    "afp_segment_rows",
+    "incremental_audio_pairs",
+    "video_frame_rows",
+    "incremental_video_pairs",
+    "DedupChain",
+    "incremental_dedup_chain",
 ]
 
 
@@ -1011,3 +1017,124 @@ def incremental_hll(
         )
         .writeToPath(path)
     )
+
+
+class DedupChain:
+    """Handle for a depth-3 chained incremental curation pipeline
+    (``incremental_dedup_chain``): three writers over three maintained
+    ChangeTables, each consuming the previous stage's CHANGE FEED.
+    ``run()`` drains them in topological order (each stage's ``run`` is an
+    availableNow trigger, so one pass converges the whole chain to the
+    current source head)."""
+
+    def __init__(self, view, pairs, assign):
+        self.view = view
+        self.pairs = pairs
+        self.assign = assign
+
+    def run(self) -> int:
+        n = self.view.run()
+        n += self.pairs.run()
+        n += self.assign.run()
+        return n
+
+
+def incremental_dedup_chain(
+    docs: ChangeTable,
+    base_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DedupChain:
+    """Depth-3 incremental curation chain where every stage is a MAINTAINED
+    view feeding the next stage's change feed — the composition story: a
+    writer's target is an ordinary ChangeTable, so downstream pipelines
+    chain off it exactly as off a source table (reference pipelines chain
+    Delta tables the same way; here each hop stays incremental end-to-end).
+
+    - **stage 1 — fingerprint view** (``{base}/fp_view``): row-local
+      projection ``(doc_id, n_tokens, fp = md5(normalized text))``.
+    - **stage 2 — dedup pairs** (``{base}/pairs``): self-join of the
+      VIEW's change feed on ``fp`` with ``doc_a < doc_b`` — exact-dup
+      candidate pairs, keyed ``(doc_a, doc_b)``. A doc rewrite flows as
+      view-delete + view-insert and retracts/registers exactly its pairs.
+    - **stage 3 — cluster assignment** (``{base}/assign``): one-hop
+      canonicalization off the PAIRS feed — each pair fans out row-locally
+      into two member rows labeled ``doc_a`` (the smaller id), and
+      ``groupBy(member).min(label)`` elects the group minimum. Exact for
+      exact-dup groups (same-fp sets are cliques: every member pairs with
+      the group min); singletons carry no row — "not a duplicate" is the
+      absence of an assignment. For non-clique pair graphs (transitive
+      fuzzy chains) use ``dedup.connected_components`` in batch; iterative
+      global fixpoints are a rebuild, not a maintained view.
+
+    Scale: stage 1 is map-only; stage 2 shuffles on ``fp`` (uniform key);
+    stage 3 shuffles on pair keys then members — all three governed
+    (chunked backlog, guarded broadcasts). Differential CDC coverage:
+    tests/test_incremental_dedup.py::test_incremental_dedup_chain_depth3.
+    """
+    from .functions import normalize_text, token_count
+    from .streams import METADATA_COLUMNS
+
+    def enrich(df: DataFrame) -> DataFrame:
+        meta = [c for c in METADATA_COLUMNS if c in df.columns]
+        return df.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+            F.md5(normalize_text(F.col(text_col))).alias("fp"),
+            *meta,
+        )
+
+    w_view = (
+        Stream.fromChangeTable(docs, f"{docs.name}_fpview")
+        .primaryKeys(id_col)
+        .to(enrich)
+        .writeToPath(f"{base_path}/fp_view")
+    )
+    view_ct = w_view.target  # forces the build; the view table now exists
+
+    def side(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            meta = [c for c in METADATA_COLUMNS if c in df.columns]
+            return df.select(
+                F.col(id_col).alias(f"doc{suffix}"),
+                F.col("fp").alias(f"fp{suffix}"),
+                *meta,
+            )
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(view_ct, "fp_a")
+        .primaryKeys("doc_a")
+        .to(side("_a"))
+    )
+    b = (
+        Stream.fromChangeTable(view_ct, "fp_b")
+        .primaryKeys("doc_b")
+        .to(side("_b"))
+    )
+    w_pairs = (
+        a.join(b, "inner")
+        .on((a["fp_a"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"]))
+        .select(a["doc_a"], b["doc_b"], a["fp_a"])
+        .writeToPath(f"{base_path}/pairs")
+    )
+    pairs_ct = w_pairs.target
+
+    def members(df: DataFrame) -> DataFrame:
+        meta = [c for c in METADATA_COLUMNS if c in df.columns]
+        m = F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("member")
+        return df.select(
+            m, F.col("doc_a"), F.col("doc_b"),
+            F.col("doc_a").alias("label"), *meta,
+        )
+
+    w_assign = (
+        Stream.fromChangeTable(pairs_ct, "pair_members")
+        .primaryKeys("member", "doc_a", "doc_b")
+        .to(members)
+        .groupBy("member")
+        .agg(F.min("label").alias("cluster"))
+        .writeToPath(f"{base_path}/assign")
+    )
+    return DedupChain(w_view, w_pairs, w_assign)

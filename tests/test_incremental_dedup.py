@@ -636,3 +636,75 @@ def test_incremental_video_pairs_maintained(spark, tmp_path):
     ct.delete_where("doc_id = 3")
     w.run()
     check(w)
+
+
+# ---------------------------------------------------------------------------
+# depth-3 chained maintained views: view -> pairs -> cluster assignment
+# ---------------------------------------------------------------------------
+def test_incremental_dedup_chain_depth3(spark, tmp_path, docs_ct):
+    """incremental_dedup_chain keeps a 3-stage curation chain converged
+    under CDC, every stage consuming the PREVIOUS maintained table's
+    change feed: fingerprint view -> exact-dup pairs -> one-hop cluster
+    assignment. Each stage is compared to its own batch twin computed
+    from the docs snapshot after every round of changes."""
+    from streamjoin_spark.functions import normalize_text, token_count
+    from streamjoin_spark.pipelines import incremental_dedup_chain
+
+    chain = incremental_dedup_chain(docs_ct, str(tmp_path / "chain"))
+
+    def view_twin():
+        return docs_ct.snapshot().select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.md5(normalize_text(F.col("text"))).alias("fp"),
+        )
+
+    def pairs_twin():
+        v = view_twin()
+        a = v.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+        b = v.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+        return a.join(
+            b, (a["fp_a"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"])
+        ).select("doc_a", "doc_b", "fp_a")
+
+    def assign_twin():
+        p = pairs_twin()
+        return (
+            p.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("member"),
+                F.col("doc_a").alias("label"),
+            )
+            .groupBy("member")
+            .agg(F.min("label").alias("cluster"))
+        )
+
+    def check():
+        assert_same(chain.view.toDF(), view_twin())
+        assert_same(chain.pairs.toDF(), pairs_twin())
+        assert_same(chain.assign.toDF(), assign_twin())
+
+    docs_ct.merge(d_rows(spark, [
+        (1, "the cat sat"), (2, "The  CAT sat"),     # dup group {1,2}
+        (3, "other words"), (4, "other words"),       # dup group {3,4}
+        (5, "a singleton document"),
+    ]))
+    chain.run()
+    check()
+    got = {r["member"]: r["cluster"] for r in chain.assign.toDF().collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}            # singletons carry no row
+
+    # rewrite 2 into group {3,4}: pairs retract + register through the
+    # chain; cluster of 2 moves
+    docs_ct.merge(d_rows(spark, [(2, "other words")]))
+    chain.run()
+    check()
+    got = {r["member"]: r["cluster"] for r in chain.assign.toDF().collect()}
+    assert got == {2: 2, 3: 2, 4: 2}                   # 1 now a singleton
+
+    # delete the group min: assignment re-elects through the agg recompute
+    docs_ct.delete_where("doc_id = 2")
+    docs_ct.merge(d_rows(spark, [(6, "the cat sat")]))
+    chain.run()
+    check()
+    got = {r["member"]: r["cluster"] for r in chain.assign.toDF().collect()}
+    assert got == {3: 3, 4: 3, 1: 1, 6: 1}
