@@ -2824,6 +2824,163 @@ def q_ewma_user_value(spark, sf_dir):
     return out.select("user_id", "event_id", "value", "ewma")
 
 
+# ---------------------------------------------------------------------------
+# IVM end-to-end under the oracle gate: the incremental runtime itself
+# (ChangeTable CDC -> governed drain -> maintained state), driver-checkable.
+# Each query builds fresh ChangeTables in a temp dir, drains the pipeline,
+# applies one deterministic CDC round (update + delete + insert), drains
+# again, and returns the MAINTAINED table; the DuckDB oracle computes the
+# same result directly over the simulated final state — equality proves
+# insert/update/delete retraction through streaming/incremental.py, not
+# just the batch twins. (r4 VERDICT: "incremental pipelines are CDC-tested
+# only" — these put the runtime inside the correctness gate.)
+# ---------------------------------------------------------------------------
+def q_ivm_exact_dedup(spark, sf_dir):
+    """IVM e2e: incremental exact-dedup state after a CDC round — docs with
+    doc_id % 7 == 0 rewritten (moves them between content groups), docs
+    with doc_id % 11 == 3 deleted (shrinks/deletes groups, re-elects
+    keep_id via dirty-group recompute). Maintained table ≡ exact_dedup of
+    the final corpus (pipelines.incremental_exact_dedup)."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.pipelines import incremental_exact_dedup
+
+    # deterministic 1/3 subsample: the e2e check proves the CDC paths,
+    # not throughput — keep its bench cost proportionate (same filter in
+    # the oracle)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_dedup_")
+    ct = ChangeTable.create(
+        spark, f"{base}/docs", docs.schema, ["doc_id"], n_buckets=8
+    )
+    ct.merge(docs)
+    w = incremental_exact_dedup(ct, f"{base}/state")
+    w.run()
+    ct.merge(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" rewritten")).alias("text"),
+        )
+    )
+    ct.delete_where("doc_id % 11 = 3")
+    w.run()
+    return w.toDF()
+
+
+def q_ivm_join_cdc(spark, sf_dir):
+    """IVM e2e: incremental customer⋈orders state after a CDC round —
+    customers with c_custkey % 5 == 0 re-segmented (updates fan out to all
+    their order rows via the probe leg), orders with o_orderkey % 13 == 1
+    deleted (join rows retract), orders with o_orderkey % 17 == 2 cloned
+    under new keys (inserts join in). Maintained table ≡ the plain join
+    of the final states (streaming/incremental.py _JoinStage)."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    # deterministic 1/4 order subsample (see q_ivm_exact_dedup)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_join_")
+    cct = ChangeTable.create(
+        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+    )
+    oct_ = ChangeTable.create(
+        spark, f"{base}/o", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    cct.merge(cust)
+    oct_.merge(orders)
+    c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
+    o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
+    w = (
+        c.join(o, "inner")
+        .on(c["c_custkey"] == o["o_custkey"])
+        .select(c["c_custkey"], c["c_mktsegment"],
+                o["o_orderkey"], o["o_totalprice"])
+        .writeToPath(f"{base}/state")
+    )
+    w.run()
+    cct.merge(
+        cust.where(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", "c_name", F.lit("MOVED").alias("c_mktsegment")
+        )
+    )
+    oct_.delete_where("o_orderkey % 13 = 1")
+    oct_.merge(
+        orders.where(F.col("o_orderkey") % 17 == 2).select(
+            (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    w.run()
+    return w.toDF()
+
+
+def q_ivm_agg_cdc(spark, sf_dir):
+    """IVM e2e: incremental grouped aggregation after a CDC round that
+    exercises BOTH non-insert paths — orders with o_orderkey % 19 == 0
+    move to a new priority group (retract from old, add to new), orders
+    with o_orderkey % 13 == 1 delete (pure retraction; an all-deleted
+    group must vanish, not zero out). Maintained table ≡ the aggregate of
+    the final state; the decimal-sum-cast-double law keeps the float
+    bit-reproducible across engines (repo invariant)."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream
+
+    # deterministic 1/4 order subsample (see q_ivm_exact_dedup)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_agg_")
+    oct_ = ChangeTable.create(
+        spark, f"{base}/o", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    oct_.merge(orders)
+    o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
+    w = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+            ).cast("double").alias("total_price"),
+        )
+        .writeToPath(f"{base}/state")
+    )
+    w.run()
+    oct_.merge(
+        orders.where(F.col("o_orderkey") % 19 == 0).select(
+            "o_orderkey",
+            F.lit("9-MOVED").alias("o_orderpriority"),
+            "o_totalprice",
+        )
+    )
+    oct_.delete_where("o_orderkey % 13 = 1")
+    w.run()
+    return w.toDF()
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -2957,6 +3114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "ewma_user_value": q_ewma_user_value,
         "cross_corpus_neardup": q_cross_corpus_neardup,
+        "ivm_exact_dedup": q_ivm_exact_dedup,
+        "ivm_join_cdc": q_ivm_join_cdc,
+        "ivm_agg_cdc": q_ivm_agg_cdc,
     }
 
 
@@ -5603,4 +5763,47 @@ def oracle_sql() -> dict[str, str]:
     # the star-contraction CC variant computes the identical labeling —
     # same transitive-closure oracle
     out["dedup_clusters_star"] = out["dedup_clusters"]
+    # IVM e2e oracles: DuckDB computes the result directly over the
+    # SIMULATED final state (base tables + the deterministic CDC round the
+    # Spark query applies through the incremental runtime) — equality is
+    # the differential-CDC check, driver-stamped.
+    out["ivm_exact_dedup"] = r"""
+        WITH final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rewritten'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 3)
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS content_md5,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM final GROUP BY 1
+    """
+    out["ivm_join_cdc"] = """
+        WITH final_c AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer),
+        final_o AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 4 = 0 AND o_orderkey % 13 <> 1
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 17 = 2)
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM final_c c JOIN final_o o ON c.c_custkey = o.o_custkey
+    """
+    out["ivm_agg_cdc"] = """
+        WITH final_o AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 19 = 0 THEN '9-MOVED'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 13 <> 1)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM final_o GROUP BY 1
+    """
     return out

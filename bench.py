@@ -56,10 +56,19 @@ def main() -> None:
     ).count()
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
+    # the ivm_* end-to-end queries drive the full CDC runtime (ChangeTable
+    # create + bulk merge + drain + CDC round + drain, all in a temp dir):
+    # their wall time is COMMIT-MACHINERY latency, ~flat at any sf (measured
+    # 12-23 s at sf0.001 and sf0.01 alike), not query throughput. Timing
+    # them here would distort the throughput metric and trip the outlier
+    # retry on every run; they are covered by the oracle gate
+    # (tools/check_oracle.py) where their differential-CDC equality is the
+    # point.
+    skip = {n for n in qs if n.startswith("ivm_")}
+    names = [n for n in HEADLINE if n in qs and n not in skip]
     # extend with any queries not in the headline list so the bench tracks
     # coverage growth round over round
-    names += [n for n in qs if n not in names]
+    names += [n for n in qs if n not in names and n not in skip]
 
     # best-of-2 per query: this box is a shared VM and host-level CPU steal
     # shows up as multi-minute bursts that can inflate any single run ~10×
