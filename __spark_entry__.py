@@ -2981,6 +2981,24 @@ def q_ivm_agg_cdc(spark, sf_dir):
 
 
 
+def q_ann_ivf_refined(spark, sf_dir):
+    """IVF-flat with a k-means-REFINED coarse quantizer: the fixed-K
+    md5-ordered sample seeds one deterministic Lloyd round (L2 assignment,
+    canonical FLOOR-mean recompute — the FAISS coarse-quantizer training
+    step), then the usual cosine assignment/probing runs against the
+    refined centroids (operators/similarity.py refined_centroids +
+    ivf_topk(refine_iters=1))."""
+    _prep(spark)
+    from streamjoin_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5,
+        n_centroids=8, nprobe=2, refine_iters=1,
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3117,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_exact_dedup": q_ivm_exact_dedup,
         "ivm_join_cdc": q_ivm_join_cdc,
         "ivm_agg_cdc": q_ivm_agg_cdc,
+        "ann_ivf_refined": q_ann_ivf_refined,
     }
 
 
@@ -5805,5 +5824,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
                     AS DOUBLE) AS total_price
         FROM final_o GROUP BY 1
+    """
+    out["ann_ivf_refined"] = f"""
+        WITH {_VEC_CTE},
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT)
+                          AS cluster_id, e AS c
+               FROM (SELECT vec_id AS sid, e FROM v
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+        s1 AS (SELECT v.vec_id, v.e, c0.cluster_id,
+                      ROUND(list_sum(list_transform(
+                          generate_series(1, len(v.e)),
+                          i -> (v.e[i] - c0.c[i]) * (v.e[i] - c0.c[i]))),
+                          6) AS dist
+               FROM v CROSS JOIN c0),
+        a1 AS (SELECT vec_id, e, cluster_id FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY dist, cluster_id) AS rn FROM s1)
+               WHERE rn = 1),
+        comps AS (SELECT cluster_id, i AS pos, e[i] AS x
+                  FROM a1, UNNEST(generate_series(1, len(e))) AS t(i)),
+        c1 AS (SELECT cluster_id, pos,
+                      FLOOR(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(27,6)))
+                                 AS DOUBLE)
+                            / COUNT(*) * 1000000.0) / 1000000.0 AS m
+               FROM comps GROUP BY cluster_id, pos),
+        cl AS (SELECT cluster_id AS cent_id, list(m ORDER BY pos) AS e
+               FROM c1 GROUP BY cluster_id),
+        cents AS (SELECT cent_id, e,
+                         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                  FROM cl),
+        assign AS (
+            SELECT __id, cent_id FROM (
+                SELECT a.vec_id AS __id, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COS.format(a="a", b="c")} DESC,
+                                    c.cent_id) AS rn
+                FROM n a CROSS JOIN cents c) WHERE rn = 1),
+        probes AS (
+            SELECT __id AS query_id, cent_id FROM (
+                SELECT q.vec_id AS __id, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS.format(a="q", b="c")} DESC,
+                                    c.cent_id) AS rn
+                FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+            WHERE rn <= 2),
+        scored AS (
+            SELECT p.query_id, a.__id AS neighbor_id,
+                   {_COS.format(a="qn", b="cn")} AS cosine_sim
+            FROM probes p
+            JOIN assign a ON a.cent_id = p.cent_id
+            JOIN n qn ON qn.vec_id = p.query_id
+            JOIN n cn ON cn.vec_id = a.__id
+            WHERE a.__id <> p.query_id)
+        SELECT query_id, neighbor_id, cosine_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM scored) WHERE rn <= 5
     """
     return out

@@ -178,6 +178,46 @@ def centroid_sample(
     )
 
 
+def refined_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means-refined IVF coarse quantizer: seed with the fixed-K
+    ``centroid_sample`` (md5-ordered, k-bounded), then run ``refine_iters``
+    Lloyd rounds of the deterministic distributed k-means
+    (operators/clustering.py — squared-L2 assignment with the canonical
+    FLOOR-mean recompute, the standard "train the coarse quantizer with
+    k-means on L2" step FAISS performs even for IP/cosine indexes).
+    Output: ``(cent_id, __cvec)`` with dense 0..K-1 ids (empty clusters
+    drop, as in any Lloyd implementation).
+
+    Scale: each round is one map-only broadcast assignment over the corpus
+    + one (cluster, dim)-key shuffle whose reduce side is K·dim rows; the
+    K-row centroid frame localCheckpoints per round (iterative-operator
+    invariant). Bit-deterministic end to end, so a DuckDB oracle
+    reproduces the same refined centroids."""
+    from .clustering import assign_clusters, recompute_centroids
+
+    seeds = centroid_sample(corpus, n_centroids, id_col, vec_col)
+    w = Window.orderBy(F.asc("cent_id"))
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cluster_id"),
+        _as_double(F.col("__cvec")).alias("__cv"),
+    ).localCheckpoint(eager=True)
+    body = corpus.select(F.col(id_col), F.col(vec_col))
+    for _ in range(refine_iters):
+        assigned = assign_clusters(body, cents, id_col, vec_col)
+        cents = recompute_centroids(assigned, vec_col).localCheckpoint(
+            eager=True
+        )
+    return cents.select(
+        F.col("cluster_id").alias("cent_id"), F.col("__cv").alias("__cvec")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,6 +226,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the inverted-file ANN tier.
 
@@ -204,9 +245,20 @@ def ivf_topk(
     and the final top-k is a per-query window over candidates. Ties are
     broken on (rounded sim, id) so results are deterministic and
     oracle-checkable. Output schema matches ``cosine_topk``.
+
+    ``refine_iters > 0`` k-means-refines the sampled centroids first
+    (``refined_centroids`` — L2 Lloyd rounds, the FAISS coarse-quantizer
+    training step): better-balanced inverted lists at the cost of
+    ``refine_iters`` extra corpus passes at index-build time; probing is
+    unchanged.
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    cents = F.broadcast(centroid_sample(corpus, n_centroids, id_col, vec_col))
+    if refine_iters > 0:
+        cents = F.broadcast(
+            refined_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+        )
+    else:
+        cents = F.broadcast(centroid_sample(corpus, n_centroids, id_col, vec_col))
     sim_c = F.round(cosine(F.col("__v"), F.col("__cvec")), 6)
     w_assign = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cent_id"))
 

@@ -1421,3 +1421,52 @@ def test_ppjoin_pair_bound_dominated(spark):
         docs, n=2, threshold=t).collect()))
     assert pp == brute
     cands.unpersist()
+
+
+def test_refined_centroids_k_bounded_and_dense(spark):
+    """refined_centroids: Lloyd refinement keeps the coarse quantizer
+    K-bounded with dense 0..K-1 ids (empty clusters drop), and the refined
+    means equal a pure-Python rendition of the canonical-mean law."""
+    import hashlib
+    import random
+
+    from streamjoin_spark.operators.similarity import refined_centroids
+
+    rnd = random.Random(3)
+    dim, K = 4, 3
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cent_id"]: list(r["__cvec"])
+           for r in refined_centroids(df, K, refine_iters=1).collect()}
+    assert set(got) <= set(range(K)) and len(got) >= 1
+
+    # python twin: md5-ordered seeds -> L2 assign (round 6, id tiebreak)
+    # -> canonical FLOOR mean over per-component rounded decimal sums
+    import struct
+    from decimal import Decimal
+
+    vec = {i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+           for i, v in rows}
+    seeds = sorted(
+        sorted(vec, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:K]
+    )
+    cents = {ci: vec[sid] for ci, sid in enumerate(seeds)}
+    members = {}
+    for i, v in vec.items():
+        scored = sorted(
+            (round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6), ci)
+            for ci, c in cents.items()
+        )
+        members.setdefault(scored[0][1], []).append(i)
+    want = {}
+    for ci, ids in members.items():
+        mean = []
+        for p in range(dim):
+            tot = sum(Decimal(str(round(vec[i][p], 6))) for i in ids)
+            import math
+
+            mean.append(math.floor(float(tot) / len(ids) * 1e6) / 1e6)
+        want[ci] = mean
+    assert set(got) == set(want)
+    for ci in want:
+        assert got[ci] == pytest.approx(want[ci], abs=1e-9)
