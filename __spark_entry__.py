@@ -2999,6 +2999,59 @@ def q_ann_ivf_refined(spark, sf_dir):
 
 
 
+def _winnow_sel_sql(k: int, w: int) -> str:
+    """Shared winnowing-selection CTE chain (DuckDB): token k-gram hash64
+    rolling hashes, w-hash windows, rightmost-min selection — the SQL twin
+    of operators/text.py winnow_fingerprints."""
+    return rf"""
+        wbase AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '') AS tk
+            FROM documents),
+        wh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= {k} THEN
+                   list_transform(generate_series(1, len(tk) - {k - 1}),
+                     i -> ('0x' || substr(md5(array_to_string(
+                              tk[i:i+{k - 1}], ' ')), 1, 15))::BIGINT)
+                 ELSE CAST([] AS BIGINT[]) END AS hs
+              FROM wbase),
+        wwnd AS (SELECT doc_id, j, hs[j:j+{w - 1}] AS win
+                 FROM wh, UNNEST(generate_series(1,
+                      GREATEST(len(hs) - {w - 1}, 0))) t(j)),
+        wsel AS (SELECT doc_id,
+                        CAST(j + {w} - list_position(list_reverse(win),
+                                 list_min(win)) AS INT) AS pos,
+                        list_min(win) AS fp
+                 FROM wwnd)
+    """
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints: k-gram hash64
+    hashes, w-window rightmost-min selection — the local, position-robust
+    fingerprint tier (operators/text.py winnow_fingerprints)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=4, w=5
+    )
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS-style overlap pairs: documents sharing >= 2 distinct winnowed
+    fingerprints, hot-fingerprint DF cap at 50% of the corpus
+    (operators/text.py winnow_overlap_pairs)."""
+    _prep(spark)
+    from streamjoin_spark.operators.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=5, min_shared=2,
+        max_fp_df=0.5,
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3136,6 +3189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_cdc": q_ivm_join_cdc,
         "ivm_agg_cdc": q_ivm_agg_cdc,
         "ann_ivf_refined": q_ann_ivf_refined,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
     }
 
 
@@ -5884,5 +5939,22 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY cosine_sim DESC, neighbor_id) AS rn
             FROM scored) WHERE rn <= 5
+    """
+    out["winnow_fingerprints"] = f"""
+        WITH {_winnow_sel_sql(4, 5)}
+        SELECT DISTINCT doc_id, pos, fp FROM wsel
+    """
+    out["winnow_overlap"] = f"""
+        WITH {_winnow_sel_sql(4, 5)},
+        wfps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+        whot AS (SELECT fp FROM wfps GROUP BY fp
+                 HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id)
+                                          FROM documents)),
+        wff AS (SELECT * FROM wfps
+                WHERE fp NOT IN (SELECT fp FROM whot))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM wff a JOIN wff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
     """
     return out

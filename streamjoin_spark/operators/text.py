@@ -500,7 +500,14 @@ def passage_dedup(
     from pyspark.sql import Window
 
     P = passage_tokens
-    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    # two-step projection: materialize the token array before the passage
+    # transform references it — an inline tokens(text) inside the lambda
+    # re-splits the document once per passage (see winnow_fingerprints)
+    docs = docs.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__tk"),
+    )
+    toks = F.col("__tk")
     npass = F.ceil(F.size(toks).cast("double") / F.lit(float(P))).cast("int")
     idx = F.when(npass > 0, F.sequence(F.lit(1), npass)).otherwise(
         F.array().cast("array<int>")
@@ -903,4 +910,129 @@ def perplexity_bands(
         band = F.when(F.col("__bin") >= F.col(f"__t{i}"), i).otherwise(band)
     return banded.select(
         id_col, lang_col, "n_tokens", "avg_logprob", band.alias("band")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every k-token shingle with the
+    cross-engine ``hash64`` law, slide a w-hash window over each document,
+    and select each window's minimum hash — RIGHTMOST occurrence on ties,
+    the paper's rule, which lets adjacent windows reselect the same
+    fingerprint and yields density ~2/(w+1). Guarantee: any shared token
+    run of length ≥ w + k - 1 contributes at least one shared selected
+    fingerprint — the local, position-robust overlap primitive exact-dup
+    md5 fingerprints can't provide (a shared paragraph inside otherwise
+    different documents still collides).
+
+    Pure codegen per row: shingle hashes, windows and the rightmost-argmin
+    are array expressions (``sequence``/``slice``/``array_min``; the
+    rightmost tiebreak is ``array_position`` over the REVERSED window —
+    leftmost in the reversal). ANSI-guarded for docs shorter than k tokens
+    or w hashes (they emit nothing). Output: one row per selected
+    ``(doc_id, pos, fp)`` with ``pos`` the 1-based shingle index.
+
+    100 TB: map-only fan-out (~2·n_tokens/(w+1) rows per doc), zero
+    shuffle here; consumers group/join on ``fp``, a uniform 60-bit key.
+    """
+    from ..functions import hash64, tokens
+
+    # two-step projection ON PURPOSE: materialize the token array as a
+    # real attribute before the shingle transform references it — an
+    # inline `tokens(text)` inside the lambda is re-evaluated PER ELEMENT
+    # (the whole document re-splits once per shingle: measured 4.5×
+    # slower at sf0.1). Same pattern as dedup._shingle_frame.
+    tk = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__tk"),
+    )
+    n = F.size(F.col("__tk"))
+    hs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: hash64(F.concat_ws(" ", F.slice(F.col("__tk"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = tk.select(F.col(id_col), hs.alias("__h"))
+    nh = F.size(F.col("__h"))
+    win = lambda j: F.slice(F.col("__h"), j, w)  # noqa: E731
+    sel = F.when(
+        nh >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nh - (w - 1)),
+                lambda j: F.struct(
+                    (
+                        j + w
+                        - F.array_position(
+                            F.reverse(win(j)), F.array_min(win(j))
+                        ).cast("int")
+                    ).cast("int").alias("pos"),
+                    F.array_min(win(j)).alias("fp"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+    return base.select(F.col(id_col), F.explode(sel).alias("__s")).select(
+        id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_df: float | int | None = 0.5,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` distinct winnowed
+    fingerprints — MOSS-style overlap detection: robust to reordering and
+    surrounding edits (any shared run of w+k-1 tokens fingerprints), the
+    plagiarism/near-boilerplate tier between exact dedup and Jaccard.
+
+    Join key is the fingerprint itself (uniform 60-bit equi-join, never
+    all-pairs); ``max_fp_df`` is the hot-fingerprint guard (the
+    hot-shingle cap physics: a fingerprint shared by m docs contributes m²
+    pairs, and universal boilerplate carries no overlap signal) — a
+    broadcast anti-join drops fingerprints above the document-frequency
+    cap (fraction of the corpus when ≤ 1, absolute otherwise); ``None``
+    disables. Output: ``doc_a < doc_b, n_shared``.
+    """
+    # the fingerprint stage (an md5 per k-gram) feeds FOUR consumers below
+    # (df-frequency agg, the anti-join probe, both self-join sides) —
+    # persist the small (doc, fp) frame so it computes once (the ppjoin
+    # shingle-frame precedent; ~2 selected fps per w+1 tokens, so this is
+    # a fraction of the corpus text size)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("__id"), "fp"
+    ).distinct().persist()
+    if max_fp_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        if max_fp_df <= 1:
+            total = df.select(
+                F.countDistinct(F.col(id_col)).alias("__n")
+            )
+            hot = dfreq.crossJoin(F.broadcast(total)).where(
+                F.col("__df") > F.col("__n") * F.lit(float(max_fp_df))
+            )
+        else:
+            hot = dfreq.where(F.col("__df") > F.lit(int(max_fp_df)))
+        fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = fps.select(F.col("__id").alias("doc_a"), "fp")
+    b = fps.select(F.col("__id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

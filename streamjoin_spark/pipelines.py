@@ -441,7 +441,16 @@ def passage_rows(
     from .streams import METADATA_COLUMNS
 
     P = passage_tokens
-    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    # two-step projection: materialize the token array before the passage
+    # transform references it — an inline tokens(text) inside the lambda
+    # re-splits the document once per passage (see text.winnow_fingerprints)
+    meta0 = [c for c in METADATA_COLUMNS if c in df.columns]
+    df = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__tk"),
+        *meta0,
+    )
+    toks = F.col("__tk")
     npass = F.ceil(F.size(toks).cast("double") / F.lit(float(P))).cast("int")
     idx = F.when(npass > 0, F.sequence(F.lit(1), npass)).otherwise(
         F.array().cast("array<int>")

@@ -1470,3 +1470,90 @@ def test_refined_centroids_k_bounded_and_dense(spark):
     assert set(got) == set(want)
     for ci in want:
         assert got[ci] == pytest.approx(want[ci], abs=1e-9)
+
+
+def test_winnow_fingerprints_matches_python_and_guarantee(spark):
+    """Winnowing: (a) selections equal a pure-Python rendition of the law
+    (k-gram hash64 rolling hashes, w-window rightmost-min), (b) the
+    winnowing guarantee holds — two docs sharing a token run of length
+    >= w + k - 1 share at least one selected fingerprint, (c) disjoint
+    docs share none."""
+    import hashlib
+
+    from streamjoin_spark.operators.text import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 tokens = w+k-1
+    rows = [
+        (1, "aa bb cc " + shared + " dd ee"),
+        (2, shared + " xx yy zz qq"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+        (4, "tiny doc"),                                  # < k tokens: empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def winnow_py(text):
+        tk = [t for t in text.lower().strip().split() if t]
+        hs = [h64(" ".join(tk[i:i + k])) for i in range(len(tk) - k + 1)] \
+            if len(tk) >= k else []
+        sel = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            rpos = w - 1 - win[::-1].index(m)            # rightmost min
+            sel.add((j + rpos + 1, m))                   # 1-based pos
+        return sel
+
+    for i, text in rows:
+        assert got.get(i, set()) == winnow_py(text), i
+    fp1 = {fp for _, fp in got[1]}
+    fp2 = {fp for _, fp in got[2]}
+    fp3 = {fp for _, fp in got[3]}
+    assert fp1 & fp2                                      # the guarantee
+    assert not (fp1 & fp3) and not (fp2 & fp3)
+    assert 4 not in got
+
+
+def test_winnow_overlap_pairs_cap_and_threshold(spark):
+    """Overlap pairs honor min_shared and the hot-fingerprint DF cap; the
+    pair join is an equi-join on fp with a broadcast anti-join cap (plan
+    shape shared with the ngram hot-shingle guard)."""
+    from streamjoin_spark.operators.text import winnow_overlap_pairs
+
+    boiler = "one two three four five six seven eight"   # in EVERY doc
+    # docs 1+2 only; LONG shared run: the winnowing guarantee yields one
+    # shared fingerprint per w+k-1 = 6 shared tokens, so ~14 tokens give
+    # comfortably >= min_shared interior selections
+    para = ("shared paragraph tokens appear here again and keep going "
+            "with more shared words still")
+    rows = [
+        (1, boiler + " " + para + " tail1 a b c"),
+        (2, para + " " + boiler + " other x y z"),
+        (3, boiler + " completely different body d e f g h"),
+        (4, boiler + " yet another unrelated body m n o p q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=3, w=4, min_shared=2)
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              winnow_overlap_pairs(df, max_fp_df=0.9, **kw).collect()}
+    # boilerplate fps (df = 4 docs > 0.9*4) are dropped: only the real
+    # shared-paragraph pair survives
+    assert capped == {(1, 2)}
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                winnow_overlap_pairs(df, max_fp_df=None, **kw).collect()}
+    assert (1, 2) in uncapped and len(uncapped) > 1      # boiler pairs back
+    import re
+
+    from .test_plans import plan_of
+
+    p = plan_of(winnow_overlap_pairs(df, max_fp_df=0.9, **kw))
+    assert "LeftAnti" in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fp", p)
+    # the only nested-loop allowed is the 1-row corpus-count broadcast
+    assert "CartesianProduct" not in p
