@@ -3052,6 +3052,43 @@ def q_winnow_overlap(spark, sf_dir):
 
 
 
+def q_ivm_chain_cdc(spark, sf_dir):
+    """IVM e2e, depth 3: the chained maintained-view pipeline
+    (pipelines.incremental_dedup_chain — fingerprint view → exact-dup
+    pairs → one-hop cluster assignment, each stage consuming the previous
+    maintained table's change feed) drained through a CDC round; the
+    returned CLUSTER ASSIGNMENT table must equal the three-stage
+    composition computed directly over the simulated final corpus."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.pipelines import incremental_dedup_chain
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_chain_")
+    ct = ChangeTable.create(
+        spark, f"{base}/docs", docs.schema, ["doc_id"], n_buckets=8
+    )
+    ct.merge(docs)
+    chain = incremental_dedup_chain(ct, f"{base}/chain")
+    chain.run()
+    ct.merge(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" rewritten")).alias("text"),
+        )
+    )
+    ct.delete_where("doc_id % 11 = 3")
+    chain.run()
+    return chain.assign.toDF()
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3191,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_refined": q_ann_ivf_refined,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
+        "ivm_chain_cdc": q_ivm_chain_cdc,
     }
 
 
@@ -5956,5 +5994,23 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_shared
         FROM wff a JOIN wff b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+    out["ivm_chain_cdc"] = r"""
+        WITH final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rewritten'
+                        ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 3 = 0 AND doc_id % 11 <> 3),
+        v AS (SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                         AS fp
+              FROM final),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM v a JOIN v b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        m AS (SELECT doc_a AS member, doc_a AS label FROM p
+              UNION ALL
+              SELECT doc_b AS member, doc_a AS label FROM p)
+        SELECT member, min(label) AS cluster FROM m GROUP BY 1
     """
     return out
