@@ -3065,10 +3065,19 @@ def q_ivm_chain_cdc(spark, sf_dir):
     from streamjoin_spark.changelog import ChangeTable
     from streamjoin_spark.pipelines import incremental_dedup_chain
 
-    docs = (
+    # the synthetic corpus has no exact duplicates — inject deterministic
+    # clones (doc_id+1000000, same text) so the chain has real groups; the
+    # later CDC round rewrites/deletes across originals AND clones, which
+    # splits groups and forces keeper re-election through all 3 stages
+    orig = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 == 0)
         .select("doc_id", "text")
+    )
+    docs = orig.unionByName(
+        orig.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
     )
     base = tempfile.mkdtemp(prefix="sj_ivm_chain_")
     ct = ChangeTable.create(
@@ -5996,12 +6005,16 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 HAVING count(*) >= 2
     """
     out["ivm_chain_cdc"] = r"""
-        WITH final AS (
+        WITH inp AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
+        final AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 7 = 0 THEN text || ' rewritten'
                         ELSE text END AS text
-            FROM documents
-            WHERE doc_id % 3 = 0 AND doc_id % 11 <> 3),
+            FROM inp WHERE doc_id % 11 <> 3),
         v AS (SELECT doc_id,
                      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
                          AS fp
