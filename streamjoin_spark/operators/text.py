@@ -919,6 +919,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 4,
     w: int = 5,
+    extra_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     2003 — the MOSS algorithm): hash every k-token shingle with the
@@ -948,9 +949,11 @@ def winnow_fingerprints(
     # inline `tokens(text)` inside the lambda is re-evaluated PER ELEMENT
     # (the whole document re-splits once per shingle: measured 4.5×
     # slower at sf0.1). Same pattern as dedup._shingle_frame.
+    extra_cols = list(extra_cols)
     tk = df.select(
         F.col(id_col),
         F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__tk"),
+        *extra_cols,
     )
     n = F.size(F.col("__tk"))
     hs = F.when(
@@ -960,7 +963,7 @@ def winnow_fingerprints(
             lambda i: hash64(F.concat_ws(" ", F.slice(F.col("__tk"), i, k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    base = tk.select(F.col(id_col), hs.alias("__h"))
+    base = tk.select(F.col(id_col), hs.alias("__h"), *extra_cols)
     nh = F.size(F.col("__h"))
     win = lambda j: F.slice(F.col("__h"), j, w)  # noqa: E731
     sel = F.when(
@@ -980,8 +983,11 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
-    return base.select(F.col(id_col), F.explode(sel).alias("__s")).select(
-        id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp")
+    return base.select(
+        F.col(id_col), F.explode(sel).alias("__s"), *extra_cols
+    ).select(
+        id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"),
+        *extra_cols,
     )
 
 

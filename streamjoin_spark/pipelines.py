@@ -56,6 +56,8 @@ __all__ = [
     "incremental_audio_pairs",
     "video_frame_rows",
     "incremental_video_pairs",
+    "winnow_rows",
+    "incremental_winnow_pairs",
     "DedupChain",
     "incremental_dedup_chain",
 ]
@@ -1024,6 +1026,86 @@ def incremental_hll(
             update=lambda stored, new: F.greatest(stored, new),
             delta_update=lambda pre, post: pre,
         )
+        .writeToPath(path)
+    )
+
+
+def winnow_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    suffix: str = "",
+) -> DataFrame:
+    """Row-local winnowing fingerprint rows for the incremental overlap
+    pipeline: per input row, the MOSS selections of
+    ``text.winnow_fingerprints`` (k-gram hash64 rolling hashes, w-window
+    rightmost-min — pure codegen, every output row derives from ONE input
+    row) with change-feed metadata passed through. Output:
+    ``doc{suffix}, pos{suffix}, fp{suffix}`` (+ metadata)."""
+    from .operators.text import winnow_fingerprints
+    from .streams import METADATA_COLUMNS
+
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    out = winnow_fingerprints(df, text_col, id_col, k, w, extra_cols=meta)
+    return out.select(
+        F.col(id_col).alias(f"doc{suffix}"),
+        F.col("pos").alias(f"pos{suffix}"),
+        F.col("fp").alias(f"fp{suffix}"),
+        *meta,
+    )
+
+
+def incremental_winnow_pairs(
+    docs: ChangeTable,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+):
+    """Continuously maintained MOSS-overlap pairs — the incremental twin
+    of ``text.winnow_overlap_pairs(max_fp_df=None)``: documents sharing
+    ≥ ``min_shared`` distinct winnowed fingerprints, kept converged under
+    CDC. Structure mirrors ``incremental_video_pairs`` (the fingerprint
+    IS the join key — uniform 60-bit equi-join, never all-pairs;
+    ``countDistinct`` pair aggregate retracts exactly via dirty-group
+    recompute; the ``min_shared`` floor is a post-agg filter so a pair
+    dropping below it deletes via scope-diff). A rewritten document's old
+    selections retract and its new ones register — overlap pairs follow
+    edits, paragraph-locally.
+
+    The batch tier's hot-fingerprint DF cap is corpus-global and stays
+    batch-only (same reasoning as the video hot-frame cap: a fingerprint
+    crossing the threshold would retract pairs corpus-wide).
+
+    Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
+    """
+    def fr(suffix: str):
+        def f(df: DataFrame) -> DataFrame:
+            return winnow_rows(df, text_col, id_col, k, w, suffix=suffix)
+
+        return f
+
+    a = (
+        Stream.fromChangeTable(docs, f"{docs.name}_wn_a")
+        .primaryKeys("doc_a", "pos_a")
+        .to(fr("_a"))
+    )
+    b = (
+        Stream.fromChangeTable(docs, f"{docs.name}_wn_b")
+        .primaryKeys("doc_b", "pos_b")
+        .to(fr("_b"))
+    )
+    return (
+        a.join(b, "inner")
+        .on((a["fp_a"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"]))
+        .select(a["doc_a"], a["pos_a"], b["doc_b"], b["pos_b"], a["fp_a"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("fp_a")).alias("n_shared"))
+        .to(lambda df: df.where(F.col("n_shared") >= min_shared))
         .writeToPath(path)
     )
 

@@ -708,3 +708,56 @@ def test_incremental_dedup_chain_depth3(spark, tmp_path, docs_ct):
     check()
     got = {r["member"]: r["cluster"] for r in chain.assign.toDF().collect()}
     assert got == {3: 3, 4: 3, 1: 1, 6: 1}
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing overlap pairs
+# ---------------------------------------------------------------------------
+def test_incremental_winnow_pairs_maintained(spark, tmp_path, docs_ct):
+    """incremental_winnow_pairs converges to the batch twin
+    (text.winnow_overlap_pairs with the corpus-global cap off) under
+    insert / paragraph-edit / delete: a rewritten document's selections
+    retract, overlap pairs follow the shared paragraphs."""
+    from streamjoin_spark.operators.text import winnow_overlap_pairs
+    from streamjoin_spark.pipelines import incremental_winnow_pairs
+
+    KW = dict(k=3, w=4, min_shared=2)
+
+    def twin():
+        return winnow_overlap_pairs(
+            docs_ct.snapshot(), max_fp_df=None, **KW
+        )
+
+    def check(w):
+        got = {(r["doc_a"], r["doc_b"], r["n_shared"])
+               for r in w.toDF().collect()}
+        want = {(r["doc_a"], r["doc_b"], r["n_shared"])
+                for r in twin().collect()}
+        assert got == want, f"only-inc={got - want} only-batch={want - got}"
+
+    w = incremental_winnow_pairs(docs_ct, str(tmp_path / "wpairs"), **KW)
+    para = ("shared paragraph tokens appear here again and keep going "
+            "with more shared words still")
+    docs_ct.merge(d_rows(spark, [
+        (1, "intro words first " + para + " tail one two"),
+        (2, para + " different ending here entirely"),
+        (3, "unrelated body of text with its own private words only"),
+    ]))
+    w.run()
+    check(w)
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+
+    # edit 2's shared paragraph away -> pair retracts; new doc shares
+    # with 3
+    docs_ct.merge(d_rows(spark, [
+        (2, "completely rewritten content with nothing in common anymore"),
+        (4, "unrelated body of text with its own private words only plus"),
+    ]))
+    w.run()
+    check(w)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+    assert (1, 2) not in pairs and (3, 4) in pairs
+
+    docs_ct.delete_where("doc_id = 3")
+    w.run()
+    check(w)

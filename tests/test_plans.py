@@ -51,7 +51,15 @@ def test_rolling_window_partitioned(spark, sf_dir):
     assert "Window" in p and "user_id" in p
 
 
-@pytest.mark.parametrize("name", sorted(entry.queries()))
+@pytest.mark.parametrize(
+    "name",
+    # ivm_* excluded: building a query's frame there RUNS a full CDC cycle
+    # (temp ChangeTables, merges, two drains — ~15 s each) and the returned
+    # frame is a bare snapshot scan, so the plan assertion would be
+    # vacuous; their Python-free-ness is covered by the operators they
+    # compose, all parametrized here via their batch queries
+    sorted(n for n in entry.queries() if not n.startswith("ivm_")),
+)
 def test_no_row_at_a_time_python(spark, sf_dir, name):
     """No query plan may contain BatchEvalPython (row-at-a-time Python UDF).
     Arrow-batched nodes (MapInPandas / ArrowEvalPython) are the sanctioned
