@@ -1557,3 +1557,54 @@ def test_winnow_overlap_pairs_cap_and_threshold(spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fp", p)
     # the only nested-loop allowed is the 1-row corpus-count broadcast
     assert "CartesianProduct" not in p
+
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from("a b c d e f g h".split()),
+                min_size=1, max_size=14,
+            ),
+            min_size=2, max_size=6,
+        ),
+        kw=st.sampled_from([(2, 3), (3, 4), (4, 2)]),
+    )
+    def test_winnow_matches_python_truth(spark, docs, kw):
+        """Property pin for the winnowing law: on random tiny corpora the
+        Spark selections equal the pure-Python rendition (k-gram hash64
+        rolling hashes, w-window rightmost-min) — any off-by-one in the
+        window arithmetic, the ANSI guards, or the rightmost tiebreak
+        shows up here."""
+        import hashlib
+
+        from streamjoin_spark.operators.text import winnow_fingerprints
+
+        k, w = kw
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df, k=k, w=w).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+        def h64(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        for i, text in rows:
+            tk = [t for t in text.lower().strip().split() if t]
+            hs = ([h64(" ".join(tk[j:j + k]))
+                   for j in range(len(tk) - k + 1)]
+                  if len(tk) >= k else [])
+            sel = set()
+            for j in range(len(hs) - w + 1):
+                win = hs[j:j + w]
+                m = min(win)
+                rpos = w - 1 - win[::-1].index(m)
+                sel.add((j + rpos + 1, m))
+            assert got.get(i, set()) == sel, (i, text)
