@@ -208,6 +208,19 @@ class DeltaSourceTable:
                     pass
         return total
 
+    def snapshot_as_of(self, ts) -> DataFrame:
+        """TIMESTAMP AS OF read (the native ChangeTable exposes the same
+        call off its commit wall-clock stamps; Delta resolves it from the
+        transaction log). ``ts`` is a timestamp string or datetime,
+        passed to Delta's ``timestampAsOf`` reader option."""
+        return self._load(self._reader().option("timestampAsOf", ts))
+
+    def describe_history(self) -> DataFrame:
+        """DESCRIBE HISTORY passthrough — same surface as
+        ``ChangeTable.describe_history()`` (version, timestamp, operation,
+        operationMetrics), straight from the Delta log."""
+        return self._history()
+
     # -- writes are out of scope for the adapter ----------------------
     def _read_only(self, op: str):
         raise NotImplementedError(

@@ -215,3 +215,8 @@ def test_live_delta_roundtrip(spark, tmp_path):  # pragma: no cover
     dt.delete("id = 1")
     w.run()
     assert_same(w.toDF(), spark.read.format("delta").load(path))
+    # versioned + history read surface
+    adapter = s.change_table
+    assert adapter.version() >= 2
+    assert adapter.snapshot(0).count() == 2
+    assert adapter.describe_history().count() >= 3
