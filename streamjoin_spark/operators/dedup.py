@@ -543,6 +543,7 @@ def _cc_star(
         .persist()
     )
     edges = raw.dropDuplicates(["u", "v"]).persist()
+    edges_n: int | None = None  # carried from the previous round's probe
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionByName(
@@ -584,12 +585,18 @@ def _cc_star(
             # equal counts + one empty difference ⇒ multiset equality:
             # the count probes are cheap aggregates over checkpointed
             # frames and short-circuit the (shuffling) exceptAll entirely
-            # on non-final rounds
+            # on non-final rounds. The previous round's edge count is
+            # CARRIED, not recomputed — it was this round's small.count()
+            # one iteration ago, so each round pays exactly one count
+            # action (halves probe actions; bench-variance hygiene)
+            small_n = small.count()
+            if edges_n is None:
+                edges_n = edges.count()
             stable = (
-                small.count() == edges.count()
+                small_n == edges_n
                 and small.exceptAll(edges).limit(1).count() == 0
             )
-            edges = small
+            edges, edges_n = small, small_n
             if stable:
                 sym = _sym(edges)
                 labels = (
