@@ -288,7 +288,17 @@ def term_stat_rows(
     from .functions import tokens
     from .streams import METADATA_COLUMNS
 
-    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    meta = [c for c in METADATA_COLUMNS if c in df.columns]
+    # two-step projection (CLAUDE.md lambda invariant): the token array is
+    # referenced INSIDE the per-distinct-token lambda, so an inline
+    # tokens(text) would re-split the document once per distinct token —
+    # materialize it as a real attribute first
+    tk = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__tk"),
+        *meta,
+    )
+    toks = F.col("__tk")
     pairs = F.transform(
         F.array_distinct(toks),
         lambda t: F.struct(
@@ -296,8 +306,7 @@ def term_stat_rows(
             F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
         ),
     )
-    meta = [c for c in METADATA_COLUMNS if c in df.columns]
-    return df.select(
+    return tk.select(
         F.col(id_col), F.explode(pairs).alias("__p"), *meta
     ).select(id_col, F.col("__p.token").alias("token"),
              F.col("__p.tf").alias("tf"), *meta)
