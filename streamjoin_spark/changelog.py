@@ -696,6 +696,19 @@ class ChangeTable:
         )
         self._check_constraints(staged)
 
+        if not manifest:
+            # bulk-load fast path: merging into an EMPTY table has no
+            # current rows, so every staged row is an insert and the whole
+            # match/preimage/survivor machinery is vacuous — skip its 3-4
+            # Spark jobs (the first commit of every pipeline and every
+            # ivm_* cycle takes this path; measured ~2× on the bulk merge)
+            parts = sorted(set(self._collect_parts(staged)))
+            changes = self._tag(staged, INSERT, v)
+            self._write_commit(v, changes, rewritten=staged,
+                               rewritten_parts=parts, op="MERGE")
+            staged.unpersist()
+            return v
+
         # locate affected parts: staged rows' own parts + parts of current
         # rows with the same PKs (found via a pruned-by-nothing key probe —
         # at scale this is the same "find matching files" scan Delta MERGE
