@@ -303,19 +303,60 @@ class ChangeTable:
         manifest = self._manifest(v)
         return self._read_dirs([d for ds in manifest.values() for d in ds])
 
+    def change_floor(self) -> int:
+        """Oldest version whose change range is still readable — bumped by
+        ``vacuum`` (the CDF-retention watermark). Needed because an
+        insert-only commit's change files double as live data (the
+        single-write layout) and may be KEPT past change retention while
+        the manifest references them; the floor keeps the feed truncated
+        to the retained window regardless."""
+        return int(self._read_meta().get("change_floor", 0))
+
     def read_change_feed(self, starting_version: int = 1) -> DataFrame:
         """Batch read of the change feed from a version onward, capped at the
         currently committed version: change files of a crashed (un-bumped)
         commit carry a higher version stamp and must stay invisible until
-        the retried commit publishes them."""
+        the retried commit publishes them. The lower bound is clamped to
+        the vacuum retention floor (requesting an older range returns only
+        the retained part — Delta raises here; clamping is kinder to
+        restarting consumers whose watermark vacuum has already honored)."""
         df = (
             self.spark.read.schema(self.change_schema())
             .option("recursiveFileLookup", "true")
             .parquet(os.path.join(self.path, "changes"))
         )
         return df.where(
-            (F.col(COMMIT_VERSION) >= starting_version)
+            (F.col(COMMIT_VERSION) >= max(starting_version, self.change_floor()))
             & (F.col(COMMIT_VERSION) <= F.lit(self.version()))
+        )
+
+    def read_change_range(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Pinned-range read of the change feed: lists and opens ONLY the
+        commit dirs in ``[v_from, v_to]`` — O(range) planning instead of
+        the whole-directory scan of :meth:`read_change_feed`, which is
+        O(total commits ever) per call. On a long-lived table with
+        thousands of commits this is what keeps each IVM microbatch's
+        planning cost proportional to its backlog, not the table's age.
+        Same floor/cap semantics as the full-feed read; the version
+        filter stays as a cheap guard (files kept past vacuum retention
+        inside a live single-write dir carry sub-floor versions)."""
+        head = self.version()
+        v_to = head if v_to is None else min(int(v_to), head)
+        v_from = max(int(v_from), self.change_floor(), 1)
+        dirs = [
+            d
+            for v in range(v_from, v_to + 1)
+            if os.path.isdir(d := os.path.join(self.path, "changes", f"c{v}"))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], self.change_schema())
+        df = (
+            self.spark.read.schema(self.change_schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(*dirs)
+        )
+        return df.where(
+            (F.col(COMMIT_VERSION) >= v_from) & (F.col(COMMIT_VERSION) <= v_to)
         )
 
     def change_bytes(self, version: int) -> int:
@@ -532,6 +573,7 @@ class ChangeTable:
         appended: DataFrame | None = None,
         cluster_by: Sequence[str] = (),
         op: str = "WRITE",
+        content_in_changes: bool = False,
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -548,12 +590,46 @@ class ChangeTable:
            point; readers never see a partial commit, and readers cap the
            change feed at the committed version so steps 1-3's artifacts
            stay invisible until here.
+
+        ``content_in_changes`` is the single-write path for INSERT-ONLY
+        commits (append, bulk-load merge): the change rows ARE the new
+        content, so steps 1 and 2 collapse into one partitioned write of
+        the change frame under ``changes/c{v}`` and the manifest points
+        into it (snapshot reads project the two change columns away via
+        the explicit read schema). Delta Lake does the same — insert-only
+        commits write no separate ``_change_data`` files; their CDF is
+        served from the data files. At 100 TB ingest this halves the
+        write amplification of every append and initial load. ``vacuum``
+        keeps manifest-referenced change part-dirs alive past change
+        retention and records a ``change_floor`` so the feed still
+        truncates to the retained window.
         """
         v = new_version
         commit_rel = os.path.join("data", f"c{v}")
         commit_abs = os.path.join(self.path, commit_rel)
         if rewritten is not None and appended is not None:
             raise ValueError("a commit is either a rewrite or an append")
+        if content_in_changes and (rewritten is not None or appended is not None):
+            raise ValueError("content_in_changes commits carry only changes")
+        change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
+        if content_in_changes:
+            changes_rel = os.path.join("changes", f"c{v}")
+            changes_abs = os.path.join(self.path, changes_rel)
+            (
+                self._with_part(changes.select(*change_cols))
+                .write.mode("overwrite")
+                .partitionBy(PART)
+                .parquet(changes_abs)
+            )
+            manifest = dict(self._manifest(v - 1))
+            for d in sorted(os.listdir(changes_abs)):
+                if not d.startswith(f"{PART}="):
+                    continue
+                p = d.split("=", 1)[1]
+                manifest.setdefault(p, [])
+                manifest[p].append(os.path.join(changes_rel, d))
+            self._publish(v, manifest, op)
+            return
         content = rewritten if rewritten is not None else appended
         wrote_any = content is not None
         if wrote_any:
@@ -587,6 +663,17 @@ class ChangeTable:
             manifest.setdefault(p, [])
             manifest[p].append(entry)
 
+        (
+            changes.select(*change_cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "changes", f"c{v}"))
+        )
+        self._publish(v, manifest, op)
+
+    def _publish(self, v: int, manifest: dict, op: str) -> None:
+        """Steps 3-4 of the commit protocol: overwrite manifest v + its
+        timestamp file, then atomically bump the version — the publish
+        point."""
         with open(self._manifest_path(v), "w") as f:
             json.dump(manifest, f)
         # commit wall-clock, enabling TIMESTAMP AS OF reads (Delta analog);
@@ -600,13 +687,6 @@ class ChangeTable:
             cts = prev_cts + 1e-3
         with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
             json.dump({"commit_ts": cts, "op": op}, f)
-
-        change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
-        (
-            changes.select(*change_cols)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.path, "changes", f"c{v}"))
-        )
         meta = dict(self._meta)
         meta["version"] = v
         self._write_meta(meta)
@@ -638,8 +718,8 @@ class ChangeTable:
                 )
         batch = self._apply_generated(df).select(*self._data_cols())
         self._check_constraints(batch)
-        self._write_commit(v, self._tag(batch, INSERT, v), appended=batch,
-                           op="APPEND")
+        self._write_commit(v, self._tag(batch, INSERT, v), op="APPEND",
+                           content_in_changes=True)
         return v
 
     def _check_constraints(self, batch: DataFrame) -> None:
@@ -662,7 +742,12 @@ class ChangeTable:
                 f"CHECK constraint violation on {self.name!r}: {detail}"
             )
 
-    def merge(self, batch: DataFrame, merge_schema: bool = False) -> int:
+    def merge(
+        self,
+        batch: DataFrame,
+        merge_schema: bool = False,
+        hint_broadcast: bool = True,
+    ) -> int:
         """Upsert by primary key with sequence-ordered late/duplicate
         protection — the engine's Delta-MERGE twin (reference MERGE machinery:
         elzyme/joins.py:563-570, 656-754; sequence condition ``u.seq <=
@@ -676,6 +761,11 @@ class ChangeTable:
         first (Delta mergeSchema analog; old rows read back with nulls);
         strict mode silently drops extra columns and errors on missing
         ones.
+
+        ``hint_broadcast``: the staged side of the matching-parts probe is
+        broadcast by default (upsert batches are usually CDC-sized); pass
+        False for bulk upserts that would not fit the driver — the probe
+        degrades to a shuffled semi-join, same contract as replace_keys.
         """
         v = self.version() + 1
         if merge_schema:
@@ -699,13 +789,12 @@ class ChangeTable:
         if not manifest:
             # bulk-load fast path: merging into an EMPTY table has no
             # current rows, so every staged row is an insert and the whole
-            # match/preimage/survivor machinery is vacuous — skip its 3-4
-            # Spark jobs (the first commit of every pipeline and every
-            # ivm_* cycle takes this path; measured ~2× on the bulk merge)
-            parts = sorted(set(self._collect_parts(staged)))
-            changes = self._tag(staged, INSERT, v)
-            self._write_commit(v, changes, rewritten=staged,
-                               rewritten_parts=parts, op="MERGE")
+            # match/preimage/survivor machinery is vacuous — skip it and
+            # commit single-write (the change rows ARE the content): ONE
+            # Spark job instead of 5-6 (the first commit of every pipeline
+            # and every ivm_* cycle takes this path)
+            self._write_commit(v, self._tag(staged, INSERT, v), op="MERGE",
+                               content_in_changes=True)
             staged.unpersist()
             return v
 
@@ -715,11 +804,15 @@ class ChangeTable:
         # does, with the staged side broadcast)
         cur_all = self.snapshot(v - 1)
         S, C = "staged", "cur"
+        probe = staged.alias(S)
+        if hint_broadcast:
+            probe = F.broadcast(probe)
         cur_matching = cur_all.alias(C).join(
-            F.broadcast(staged.alias(S)), self._pk_cond(C, S), "left_semi"
+            probe, self._pk_cond(C, S), "left_semi"
         ).select(*self._data_cols())
-        parts = sorted(
-            set(self._collect_parts(staged)) | set(self._collect_parts(cur_matching))
+        parts = self._collect_parts(
+            staged.select(*self._data_cols())
+            .unionByName(cur_matching.select(*self._data_cols()))
         )
         cur = self._read_parts(manifest, parts)
 
@@ -793,6 +886,24 @@ class ChangeTable:
         """
         v = self.version() + 1
         manifest = self._manifest(v - 1)
+        if not manifest:
+            # first-cycle fast path: an EMPTY target has no scope rows to
+            # diff against — every new row is an insert, committed
+            # single-write (2 Spark jobs instead of ~5; every IVM
+            # pipeline's first commit per target takes this path)
+            new_rows = (
+                self._apply_generated(new_rows)
+                .select(*self._data_cols())
+                .persist()
+            )
+            try:
+                if new_rows.isEmpty():
+                    return v - 1  # no-op: nothing to commit
+                self._write_commit(v, self._tag(new_rows, INSERT, v), op=op,
+                                   content_in_changes=True)
+                return v
+            finally:
+                new_rows.unpersist()
         cur_all = self.snapshot(v - 1)
         key_cols = list(key_cols)
         scope = scope_keys.select(*key_cols).dropDuplicates(key_cols)
@@ -814,8 +925,11 @@ class ChangeTable:
             self._apply_generated(new_rows).select(*self._data_cols()).persist()
         )
 
-        parts = sorted(
-            set(self._collect_parts(old_scope)) | set(self._collect_parts(new_rows))
+        # ONE distinct-parts job over both frames (also materializes the
+        # two persists in the same pass)
+        parts = self._collect_parts(
+            old_scope.select(*self._data_cols())
+            .unionByName(new_rows.select(*self._data_cols()))
         )
         cur_parts = self._read_parts(manifest, parts)
         survivors = cur_parts.alias(C).join(
@@ -941,8 +1055,25 @@ class ChangeTable:
                 cv = int(change_dir[1:])
             except ValueError:
                 continue
-            if cv < keep_from:
-                shutil.rmtree(os.path.join(changes_root, change_dir))
+            if cv >= keep_from:
+                continue
+            # single-write (insert-only) commits: the change dir doubles as
+            # live data — keep the part-dirs a retained manifest still
+            # references, drop the rest; the change_floor bump below keeps
+            # the FEED truncated to the window even when files survive here
+            commit_abs = os.path.join(changes_root, change_dir)
+            part_dirs = [
+                d for d in os.listdir(commit_abs) if d.startswith(f"{PART}=")
+            ]
+            kept = 0
+            for pd in part_dirs:
+                rel = os.path.join("changes", change_dir, pd)
+                if rel in referenced:
+                    kept += 1
+                else:
+                    shutil.rmtree(os.path.join(commit_abs, pd))
+            if kept == 0:
+                shutil.rmtree(commit_abs)
                 removed["change_dirs"] += 1
 
         for mv in range(0, keep_from):
@@ -953,6 +1084,13 @@ class ChangeTable:
             tp = os.path.join(self.path, "manifests", f"t{mv}.json")
             if os.path.exists(tp):
                 os.remove(tp)
+
+        # publish the retention floor last (deletions above are idempotent,
+        # so a crash before this re-runs cleanly); monotonic like version
+        if keep_from > self.change_floor():
+            meta = dict(self._meta)
+            meta["change_floor"] = keep_from
+            self._write_meta(meta)
         return removed
 
     def max_dirs_per_part(self) -> int:

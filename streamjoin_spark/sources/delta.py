@@ -182,6 +182,21 @@ class DeltaSourceTable:
         )
         return normalize_cdf(df).where(F.col(COMMIT_VERSION) <= F.lit(head))
 
+    def read_change_range(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Pinned-range CDF read via Delta's native startingVersion /
+        endingVersion options — Delta prunes the commit log to the range
+        server-side, the same O(range) contract as
+        changelog.ChangeTable.read_change_range."""
+        head = self.version()
+        v_to = head if v_to is None else min(int(v_to), head)
+        df = self._load(
+            self._reader()
+            .option("readChangeFeed", "true")
+            .option("startingVersion", int(v_from))
+            .option("endingVersion", int(v_to))
+        )
+        return normalize_cdf(df)
+
     def read_change_stream(
         self, max_files_per_trigger: int | None = None
     ) -> DataFrame:

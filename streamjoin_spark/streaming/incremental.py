@@ -259,9 +259,13 @@ def _change_images(stream: Stream, ct: ChangeTable, v_from: int, v_to: int) -> D
     stream's transforms applied — and delete images dropped when the source
     is in reference-compat ``ignoreDeletes`` mode (the reference's CDF
     readers skip deletes, elzyme/streams.py:132,142)."""
-    df = stream._apply_transforms(
-        ct.read_change_feed(v_from).where(F.col(COMMIT_VERSION) <= v_to)
-    )
+    if hasattr(ct, "read_change_range"):
+        # O(range) commit-dir listing — not O(table history) per slice
+        feed = ct.read_change_range(v_from, v_to)
+    else:  # duck-typed CDF sources (Delta adapter fakes) expose only the
+        # full-feed read; the version filter gives identical semantics
+        feed = ct.read_change_feed(v_from).where(F.col(COMMIT_VERSION) <= v_to)
+    df = stream._apply_transforms(feed)
     if getattr(stream, "_ignore_deletes", False):
         df = df.where(F.col("_change_type") != DELETE)
     return df

@@ -491,3 +491,99 @@ def test_describe_history_operations(spark, tmp_path):
     assert ts == sorted(ts)
     assert all(r["change_bytes"] > 0 for r in hist
                if r["operation"] in ("APPEND", "MERGE", "DELETE", "RESTORE"))
+
+
+def test_insert_only_commits_write_once(spark, tmp_path):
+    """Single-write layout: an insert-only commit (append / bulk-load
+    merge) materializes its rows ONCE under changes/c{v} and the manifest
+    points into it — no data/c{v} dir at all (Delta serves insert-only
+    CDF from data files the same way; here the roles are flipped). At
+    100 TB ingest this halves write amplification."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "b", 2.0, 1)],
+        "id long, name string, amount double, seq int",
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
+    ct.merge(df)                                     # bulk load (v1)
+    ct.append(spark.createDataFrame(
+        [(3, "c", 3.0, 1)], "id long, name string, amount double, seq int",
+    ))                                               # append (v2)
+
+    assert not os.path.exists(os.path.join(path, "data", "c1"))
+    assert not os.path.exists(os.path.join(path, "data", "c2"))
+    manifest = ct._manifest(2)
+    entries = [d for ds in manifest.values() for d in ds]
+    assert entries and all(e.startswith("changes") for e in entries)
+
+    # both surfaces read correctly from the shared files
+    snap = {r["id"]: r["name"] for r in ct.snapshot().collect()}
+    assert snap == {1: "a", 2: "b", 3: "c"}
+    feed = ct.read_change_feed()
+    assert feed.count() == 3
+    assert feed.where(F.col(CHANGE_TYPE) != INSERT).count() == 0
+
+    # a later real merge (update path) coexists with the shared layout
+    ct.merge(spark.createDataFrame(
+        [(2, "b2", 9.0, 2)], "id long, name string, amount double, seq int",
+    ))
+    snap = {r["id"]: r["name"] for r in ct.snapshot().collect()}
+    assert snap[2] == "b2" and len(snap) == 3
+
+
+def test_vacuum_keeps_live_single_write_files(spark, tmp_path):
+    """vacuum past an insert-only commit whose files are still live data:
+    referenced change part-dirs survive (snapshot stays correct), but the
+    change feed still truncates to the retained window via the
+    change_floor watermark."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i), 1) for i in range(8)],
+        "id long, name string, amount double, seq int",
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
+    ct.merge(df)                                     # v1: bulk load, single-write
+    for i in range(3):                               # v2..v4: regular merges
+        ct.merge(spark.createDataFrame(
+            [(100 + i, "u", 0.0, 1)],
+            "id long, name string, amount double, seq int",
+        ))
+    snap_before = sorted(tuple(r) for r in ct.snapshot().collect())
+
+    ct.vacuum(retain_versions=2)                     # keep v3..v4
+    assert ct.change_floor() == 3
+    assert sorted(tuple(r) for r in ct.snapshot().collect()) == snap_before
+    # v1's rows are still on disk (live data) yet absent from the feed
+    min_v = ct.read_change_feed().agg(F.min(COMMIT_VERSION)).collect()[0][0]
+    assert min_v >= 3
+    # explicit sub-floor request clamps instead of resurrecting old rows
+    assert ct.read_change_feed(starting_version=1).where(
+        F.col(COMMIT_VERSION) < 3).count() == 0
+
+
+def test_read_change_range_lists_only_range_dirs(spark, tmp_path):
+    """read_change_range is O(range): only the commit dirs inside
+    [v_from, v_to] are opened (inputFiles pins the listing scope), and the
+    rows equal the version-filtered full feed."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1)], "id long, name string, amount double, seq int"
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
+    ct.merge(df)                                      # v1
+    for i in range(2, 5):                             # v2..v4
+        ct.merge(spark.createDataFrame(
+            [(i, f"n{i}", float(i), 1)],
+            "id long, name string, amount double, seq int",
+        ))
+
+    ranged = ct.read_change_range(2, 3)
+    files = ranged.inputFiles()
+    assert files and all("/changes/c2/" in f or "/changes/c3/" in f
+                         for f in files)
+    full = ct.read_change_feed(2).where(F.col(COMMIT_VERSION) <= 3)
+    assert sorted(map(tuple, ranged.collect())) == sorted(map(tuple, full.collect()))
+    # open-ended range caps at the head; below-floor clamp mirrors the feed
+    assert ct.read_change_range(1).count() == ct.read_change_feed().count()
