@@ -63,6 +63,12 @@ from .streams import CHANGE_TYPE, COMMIT_VERSION, DELETE, INSERT, UPDATE_POST, U
 META_FILE = "_changelog_meta.json"
 PART = "__part"
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised at the publish point when another writer moved the table
+    head between a commit's start and its version bump (the Delta
+    ConcurrentModificationException analog, detected optimistically)."""
+
 # Session-scoped name → path registry (reference ``Stream.fromTable`` /
 # ``writeToTable`` address tables by catalog name, elzyme/streams.py:136-144,
 # elzyme/joins.py:878-879; with no metastore in this environment the registry
@@ -673,7 +679,16 @@ class ChangeTable:
     def _publish(self, v: int, manifest: dict, op: str) -> None:
         """Steps 3-4 of the commit protocol: overwrite manifest v + its
         timestamp file, then atomically bump the version — the publish
-        point."""
+        point. The bump is guarded by an optimistic version check against
+        a FRESH meta read: a second writer that raced this commit finds
+        the head already moved and gets a loud ConcurrentWriteError
+        instead of silently losing the other writer's commit. Best-effort
+        (a plain filesystem has no put-if-absent like the Delta log) —
+        the substrate stays single-writer by contract; this converts
+        accidental violations into errors, it is not coordination. The
+        fresh read also carries forward concurrent metadata-only updates
+        (vacuum's change_floor) instead of clobbering them from the
+        cache."""
         with open(self._manifest_path(v), "w") as f:
             json.dump(manifest, f)
         # commit wall-clock, enabling TIMESTAMP AS OF reads (Delta analog);
@@ -687,7 +702,14 @@ class ChangeTable:
             cts = prev_cts + 1e-3
         with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
             json.dump({"commit_ts": cts, "op": op}, f)
-        meta = dict(self._meta)
+        meta = dict(self._read_meta())
+        if meta["version"] != v - 1:
+            raise ConcurrentWriteError(
+                f"commit v{v} of {self.name!r} expected head v{v - 1} but "
+                f"found v{meta['version']}: another writer published since "
+                "this commit started (the table is single-writer; losing "
+                "pre-publish artifacts were not applied)"
+            )
         meta["version"] = v
         self._write_meta(meta)
 

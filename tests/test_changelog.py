@@ -587,3 +587,48 @@ def test_read_change_range_lists_only_range_dirs(spark, tmp_path):
     assert sorted(map(tuple, ranged.collect())) == sorted(map(tuple, full.collect()))
     # open-ended range caps at the head; below-floor clamp mirrors the feed
     assert ct.read_change_range(1).count() == ct.read_change_feed().count()
+
+
+def test_concurrent_write_detected_at_publish(spark, tmp_path):
+    """Optimistic concurrency: a commit whose expected head moved (another
+    writer published first) raises ConcurrentWriteError at the publish
+    point instead of silently losing the other commit; the table head is
+    untouched and keeps committing."""
+    from streamjoin_spark.changelog import ConcurrentWriteError
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1)], "id long, name string, amount double, seq int"
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
+    ct.merge(df)                                       # head = v1
+    with pytest.raises(ConcurrentWriteError):
+        ct._publish(1, {}, "X")                        # stale: expects head v0
+    assert ct.version() == 1
+    ct.merge(spark.createDataFrame(
+        [(2, "b", 2.0, 1)], "id long, name string, amount double, seq int"
+    ))
+    assert ct.version() == 2
+
+
+def test_publish_carries_forward_fresh_meta(spark, tmp_path):
+    """The publish bump re-reads meta: metadata-only updates landed since
+    the commit started (vacuum's change_floor) survive instead of being
+    clobbered by the writer's stale cache."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1)], "id long, name string, amount double, seq int"
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
+    for i in range(4):
+        ct.merge(spark.createDataFrame(
+            [(10 + i, "x", 1.0, 1)],
+            "id long, name string, amount double, seq int",
+        ))
+    ct.vacuum(retain_versions=2)
+    floor = ct.change_floor()
+    assert floor > 0
+    ct.merge(spark.createDataFrame(
+        [(99, "y", 9.0, 1)], "id long, name string, amount double, seq int"
+    ))
+    assert ct.change_floor() == floor                  # survived the bump
