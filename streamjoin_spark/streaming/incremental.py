@@ -724,6 +724,7 @@ class IncrementalPipeline:
         stages: list,
         roots: list[ChangeTable],
         stage_parallelism: int = 1,
+        vacuum_retain: int | None = None,
     ):
         self.spark = spark
         self.stages = stages
@@ -734,6 +735,13 @@ class IncrementalPipeline:
         # a wide DAG submit Spark jobs concurrently instead of leaving
         # executors idle between serial stages.
         self.stage_parallelism = max(1, int(stage_parallelism))
+        # writer option ``vacuumRetain=N``: after each full drain, vacuum
+        # every managed stage target to an N-version window (the Delta
+        # retention-property analog). Opt-in — setting it asserts no
+        # consumer OUTSIDE this pipeline needs older change ranges;
+        # in-pipeline consumers are safe because a completed drain leaves
+        # every watermark at its input's head.
+        self.vacuum_retain = int(vacuum_retain) if vacuum_retain else None
 
     @staticmethod
     def _stage_inputs(st) -> list:
@@ -804,6 +812,7 @@ class IncrementalPipeline:
                     if st.process():
                         progressed = True
                         commits += 1
+            self._housekeep()
             return commits
 
         import threading
@@ -831,7 +840,27 @@ class IncrementalPipeline:
                         if n:
                             progressed = True
                             commits += n
+        self._housekeep()
         return commits
+
+    def _housekeep(self) -> None:
+        """Post-drain retention housekeeping (``vacuumRetain`` writer
+        option): vacuum each managed stage target to the configured
+        window, amortized — only when its committed history has outgrown
+        twice the window, so steady-state drains pay no directory walks.
+        Runs after the drain completes, when every in-pipeline watermark
+        sits at its input's head, which is what makes dropping older
+        change ranges safe for the pipeline itself."""
+        if not self.vacuum_retain:
+            return
+        seen: set[int] = set()
+        for st in self.stages:
+            t = getattr(st, "target", None)
+            if t is None or id(t) in seen:
+                continue
+            seen.add(id(t))
+            if t.version() - t.change_floor() >= 2 * self.vacuum_retain:
+                t.vacuum(retain_versions=self.vacuum_retain)
 
 
 def _static_leg_stream(
@@ -979,6 +1008,7 @@ def _build_pipeline(
     return IncrementalPipeline(
         spark, stages, roots,
         stage_parallelism=int((options or {}).get("stageParallelism", 1)),
+        vacuum_retain=(options or {}).get("vacuumRetain"),
     )
 
 

@@ -134,3 +134,32 @@ def test_maintained_view_streaming_mode(spark, tmp_path, docs_ct):
     finally:
         w2.stop()
     assert_same(w2.toDF(), enrich(docs_ct.snapshot()))
+
+
+def test_vacuum_retain_option_housekeeps_target(spark, tmp_path, docs_ct):
+    """writer option vacuumRetain=N: after a full drain the pipeline
+    vacuums its managed targets to an N-version window (amortized — only
+    once history outgrows 2N), the change_floor advances, old manifests
+    drop, and the view stays converged through further CDC rounds."""
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_vac_src")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view"))
+        .option("vacuumRetain", 2)
+    )
+    for i in range(6):  # one target commit per drain
+        docs_ct.merge(rows(spark, [(i, f"doc number {i} body")]))
+        w.run()
+    t = w.target
+    assert t.change_floor() > 0                     # housekeeping ran
+    assert t.version() - t.change_floor() <= 4      # window bounded
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)                               # old manifest gone
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+
+    # still converges after housekeeping (watermarks were at head)
+    docs_ct.merge(rows(spark, [(0, "rewritten zero"), (9, "nine")]))
+    docs_ct.delete_where("doc_id = 1")
+    w.run()
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
