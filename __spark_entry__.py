@@ -3098,6 +3098,45 @@ def q_ivm_chain_cdc(spark, sf_dir):
 
 
 
+def q_ivm_scd2(spark, sf_dir):
+    """IVM e2e: SCD Type-2 history (ChangeTable.history()) after a CDC
+    round — one per-key ordered window over the delete-carrying change
+    feed (changelog.py history(); the reference's CDF drops deletes,
+    elzyme/streams.py:132,142, so it cannot build this at all). v1 bulk
+    load, v2 segment moves (c_custkey % 28 == 0), v3 deletes
+    (c_custkey % 20 == 0): updates close intervals and open new ones,
+    deletes close intervals without emitting a row. The oracle rebuilds
+    the same intervals from the simulated change log."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal"))
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_scd2_")
+    ct = ChangeTable.create(
+        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+    )
+    ct.merge(cust)                                     # v1: inserts
+    ct.merge(                                          # v2: segment moves
+        cust.where(F.col("c_custkey") % 28 == 0).select(
+            "c_custkey", F.lit("MOVED").alias("c_mktsegment"), "bal"
+        )
+    )
+    ct.delete_where("c_custkey % 20 = 0")              # v3: deletes
+    return ct.history().select(
+        "c_custkey", "c_mktsegment", "bal",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3238,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
         "ivm_chain_cdc": q_ivm_chain_cdc,
+        "ivm_scd2": q_ivm_scd2,
     }
 
 
@@ -6025,5 +6065,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_b AS member, doc_a AS label FROM p)
         SELECT member, min(label) AS cluster FROM m GROUP BY 1
+    """
+    out["ivm_scd2"] = """
+        WITH slice AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal AS bal,
+                   (c_custkey % 28 = 0) AS moved,
+                   (c_custkey % 20 = 0) AS deleted
+            FROM customer WHERE c_custkey % 4 = 0),
+        touched AS (
+            SELECT c_custkey, c_mktsegment, bal, 1 AS ver, FALSE AS is_del
+            FROM slice
+            UNION ALL
+            SELECT c_custkey, 'MOVED', bal, 2, FALSE FROM slice WHERE moved
+            UNION ALL
+            SELECT c_custkey,
+                   CASE WHEN moved THEN 'MOVED' ELSE c_mktsegment END,
+                   bal, 3, TRUE
+            FROM slice WHERE deleted),
+        iv AS (
+            SELECT c_custkey, c_mktsegment, bal,
+                   ver,
+                   LEAD(ver) OVER (PARTITION BY c_custkey ORDER BY ver)
+                       AS valid_to,
+                   is_del
+            FROM touched)
+        SELECT c_custkey, c_mktsegment, bal,
+               CAST(ver AS BIGINT) AS valid_from,
+               CAST(valid_to AS BIGINT) AS valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM iv WHERE NOT is_del
     """
     return out
