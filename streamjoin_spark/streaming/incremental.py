@@ -442,13 +442,29 @@ class _ForeachStage(_JoinStage):
     def __init__(self, builder, func, progress: _Progress, governor=None):
         super().__init__(builder, None, progress, governor)
         self.func = func
+        # 3-parameter sinks also receive the affected-KEY scope: the slice
+        # alone carries only the current correct rows, so a sink that must
+        # propagate DELETES (keys in scope but absent from the slice —
+        # e.g. a Delta MERGE target, sources/delta.py delta_sink) needs
+        # the scope to know what vanished. 2-parameter sinks keep the
+        # reference's (batch_df, batch_id) contract.
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(func).parameters)
+        except (TypeError, ValueError):
+            n_params = 2
+        self._wants_scope = n_params >= 3
 
     def process(self) -> bool:
         out = self.compute_slice()
         if out is None:
             return False
         affected, new_slice, versions, _bytes = out
-        self.func(new_slice, self.progress.batch_id)
+        if self._wants_scope:
+            self.func(new_slice, affected, self.progress.batch_id)
+        else:
+            self.func(new_slice, self.progress.batch_id)
         self.progress.batch_id += 1
         self.progress.versions = versions
         self.progress.save()

@@ -220,3 +220,96 @@ def test_live_delta_roundtrip(spark, tmp_path):  # pragma: no cover
     assert adapter.version() >= 2
     assert adapter.snapshot(0).count() == 2
     assert adapter.describe_history().count() >= 3
+
+
+# ---------------------------------------------------------------------------
+# Delta as a sink: delete-propagating MERGE source + 3-arg foreachBatch
+# ---------------------------------------------------------------------------
+
+
+def test_sink_source_classifies_outcomes(spark):
+    """sink_source: full-outer scope-diff of the slice against the sink's
+    current rows — slice-only = insert, both = update, sink-only-in-scope
+    = delete, out-of-scope sink rows never appear."""
+    from streamjoin_spark.sources.delta import SINK_FLAG, sink_source
+
+    # scope key = cid; row key = oid
+    slice_df = spark.createDataFrame(
+        [(10, 1, "a"), (13, 2, "x")], "oid long, cid long, name string"
+    )
+    affected = spark.createDataFrame([(1,), (2,)], "cid long")
+    sink_now = spark.createDataFrame(
+        [(10, 1, "old"), (11, 1, "gone"), (20, 9, "other")],
+        "oid long, cid long, name string",
+    )
+    src = {
+        r["oid"]: r
+        for r in sink_source(
+            slice_df, affected, ["cid"], ["oid"], sink_now
+        ).collect()
+    }
+    assert set(src) == {10, 11, 13}          # 20 is out of scope: untouched
+    assert src[10][SINK_FLAG] is True and src[10]["name"] == "a"   # update
+    assert src[13][SINK_FLAG] is True and src[13]["name"] == "x"   # insert
+    assert src[11][SINK_FLAG] is None                              # delete
+
+
+def test_foreach_scope_sink_propagates_deletes(spark, tmp_path):
+    """End-to-end: a 3-parameter foreachBatch sink receives the affected-key
+    scope alongside the slice, so an external mirror (here a dict applying
+    sink_source outcomes — exactly what delta_sink's MERGE does) converges
+    to the batch twin under insert/update/DELETE. A 2-parameter sink cannot
+    delete key 1's rows; this proves the extended contract can."""
+    from streamjoin_spark.sources.delta import SINK_FLAG, sink_source
+
+    CUST = "id long, name string, seg string"
+    ORD = "oid long, cid long, price double"
+    c_ct = ChangeTable.create(
+        spark, str(tmp_path / "c"), spark.createDataFrame([], CUST).schema, ["id"]
+    )
+    o_ct = ChangeTable.create(
+        spark, str(tmp_path / "o"), spark.createDataFrame([], ORD).schema, ["oid"]
+    )
+    c = Stream.fromChangeTable(c_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(o_ct, "o").primaryKeys("oid")
+
+    mirror: dict = {}
+
+    def sink(slice_df, affected_keys, _bid):
+        sink_now = spark.createDataFrame(
+            [(k, *v) for k, v in mirror.items()] or [],
+            "oid long, id long, name string, price double",
+        )
+        src = sink_source(
+            slice_df, affected_keys, ["id"], ["oid"], sink_now
+        ).collect()
+        for r in src:
+            if r[SINK_FLAG]:
+                mirror[r["oid"]] = (r["id"], r["name"], r["price"])
+            else:
+                mirror.pop(r["oid"], None)
+
+    w = (
+        c.join(o, "inner").on(c["id"] == o["cid"])
+        .select(o["oid"], c["id"], c["name"], o["price"])
+        .foreachBatch(sink)
+    )
+    c_ct.merge(spark.createDataFrame([(1, "ann", "a"), (2, "bob", "b")], CUST))
+    o_ct.merge(spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0), (12, 1, 9.0)], ORD))
+    w.run()
+    assert set(mirror) == {10, 11, 12}
+
+    c_ct.delete_where("id = 1")                     # orders 10,12 vanish
+    o_ct.merge(spark.createDataFrame([(11, 2, 8.5)], ORD))  # update
+    o_ct.merge(spark.createDataFrame([(13, 2, 1.0)], ORD))  # insert
+    w.run()
+    assert mirror == {11: (2, "bob", 8.5), 13: (2, "bob", 1.0)}
+
+
+@pytest.mark.skipif(has_delta(), reason="delta-spark present: guard inert")
+def test_delta_sink_requires_delta(spark):
+    from streamjoin_spark.sources.delta import delta_sink
+
+    with pytest.raises(ImportError, match="delta-spark"):
+        delta_sink(spark, "/tmp/nowhere", ["id"])
