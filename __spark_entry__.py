@@ -3137,6 +3137,52 @@ def q_ivm_scd2(spark, sf_dir):
 
 
 
+def q_ivm_sessions(spark, sf_dir):
+    """IVM e2e: gap-based sessionization MAINTAINED under CDC
+    (pipelines.incremental_sessions — dirty-group recompute per touched
+    user), after a round where timestamp edits split sessions and deletes
+    shift boundaries. The oracle recomputes per-user session stats over
+    the simulated final state with the window composition; the maintained
+    table must equal it exactly — the late-data/merge/split cases
+    watermarked streaming session windows approximate, this converges."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.pipelines import incremental_sessions
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id", "user_id",
+            F.col("ts").cast("double").alias("ts"), "value",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_sess_")
+    ct = ChangeTable.create(
+        spark, f"{base}/ev", ev.schema, ["event_id"], n_buckets=8
+    )
+    ct.merge(ev)
+    w = incremental_sessions(ct, f"{base}/sess", ts_col="ts")
+    w.run()
+    ct.merge(                                       # ts edits: splits/moves
+        ev.where(F.col("event_id") % 35 == 0).select(
+            "event_id", "user_id",
+            (F.col("ts") + F.lit(100000.0)).alias("ts"), "value",
+        )
+    )
+    ct.delete_where("event_id % 40 = 0")            # boundary shifts
+    w.run()
+    return w.toDF().select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "total_value",
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3278,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "ivm_chain_cdc": q_ivm_chain_cdc,
         "ivm_scd2": q_ivm_scd2,
+        "ivm_sessions": q_ivm_sessions,
     }
 
 
@@ -6094,5 +6141,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(valid_to AS BIGINT) AS valid_to,
                (valid_to IS NULL) AS is_current
         FROM iv WHERE NOT is_del
+    """
+    out["ivm_sessions"] = """
+        WITH ev AS (
+            SELECT event_id, user_id, epoch(ts) AS tss, value
+            FROM events WHERE event_id % 5 = 0),
+        final AS (
+            SELECT event_id, user_id,
+                   CASE WHEN event_id % 35 = 0 THEN tss + 100000.0
+                        ELSE tss END AS tss,
+                   value
+            FROM ev WHERE event_id % 40 <> 0),
+        g AS (
+            SELECT user_id, event_id, tss, value,
+                   tss - LAG(tss) OVER (
+                       PARTITION BY user_id ORDER BY tss, event_id) AS gap
+            FROM final),
+        s AS (
+            SELECT user_id, value,
+                   SUM(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0
+                       END) OVER (
+                       PARTITION BY user_id ORDER BY tss, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+               CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM s GROUP BY user_id
     """
     return out

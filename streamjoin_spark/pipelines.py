@@ -60,6 +60,7 @@ __all__ = [
     "incremental_winnow_pairs",
     "DedupChain",
     "incremental_dedup_chain",
+    "incremental_sessions",
 ]
 
 
@@ -1238,3 +1239,84 @@ def incremental_dedup_chain(
         .writeToPath(f"{base_path}/assign")
     )
     return DedupChain(w_view, w_pairs, w_assign)
+
+
+def incremental_sessions(
+    events: ChangeTable,
+    path: str,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: float = 1800.0,
+):
+    """Gap-based sessionization maintained CONTINUOUSLY under CDC — the
+    classic hard stateful-streaming problem (Spark needs
+    ``applyInPandasWithState`` session state, Flink needs session windows
+    with allowed lateness) reduced to a dirty-group recompute: the
+    maintained table keys on the user, every event touching a user marks
+    that group dirty, and the group's whole session structure is rebuilt
+    from its own rows — so a late event that MERGES two sessions, an edit
+    that SPLITS one, or a delete that shifts every boundary all converge
+    exactly, with none of the watermark/lateness compromises streaming
+    session windows make.
+
+    Per-user state is one agg over a sorted event array (collect_list →
+    sort_array → an indexed transform marking gap>``gap_seconds``
+    boundaries): ``n_events``, ``n_sessions``, ``total_value``
+    (per-row-rounded decimal sum → double, the cross-engine float law).
+    The array is an aggregate output referenced by attribute inside the
+    boundary transform — evaluated once per group, not per element (the
+    transform-lambda re-evaluation pitfall applies to per-row expressions,
+    not aggregate buffers). ANSI-safe: the previous-element probe is
+    ``element_at(arr, greatest(i, 1))`` so i=0 compares the first event
+    with itself (gap 0) instead of indexing out of bounds.
+
+    Scale: one shuffle on the user key per recomputed slice; per-user
+    event arrays live only inside the aggregate buffer (the same bound the
+    batch window pays per partition); slices are governor-bounded.
+    Reference: no analog — its CDF drops deletes and its runtime has no
+    grouped-recompute path (elzyme/streams.py:132,142).
+    """
+    from .streams import METADATA_COLUMNS
+
+    def attach(df: DataFrame) -> DataFrame:
+        meta = [c for c in METADATA_COLUMNS if c in df.columns]
+        return df.select(
+            F.col(user_col),
+            F.col(id_col),
+            F.col(ts_col).cast("double").alias("__ts_s"),
+            F.round(F.col(value_col), 4).cast("decimal(18,4)").alias("__v4"),
+            *[F.col(c) for c in meta],
+        )
+
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("__ts_s").alias("ts"),
+                                F.col(id_col).alias("eid")))
+    )
+    starts = F.transform(
+        arr,
+        lambda x, i: F.when(
+            (i == F.lit(0))
+            | (
+                x["ts"] - F.element_at(arr, F.greatest(i, F.lit(1)))["ts"]
+                > F.lit(float(gap_seconds))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+    return (
+        Stream.fromChangeTable(events, f"{events.name}_sessions")
+        .primaryKeys(id_col)
+        .to(attach)
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.aggregate(starts, F.lit(0), lambda a, b: a + b).alias(
+                "n_sessions"
+            ),
+            F.sum(F.col("__v4")).cast("double").alias("total_value"),
+        )
+        .writeToPath(path)
+    )

@@ -761,3 +761,90 @@ def test_incremental_winnow_pairs_maintained(spark, tmp_path, docs_ct):
     docs_ct.delete_where("doc_id = 3")
     w.run()
     check(w)
+
+
+def test_incremental_sessions_maintained(spark, tmp_path):
+    """incremental_sessions converges to the batch sessionize twin under
+    the moves that break streaming session windows: a LATE event bridging
+    (merging) two sessions, a timestamp edit splitting one, and a delete
+    shifting every later boundary — all handled by dirty-group recompute
+    on the touched users only."""
+    from pyspark.sql.window import Window
+
+    from streamjoin_spark.pipelines import incremental_sessions
+
+    EV = "event_id long, user_id long, ts double, value double"
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "ev"),
+        spark.createDataFrame([], EV).schema, ["event_id"],
+    )
+    w = incremental_sessions(
+        ct, str(tmp_path / "sess"), ts_col="ts", gap_seconds=1800.0
+    )
+
+    def twin():
+        ev = ct.snapshot()
+        win = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        gap = F.col("ts") - F.lag("ts").over(win)
+        sess = ev.withColumn(
+            "ns", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+        ).withColumn(
+            "sid",
+            F.sum("ns").over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return sess.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("sid").cast("int").alias("n_sessions"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double").alias("total_value"),
+        )
+
+    rows = lambda data: spark.createDataFrame(data, EV)
+    # user 1: two sessions (gap 2500 s); user 2: one session
+    ct.merge(rows([
+        (10, 1, 1000.0, 1.0), (11, 1, 1500.0, 2.0),
+        (12, 1, 4000.0, 3.0), (13, 1, 4300.0, 4.0),
+        (20, 2, 500.0, 5.0),
+    ]))
+    w.run()
+    assert_same(
+        w.toDF().select("user_id", "n_events", "n_sessions", "total_value"),
+        twin(),
+    )
+
+    # late event at 2900 s BRIDGES user 1's sessions (within 1800 s of
+    # both 1500 and 4000): 2 sessions merge into 1 — the case watermarked
+    # streaming session windows get wrong
+    ct.merge(rows([(14, 1, 2900.0, 0.5)]))
+    w.run()
+    got = {r["user_id"]: r for r in w.toDF().collect()}
+    assert got[1]["n_sessions"] == 1 and got[1]["n_events"] == 5
+    assert_same(
+        w.toDF().select("user_id", "n_events", "n_sessions", "total_value"),
+        twin(),
+    )
+
+    # ts edit SPLITS again (bridge event moves far out), delete shifts
+    # boundaries, new user appears
+    ct.merge(rows([(14, 1, 99000.0, 0.5)]))
+    ct.delete_where("event_id = 11")
+    ct.merge(rows([(30, 3, 42.0, 9.0)]))
+    w.run()
+    got = {r["user_id"]: r for r in w.toDF().collect()}
+    assert got[1]["n_sessions"] == 3          # (1000), (4000,4300), (99000)
+    assert_same(
+        w.toDF().select("user_id", "n_events", "n_sessions", "total_value"),
+        twin(),
+    )
+
+    # user vanishes entirely
+    ct.delete_where("user_id = 2")
+    w.run()
+    assert_same(
+        w.toDF().select("user_id", "n_events", "n_sessions", "total_value"),
+        twin(),
+    )
