@@ -343,12 +343,26 @@ class ChangeTable:
         O(total commits ever) per call. On a long-lived table with
         thousands of commits this is what keeps each IVM microbatch's
         planning cost proportional to its backlog, not the table's age.
-        Same floor/cap semantics as the full-feed read; the version
-        filter stays as a cheap guard (files kept past vacuum retention
-        inside a live single-write dir carry sub-floor versions)."""
+        Unlike the full-feed read (whose "from the beginning" idiom clamps
+        to the retention floor), a PINNED range that starts below the
+        floor RAISES — this is the IVM consumer path, and silently
+        skipping a vacuumed range would let a stale-watermark consumer
+        apply a partial delta and diverge forever (Delta's CDF read
+        errors the same way). The version filter stays as a cheap guard
+        (files kept past vacuum retention inside a live single-write dir
+        carry sub-floor versions)."""
         head = self.version()
         v_to = head if v_to is None else min(int(v_to), head)
-        v_from = max(int(v_from), self.change_floor(), 1)
+        v_from = max(int(v_from), 1)
+        floor = self.change_floor()
+        if v_from < floor and v_from <= v_to:
+            raise ValueError(
+                f"change range [{v_from}, {v_to}] of {self.name!r} starts "
+                f"below the vacuum retention floor v{floor}: the older "
+                "commits were vacuumed, so applying the remainder would "
+                "silently diverge. Re-seed the consumer (startingVersion "
+                f">= {floor}, or rebuild from a snapshot)."
+            )
         dirs = [
             d
             for v in range(v_from, v_to + 1)
@@ -679,16 +693,27 @@ class ChangeTable:
     def _publish(self, v: int, manifest: dict, op: str) -> None:
         """Steps 3-4 of the commit protocol: overwrite manifest v + its
         timestamp file, then atomically bump the version — the publish
-        point. The bump is guarded by an optimistic version check against
-        a FRESH meta read: a second writer that raced this commit finds
-        the head already moved and gets a loud ConcurrentWriteError
-        instead of silently losing the other writer's commit. Best-effort
-        (a plain filesystem has no put-if-absent like the Delta log) —
-        the substrate stays single-writer by contract; this converts
-        accidental violations into errors, it is not coordination. The
-        fresh read also carries forward concurrent metadata-only updates
-        (vacuum's change_floor) instead of clobbering them from the
-        cache."""
+        point. Guarded by an optimistic version check against a FRESH
+        meta read BEFORE the manifest overwrite, so a writer that raced
+        and lost gets a loud ConcurrentWriteError without clobbering the
+        winner's already-published manifest/timestamp. Best-effort (a
+        plain filesystem has no put-if-absent like the Delta log, and the
+        loser's data/change files written before this call may already
+        have overwritten the winner's — the substrate stays single-writer
+        by contract; this converts accidental violations into errors as
+        early as possible, it is not coordination). The fresh read also
+        carries forward concurrent metadata-only updates (vacuum's
+        change_floor) instead of clobbering them from the cache."""
+        meta = dict(self._read_meta())
+        if meta["version"] != v - 1:
+            raise ConcurrentWriteError(
+                f"commit v{v} of {self.name!r} expected head v{v - 1} but "
+                f"found v{meta['version']}: another writer published since "
+                "this commit started (the table is single-writer; this "
+                "commit's manifest was not written, but its data/change "
+                "files may have overwritten the winner's — re-run the "
+                "winning commit to heal)"
+            )
         with open(self._manifest_path(v), "w") as f:
             json.dump(manifest, f)
         # commit wall-clock, enabling TIMESTAMP AS OF reads (Delta analog);
@@ -702,14 +727,6 @@ class ChangeTable:
             cts = prev_cts + 1e-3
         with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
             json.dump({"commit_ts": cts, "op": op}, f)
-        meta = dict(self._read_meta())
-        if meta["version"] != v - 1:
-            raise ConcurrentWriteError(
-                f"commit v{v} of {self.name!r} expected head v{v - 1} but "
-                f"found v{meta['version']}: another writer published since "
-                "this commit started (the table is single-writer; losing "
-                "pre-publish artifacts were not applied)"
-            )
         meta["version"] = v
         self._write_meta(meta)
 
@@ -1108,9 +1125,11 @@ class ChangeTable:
                 os.remove(tp)
 
         # publish the retention floor last (deletions above are idempotent,
-        # so a crash before this re-runs cleanly); monotonic like version
+        # so a crash before this re-runs cleanly); monotonic like version.
+        # FRESH meta read: the cached dict predates the directory walk and
+        # would regress a version head published meanwhile.
         if keep_from > self.change_floor():
-            meta = dict(self._meta)
+            meta = dict(self._read_meta())
             meta["change_floor"] = keep_from
             self._write_meta(meta)
         return removed

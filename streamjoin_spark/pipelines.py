@@ -1261,16 +1261,15 @@ def incremental_sessions(
     exactly, with none of the watermark/lateness compromises streaming
     session windows make.
 
-    Per-user state is one agg over a sorted event array (collect_list →
-    sort_array → an indexed transform marking gap>``gap_seconds``
-    boundaries): ``n_events``, ``n_sessions``, ``total_value``
-    (per-row-rounded decimal sum → double, the cross-engine float law).
-    The array is an aggregate output referenced by attribute inside the
-    boundary transform — evaluated once per group, not per element (the
-    transform-lambda re-evaluation pitfall applies to per-row expressions,
-    not aggregate buffers). ANSI-safe: the previous-element probe is
-    ``element_at(arr, greatest(i, 1))`` so i=0 compares the first event
-    with itself (gap 0) instead of indexing out of bounds.
+    Per-user state is one agg over a sorted event array: ``n_sessions`` =
+    1 + count of adjacent gaps > ``gap_seconds``, computed by zip_with
+    over two slices of the sorted array (consecutive pairs). The lambda
+    bodies reference ONLY their lambda arguments — referencing the
+    sort_array expression inside a lambda would re-sort the array once
+    per element (the transform-lambda re-evaluation invariant; HOF lambda
+    bodies get no common-subexpression elimination). Top-level re-uses of
+    the sorted array (slice heads/tails) cost one sort each per GROUP,
+    constant. ANSI-safe: slice lengths clamp at 0 via greatest.
 
     Scale: one shuffle on the user key per recomputed slice; per-user
     event arrays live only inside the aggregate buffer (the same bound the
@@ -1294,15 +1293,12 @@ def incremental_sessions(
         F.collect_list(F.struct(F.col("__ts_s").alias("ts"),
                                 F.col(id_col).alias("eid")))
     )
-    starts = F.transform(
-        arr,
-        lambda x, i: F.when(
-            (i == F.lit(0))
-            | (
-                x["ts"] - F.element_at(arr, F.greatest(i, F.lit(1)))["ts"]
-                > F.lit(float(gap_seconds))
-            ),
-            F.lit(1),
+    n_pairs = F.greatest(F.size(arr) - F.lit(1), F.lit(0))
+    gaps = F.zip_with(
+        F.slice(arr, F.lit(1), n_pairs),
+        F.slice(arr, F.lit(2), n_pairs),
+        lambda a, b: F.when(
+            b["ts"] - a["ts"] > F.lit(float(gap_seconds)), F.lit(1)
         ).otherwise(F.lit(0)),
     )
 
@@ -1313,9 +1309,9 @@ def incremental_sessions(
         .groupBy(user_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.aggregate(starts, F.lit(0), lambda a, b: a + b).alias(
-                "n_sessions"
-            ),
+            (
+                F.lit(1) + F.aggregate(gaps, F.lit(0), lambda a, b: a + b)
+            ).alias("n_sessions"),
             F.sum(F.col("__v4")).cast("double").alias("total_value"),
         )
         .writeToPath(path)

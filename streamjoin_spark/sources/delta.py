@@ -186,13 +186,26 @@ class DeltaSourceTable:
         """Pinned-range CDF read via Delta's native startingVersion /
         endingVersion options — Delta prunes the commit log to the range
         server-side, the same O(range) contract as
-        changelog.ChangeTable.read_change_range."""
+        changelog.ChangeTable.read_change_range — including the empty
+        backlog range (v_from > v_to, e.g. an idle join leg), which the
+        native read answers with an empty frame but Delta's reader rejects
+        as end-before-start: serve it from the always-valid [0, 0] commit
+        filtered to nothing."""
         head = self.version()
         v_to = head if v_to is None else min(int(v_to), head)
+        v_from = int(v_from)
+        if v_to < v_from:
+            df = self._load(
+                self._reader()
+                .option("readChangeFeed", "true")
+                .option("startingVersion", 0)
+                .option("endingVersion", 0)
+            )
+            return normalize_cdf(df).where(F.lit(False))
         df = self._load(
             self._reader()
             .option("readChangeFeed", "true")
-            .option("startingVersion", int(v_from))
+            .option("startingVersion", v_from)
             .option("endingVersion", int(v_to))
         )
         return normalize_cdf(df)
@@ -293,13 +306,37 @@ def sink_source(
     """
     scope_keys, row_keys = list(scope_keys), list(row_keys)
     scope = affected_keys.select(*scope_keys).dropDuplicates(scope_keys)
+    # NULL-SAFE joins throughout: outer-join targets legitimately carry
+    # NULL key parts (the replace_keys contract), and the MERGE condition
+    # downstream is null-safe (<=>) — a plain equality here would emit a
+    # vanish row AND a survivor row for the same NULL-keyed target row,
+    # and Delta MERGE aborts on multiple source matches.
+    def ns_cond(a, b, cols):
+        cond = None
+        for k in cols:
+            c = F.col(f"{a}.`{k}`").eqNullSafe(F.col(f"{b}.`{k}`"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
     old = (
-        target_df.join(scope, on=scope_keys, how="left_semi")
+        target_df.alias("t")
+        .join(scope.alias("k"), ns_cond("t", "k", scope_keys), "left_semi")
         .select(*row_keys)
         .withColumn("__sj_old", F.lit(True))
     )
     new = new_slice.withColumn(SINK_FLAG, F.lit(True))
-    return new.join(old, on=row_keys, how="full_outer").drop("__sj_old")
+    joined = new.alias("n").join(
+        old.alias("o"), ns_cond("n", "o", row_keys), "full_outer"
+    )
+    other = [c for c in new_slice.columns if c not in row_keys]
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"n.`{k}`"), F.col(f"o.`{k}`")).alias(k)
+            for k in row_keys
+        ],
+        *[F.col(f"n.`{c}`").alias(c) for c in other],
+        F.col(f"n.`{SINK_FLAG}`").alias(SINK_FLAG),
+    )
 
 
 def delta_sink(

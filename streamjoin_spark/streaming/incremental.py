@@ -446,12 +446,22 @@ class _ForeachStage(_JoinStage):
         # alone carries only the current correct rows, so a sink that must
         # propagate DELETES (keys in scope but absent from the slice —
         # e.g. a Delta MERGE target, sources/delta.py delta_sink) needs
-        # the scope to know what vanished. 2-parameter sinks keep the
-        # reference's (batch_df, batch_id) contract.
+        # the scope to know what vanished. Only REQUIRED positional
+        # parameters count — a legacy 2-arg sink with an extra defaulted
+        # parameter (def sink(df, bid, log=None)) keeps the reference's
+        # (batch_df, batch_id) contract; *args sinks do too (opt in by
+        # naming three parameters).
         import inspect
 
         try:
-            n_params = len(inspect.signature(func).parameters)
+            required = [
+                p
+                for p in inspect.signature(func).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                and p.default is p.empty
+            ]
+            n_params = len(required)
         except (TypeError, ValueError):
             n_params = 2
         self._wants_scope = n_params >= 3

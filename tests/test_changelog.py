@@ -585,8 +585,16 @@ def test_read_change_range_lists_only_range_dirs(spark, tmp_path):
                          for f in files)
     full = ct.read_change_feed(2).where(F.col(COMMIT_VERSION) <= 3)
     assert sorted(map(tuple, ranged.collect())) == sorted(map(tuple, full.collect()))
-    # open-ended range caps at the head; below-floor clamp mirrors the feed
+    # open-ended range caps at the head
     assert ct.read_change_range(1).count() == ct.read_change_feed().count()
+    # a pinned range starting below the vacuum floor RAISES (silently
+    # skipping a vacuumed range would diverge a stale-watermark consumer)
+    ct.vacuum(retain_versions=2)
+    assert ct.change_floor() == 3
+    with pytest.raises(ValueError, match="retention floor"):
+        ct.read_change_range(1, 4)
+    assert ct.read_change_range(3, 4).count() > 0      # inside: fine
+    assert ct.read_change_range(5, 4).count() == 0     # empty range: no-op
 
 
 def test_concurrent_write_detected_at_publish(spark, tmp_path):
@@ -602,9 +610,13 @@ def test_concurrent_write_detected_at_publish(spark, tmp_path):
     path = str(tmp_path / "t")
     ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
     ct.merge(df)                                       # head = v1
+    manifest_before = ct._manifest(1)
     with pytest.raises(ConcurrentWriteError):
         ct._publish(1, {}, "X")                        # stale: expects head v0
     assert ct.version() == 1
+    # the check fires BEFORE the manifest overwrite: the published
+    # winning commit's manifest survives the losing publish attempt
+    assert ct._manifest(1) == manifest_before
     ct.merge(spark.createDataFrame(
         [(2, "b", 2.0, 1)], "id long, name string, amount double, seq int"
     ))

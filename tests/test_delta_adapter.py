@@ -313,3 +313,35 @@ def test_delta_sink_requires_delta(spark):
 
     with pytest.raises(ImportError, match="delta-spark"):
         delta_sink(spark, "/tmp/nowhere", ["id"])
+
+
+def test_foreach_arity_detection(spark, tmp_path):
+    """Only REQUIRED positional parameters opt a sink into the scope
+    contract: a legacy 2-arg sink with a defaulted third parameter keeps
+    (batch_df, batch_id); a 3-required-arg sink receives the scope."""
+    CUST = "id long, name string, seg string"
+    ORD = "oid long, cid long, price double"
+    c_ct = ChangeTable.create(
+        spark, str(tmp_path / "c2"), spark.createDataFrame([], CUST).schema, ["id"]
+    )
+    o_ct = ChangeTable.create(
+        spark, str(tmp_path / "o2"), spark.createDataFrame([], ORD).schema, ["oid"]
+    )
+    c = Stream.fromChangeTable(c_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(o_ct, "o").primaryKeys("oid")
+    legacy_calls, scoped_calls = [], []
+
+    def legacy(df, bid, log=None):          # 2 required -> legacy contract
+        legacy_calls.append((bid, df.count(), log))
+
+    def scoped(df, keys, bid):              # 3 required -> scope contract
+        scoped_calls.append((bid, df.count(), keys.columns))
+
+    w1 = c.join(o, "inner").on(c["id"] == o["cid"]).foreachBatch(legacy)
+    w2 = c.join(o, "inner").on(c["id"] == o["cid"]).foreachBatch(scoped)
+    c_ct.merge(spark.createDataFrame([(1, "ann", "a")], CUST))
+    o_ct.merge(spark.createDataFrame([(10, 1, 5.0)], ORD))
+    w1.run()
+    w2.run()
+    assert legacy_calls == [(0, 1, None)]   # batch_id is the int, log unset
+    assert scoped_calls == [(0, 1, ["id"])]
