@@ -3183,6 +3183,47 @@ def q_ivm_sessions(spark, sf_dir):
 
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """Corpus-scale BPE tokenizer induction, step one: adjacent
+    character-pair frequencies over the corpus vocabulary (the pair-count
+    pass every BPE merge iteration runs; at 100 TB this is THE cost of
+    vocab training). Spark-first: whitespace tokens → per-token 2-char
+    substring fan-out (materialized token attribute; pair extraction via
+    substring over a guarded sequence — ANSI-safe), one count shuffle on
+    the pair, deterministic top-50 (count desc, pair asc). ASCII-only
+    tokens so character indexing agrees across engines."""
+    _prep(spark)
+    from pyspark.sql.window import Window
+
+    from streamjoin_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$") & (F.length("w") >= 2))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                # w is a materialized attribute (per the transform-lambda
+                # invariant); substr of an attribute is per-element cheap
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # unpartitioned window is safe by construction: the pair domain is
+    # <= 36^2 rows ([a-z0-9] alphabet), a bounded frame at any corpus size
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select("rank", "pair", "n")
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3325,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_chain_cdc": q_ivm_chain_cdc,
         "ivm_scd2": q_ivm_scd2,
         "ivm_sessions": q_ivm_sessions,
+        "bpe_pair_stats": q_bpe_pair_stats,
     }
 
 
@@ -6170,5 +6212,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
                    AS total_value
         FROM s GROUP BY user_id
+    """
+    out["bpe_pair_stats"] = r"""
+        WITH toks AS (
+            SELECT t.w
+            FROM documents,
+                 UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
+            WHERE regexp_matches(t.w, '^[a-z0-9]+$') AND length(t.w) >= 2),
+        pairs AS (
+            SELECT w[i:i+1] AS pair
+            FROM toks, UNNEST(generate_series(1, length(w) - 1)) AS g(i)),
+        counted AS (
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY pair)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INT)
+                   AS rank,
+               pair, n
+        FROM counted
+        QUALIFY rank <= 50
     """
     return out
