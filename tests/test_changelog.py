@@ -644,3 +644,37 @@ def test_publish_carries_forward_fresh_meta(spark, tmp_path):
         [(99, "y", 9.0, 1)], "id long, name string, amount double, seq int"
     ))
     assert ct.change_floor() == floor                  # survived the bump
+
+
+def test_crashed_single_write_commit_retry_safe(spark, tmp_path):
+    """Crash before the meta bump on a SINGLE-WRITE (insert-only) commit:
+    the orphaned changes/c{v} files stay invisible (version cap), and the
+    retried commit overwrites them in place — one copy in both the
+    snapshot and the feed."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "b", 2.0, 1)],
+        "id long, name string, amount double, seq int",
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], sequence_by=["seq"])
+
+    real_write_meta = ChangeTable._write_meta
+
+    def crash(self, meta):
+        raise RuntimeError("simulated crash before meta bump")
+
+    ChangeTable._write_meta = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ct.merge(df)                        # bulk load = single-write
+    finally:
+        ChangeTable._write_meta = real_write_meta
+
+    assert ct.version() == 0
+    assert ct.read_change_feed().count() == 0   # orphans invisible
+    assert ct.snapshot().count() == 0
+
+    v = ct.merge(df)                            # retry same version
+    assert v == 1
+    assert ct.snapshot().count() == 2
+    assert ct.read_change_feed().count() == 2   # exactly one copy
