@@ -246,6 +246,44 @@ def _anti_filter(df: DataFrame, keys: DataFrame, cols: Sequence[str]) -> DataFra
 
 
 
+def _gate_expectations(stage, new_slice: DataFrame) -> DataFrame:
+    """DLT-style data-quality gate on a continuously maintained target
+    (writer options ``expectations`` + ``expectationsMode``): every
+    governed slice passes the rules BEFORE it is committed.
+
+    - ``fail`` (default): one conditional-count pass over the slice
+      (operators/expectations.check); any violation raises before the
+      commit, so the stage's watermark stays put and a restart retries
+      the same slice after the upstream fix — DLT ``expect_or_fail``.
+    - ``drop``: failing rows are filtered map-only; the scope-diff then
+      turns them into deletes/absences in the target, so the maintained
+      table holds exactly the passing rows — DLT ``expect_or_drop`` on a
+      materialized view, converging under CDC like everything else.
+
+    Costs nothing when unset; ``fail`` adds one aggregate job per slice.
+    """
+    rules = getattr(stage, "expectations", None)
+    if not rules:
+        return new_slice
+    from ..operators.expectations import check, enforce
+
+    if getattr(stage, "expectations_mode", "fail") == "drop":
+        return enforce(new_slice, rules, "drop")
+    bad = [
+        (r["rule"], r["n_violations"])
+        for r in check(new_slice, rules).collect()
+        if r["n_violations"] > 0
+    ]
+    if bad:
+        detail = ", ".join(f"{n} ({c} rows)" for n, c in bad)
+        raise ValueError(
+            f"expectation violation on {stage.target.name!r} microbatch: "
+            f"{detail}; the slice was NOT committed — the watermark is "
+            "unchanged, fix upstream and re-drain"
+        )
+    return new_slice
+
+
 def _seed_version(stream) -> int:
     """Initial watermark for one input: ``startingVersion - 1`` when the
     stream pins one (so the first slice covers commits ≥ startingVersion),
@@ -419,6 +457,7 @@ class _JoinStage:
             return False
         affected, new_slice, versions, slice_bytes = out
         self._slice_bytes = slice_bytes  # surfaced via stageProgress()
+        new_slice = _gate_expectations(self, new_slice)
         changed = self.target.replace_keys(
             affected, self.p_pks, new_slice,
             hint_broadcast=self.governor.should_hint(slice_bytes),
@@ -525,7 +564,9 @@ class _UnionLegStage:
         snap = self.stream.static(v1)
         # replace_keys projects onto the target schema itself (and computes
         # any generated columns) — don't pre-select here
-        new_slice = self.governor.scoped(snap, affected, self.pks, nbytes)
+        new_slice = _gate_expectations(
+            self, self.governor.scoped(snap, affected, self.pks, nbytes)
+        )
         self.target.replace_keys(
             affected, self.pks, new_slice,
             hint_broadcast=self.governor.should_hint(nbytes),
@@ -633,7 +674,7 @@ class _AggStage:
                 )
 
         changed = self.target.replace_keys(
-            affected, self.group_cols, new_slice,
+            affected, self.group_cols, _gate_expectations(self, new_slice),
             hint_broadcast=self.governor.should_hint(nbytes),
         )
         self.progress.versions = [v1]
@@ -1031,6 +1072,22 @@ def _build_pipeline(
             raise TypeError(f"cannot run {type(op).__name__} incrementally")
 
     build(operator, path.rstrip("/"), True)
+    # writer options expectations/expectationsMode gate the FINAL target's
+    # slices (DLT expectations on a continuously maintained table); staging
+    # tables stay ungated — they are internal plumbing, not user contracts
+    rules = (options or {}).get("expectations")
+    if rules:
+        mode = str((options or {}).get("expectationsMode", "fail"))
+        if mode not in ("fail", "drop"):
+            raise ValueError(
+                f"expectationsMode must be 'fail' or 'drop', got {mode!r}"
+            )
+        tgt = path.rstrip("/")
+        for st in stages:
+            t = getattr(st, "target", None)
+            if t is not None and t.path == tgt:
+                st.expectations = dict(rules)
+                st.expectations_mode = mode
     return IncrementalPipeline(
         spark, stages, roots,
         stage_parallelism=int((options or {}).get("stageParallelism", 1)),

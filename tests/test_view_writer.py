@@ -163,3 +163,56 @@ def test_vacuum_retain_option_housekeeps_target(spark, tmp_path, docs_ct):
     docs_ct.delete_where("doc_id = 1")
     w.run()
     assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+
+
+def test_expectations_drop_mode_converges(spark, tmp_path, docs_ct):
+    """writer option expectations + expectationsMode=drop: the maintained
+    view holds exactly the rows passing the rules, converging under CDC
+    (DLT expect_or_drop on a materialized view) — an update that makes a
+    row fail DELETES it from the target, one that fixes it reinstates."""
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_exp_src")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view"))
+        .option("expectations", {"min_tokens": "n_tokens >= 2"})
+        .option("expectationsMode", "drop")
+    )
+
+    def twin():
+        return enrich(docs_ct.snapshot()).where(F.col("n_tokens") >= 2)
+
+    docs_ct.merge(rows(spark, [(1, "a b c"), (2, "solo"), (3, "x y")]))
+    w.run()
+    assert_same(w.toDF(), twin())
+    assert {r["doc_id"] for r in w.toDF().collect()} == {1, 3}
+
+    docs_ct.merge(rows(spark, [(1, "shrunk"), (2, "now two tokens")]))
+    w.run()                      # 1 fails now (deleted), 2 passes (appears)
+    assert_same(w.toDF(), twin())
+    assert {r["doc_id"] for r in w.toDF().collect()} == {2, 3}
+
+
+def test_expectations_fail_mode_blocks_commit(spark, tmp_path, docs_ct):
+    """expectationsMode=fail (default): a violating slice raises BEFORE
+    commit — target and watermark unchanged — and the drain succeeds after
+    the upstream fix (DLT expect_or_fail, exactly-once preserved)."""
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_exp_f_src")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view"))
+        .option("expectations", {"min_tokens": "n_tokens >= 2"})
+    )
+    docs_ct.merge(rows(spark, [(1, "a b c"), (2, "ok fine")]))
+    w.run()
+    assert w.toDF().count() == 2
+
+    docs_ct.merge(rows(spark, [(3, "bad")]))
+    with pytest.raises(ValueError, match="expectation violation"):
+        w.run()
+    assert w.toDF().count() == 2            # nothing committed
+
+    docs_ct.merge(rows(spark, [(3, "bad fixed now")]))
+    w.run()                                  # same slice retried + the fix
+    assert {r["doc_id"] for r in w.toDF().collect()} == {1, 2, 3}
