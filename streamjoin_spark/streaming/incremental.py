@@ -259,16 +259,45 @@ def _gate_expectations(stage, new_slice: DataFrame) -> DataFrame:
       turns them into deletes/absences in the target, so the maintained
       table holds exactly the passing rows — DLT ``expect_or_drop`` on a
       materialized view, converging under CDC like everything else.
+    - ``quarantine``: like ``drop``, plus the failing rows land in a side
+      ChangeTable at ``expectationsQuarantinePath`` with their
+      ``_violations``, content-addressed on ``_qid`` (the FileIngest
+      quarantine law, sources/__init__.py) so slice retries merge to
+      no-ops — an exactly-once audit log of everything the gate rejected.
+      The quarantine commit precedes the target commit, preserving the
+      crash-retry story.
 
-    Costs nothing when unset; ``fail`` adds one aggregate job per slice.
+    Costs nothing when unset; ``fail`` adds one aggregate job per slice,
+    ``quarantine`` one isEmpty probe plus a merge when rows fail.
     """
     rules = getattr(stage, "expectations", None)
     if not rules:
         return new_slice
     from ..operators.expectations import check, enforce
 
-    if getattr(stage, "expectations_mode", "fail") == "drop":
+    mode = getattr(stage, "expectations_mode", "fail")
+    if mode == "drop":
         return enforce(new_slice, rules, "drop")
+    if mode == "quarantine":
+        from ..operators.expectations import quarantine as _quarantine
+
+        good, bad = _quarantine(new_slice, rules)
+        if not bad.isEmpty():
+            bad = bad.withColumn("_violations", F.concat_ws(",", "_violations"))
+            payload = [
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in sorted(bad.columns)
+            ]
+            bad = bad.withColumn("_qid", F.md5(F.concat_ws("\x1f", *payload)))
+            qpath = stage.expectations_quarantine_path
+            if ChangeTable.exists(qpath):
+                qt = ChangeTable(bad.sparkSession, qpath)
+            else:
+                qt = ChangeTable.create(
+                    bad.sparkSession, qpath, bad.schema, ["_qid"]
+                )
+            qt.merge(bad)
+        return good
     bad = [
         (r["rule"], r["n_violations"])
         for r in check(new_slice, rules).collect()
@@ -1078,9 +1107,16 @@ def _build_pipeline(
     rules = (options or {}).get("expectations")
     if rules:
         mode = str((options or {}).get("expectationsMode", "fail"))
-        if mode not in ("fail", "drop"):
+        if mode not in ("fail", "drop", "quarantine"):
             raise ValueError(
-                f"expectationsMode must be 'fail' or 'drop', got {mode!r}"
+                "expectationsMode must be 'fail', 'drop' or 'quarantine', "
+                f"got {mode!r}"
+            )
+        qpath = (options or {}).get("expectationsQuarantinePath")
+        if mode == "quarantine" and not qpath:
+            raise ValueError(
+                "expectationsMode='quarantine' needs "
+                "expectationsQuarantinePath"
             )
         tgt = path.rstrip("/")
         for st in stages:
@@ -1088,6 +1124,7 @@ def _build_pipeline(
             if t is not None and t.path == tgt:
                 st.expectations = dict(rules)
                 st.expectations_mode = mode
+                st.expectations_quarantine_path = qpath
     return IncrementalPipeline(
         spark, stages, roots,
         stage_parallelism=int((options or {}).get("stageParallelism", 1)),

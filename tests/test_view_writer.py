@@ -216,3 +216,41 @@ def test_expectations_fail_mode_blocks_commit(spark, tmp_path, docs_ct):
     docs_ct.merge(rows(spark, [(3, "bad fixed now")]))
     w.run()                                  # same slice retried + the fix
     assert {r["doc_id"] for r in w.toDF().collect()} == {1, 2, 3}
+
+
+def test_expectations_quarantine_mode(spark, tmp_path, docs_ct):
+    """expectationsMode=quarantine: the target holds passing rows (drop
+    semantics) AND failing rows land in a content-addressed side
+    ChangeTable with their violations — retried slices merge to no-ops
+    (exactly-once audit log)."""
+    from streamjoin_spark.changelog import ChangeTable as CT
+
+    qpath = str(tmp_path / "quarantine")
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_exp_q_src")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view"))
+        .option("expectations", {"min_tokens": "n_tokens >= 2"})
+        .option("expectationsMode", "quarantine")
+        .option("expectationsQuarantinePath", qpath)
+    )
+    docs_ct.merge(rows(spark, [(1, "a b c"), (2, "solo"), (3, "x y")]))
+    w.run()
+    assert {r["doc_id"] for r in w.toDF().collect()} == {1, 3}
+    qt = CT(spark, qpath)
+    qrows = qt.snapshot().collect()
+    assert {r["doc_id"] for r in qrows} == {2}
+    assert qrows[0]["_violations"] == "min_tokens"
+
+    # same bad row re-derived in a later slice (doc 3 churns, doc 2
+    # unchanged stays out of scope; then doc 2 churns while still bad):
+    # content-addressed merge keeps exactly one quarantine copy per
+    # distinct bad row version
+    docs_ct.merge(rows(spark, [(2, "nope")]))
+    w.run()
+    assert qt.snapshot().count() == 2          # two DISTINCT bad versions
+    docs_ct.merge(rows(spark, [(2, "nope")]))  # idempotent re-merge (no-op
+    w.run()                                    # change feed -> no new slice)
+    assert qt.snapshot().count() == 2
+    assert {r["doc_id"] for r in w.toDF().collect()} == {1, 3}
