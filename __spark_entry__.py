@@ -3183,6 +3183,58 @@ def q_ivm_sessions(spark, sf_dir):
 
 
 
+def q_ivm_quality_view(spark, sf_dir):
+    """IVM e2e: a maintained quality-gated view — writer expectations in
+    DROP mode (streaming/incremental.py _gate_expectations, the DLT
+    expect_or_drop analog) over a token-count enrichment, under a CDC
+    round where edits move documents ACROSS the quality boundary: a doc
+    shrinking below min_tokens is DELETED from the view, one growing past
+    it appears. Oracle = the enrichment of the simulated final state
+    filtered by the same rule."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.functions import token_count
+    from streamjoin_spark.streams import Stream
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text", "source")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_q_")
+    ct = ChangeTable.create(
+        spark, f"{base}/d", docs.schema, ["doc_id"], n_buckets=8
+    )
+    ct.merge(docs)
+
+    def enrich(df):
+        return df.select(
+            "doc_id", "source",
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+
+    w = (
+        Stream.fromChangeTable(ct, "docs_qv")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(f"{base}/view")
+        .option("expectations", {"min_tokens": "n_tokens >= 40"})
+        .option("expectationsMode", "drop")
+    )
+    w.run()
+    ct.merge(                                   # shrink some docs below 40
+        docs.where(F.col("doc_id") % 21 == 1).select(
+            "doc_id", F.lit("tiny doc").alias("text"), "source"
+        )
+    )
+    ct.delete_where("doc_id % 15 = 1")
+    w.run()
+    return w.toDF().select("doc_id", "source", "n_tokens")
+
+
+
 def q_bpe_pair_stats(spark, sf_dir):
     """Corpus-scale BPE tokenizer induction, step one: adjacent
     character-pair frequencies over the corpus vocabulary (the pair-count
@@ -3367,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_scd2": q_ivm_scd2,
         "ivm_sessions": q_ivm_sessions,
         "bpe_pair_stats": q_bpe_pair_stats,
+        "ivm_quality_view": q_ivm_quality_view,
     }
 
 
@@ -6230,5 +6283,23 @@ def oracle_sql() -> dict[str, str]:
                pair, n
         FROM counted
         QUALIFY rank <= 50
+    """
+    out["ivm_quality_view"] = r"""
+        WITH inp AS (
+            SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 1),
+        final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 21 = 1 THEN 'tiny doc' ELSE text END
+                       AS text,
+                   source
+            FROM inp WHERE doc_id % 15 <> 1),
+        enr AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+')) END
+                        AS BIGINT) AS n_tokens
+            FROM final)
+        SELECT doc_id, source, n_tokens FROM enr WHERE n_tokens >= 40
     """
     return out
