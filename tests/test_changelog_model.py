@@ -122,6 +122,14 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
         for v in range(v_before + 1, ct.version() + 1):
             states[v] = dict(model)
         assert _snap(ct) == _rows(model), f"divergence after {op}"
+        # the O(range) pinned read agrees with the version-filtered full
+        # feed for every commit this op produced — across single-write
+        # (insert-only) and rewrite layouts alike
+        for v in range(v_before + 1, ct.version() + 1):
+            ranged = sorted(map(tuple, ct.read_change_range(v, v).collect()))
+            full = sorted(map(tuple, ct.read_change_feed().where(
+                F.col(COMMIT_VERSION) == v).collect()))
+            assert ranged == full, f"range/feed mismatch at v{v} after {op}"
 
     # feed replay reconstructs the final state from the retention floor's
     # base snapshot (floor-1 is not replayable by definition)
