@@ -553,7 +553,9 @@ class ChangeTable:
         schema = self.schema()
         for f in added:
             schema = schema.add(f.name, f.dataType, True)
-        meta = dict(self._meta)
+        # fresh read, like _publish/vacuum: never regress concurrent
+        # metadata (version head, change_floor) from a stale cache
+        meta = dict(self._read_meta())
         meta["schema"] = schema.jsonValue()
         self._write_meta(meta)
 
@@ -903,6 +905,7 @@ class ChangeTable:
         new_rows: DataFrame,
         hint_broadcast: bool = True,
         op: str = "REPLACE",
+        merge_schema: bool = False,
     ) -> int:
         """Replace every row whose ``key_cols`` tuple appears in ``scope_keys``
         with the rows of ``new_rows``, emitting a minimal change feed
@@ -924,6 +927,13 @@ class ChangeTable:
         holding affected rows.
         """
         v = self.version() + 1
+        if merge_schema:
+            # Delta mergeSchema analog on the IVM write edge: a slice
+            # carrying columns the target lacks WIDENS the target first
+            # (old rows and old change files read back with nulls via the
+            # explicit-schema projection); strict mode (default) silently
+            # projects extras away instead.
+            self._evolve_schema(new_rows)
         manifest = self._manifest(v - 1)
         if not manifest:
             # first-cycle fast path: an EMPTY target has no scope rows to

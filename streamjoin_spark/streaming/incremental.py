@@ -490,6 +490,7 @@ class _JoinStage:
         changed = self.target.replace_keys(
             affected, self.p_pks, new_slice,
             hint_broadcast=self.governor.should_hint(slice_bytes),
+            merge_schema=getattr(self, "merge_schema", False),
         )
         self.progress.versions = versions
         self.progress.save()
@@ -599,6 +600,7 @@ class _UnionLegStage:
         self.target.replace_keys(
             affected, self.pks, new_slice,
             hint_broadcast=self.governor.should_hint(nbytes),
+            merge_schema=getattr(self, "merge_schema", False),
         )
         self.progress.versions = [v1]
         self.progress.save()
@@ -1125,6 +1127,16 @@ def _build_pipeline(
                 st.expectations = dict(rules)
                 st.expectations_mode = mode
                 st.expectations_quarantine_path = qpath
+    if str((options or {}).get("mergeSchema", "false")).lower() == "true":
+        # Delta streaming-write mergeSchema analog: a slice carrying new
+        # columns (an evolved source flowing through a pass-through
+        # transform) WIDENS the final target; old rows read back as null.
+        # Strict default: extras are silently projected away.
+        tgt = path.rstrip("/")
+        for st in stages:
+            t = getattr(st, "target", None)
+            if t is not None and t.path == tgt:
+                st.merge_schema = True
     return IncrementalPipeline(
         spark, stages, roots,
         stage_parallelism=int((options or {}).get("stageParallelism", 1)),

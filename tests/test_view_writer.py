@@ -254,3 +254,50 @@ def test_expectations_quarantine_mode(spark, tmp_path, docs_ct):
     w.run()                                    # change feed -> no new slice)
     assert qt.snapshot().count() == 2
     assert {r["doc_id"] for r in w.toDF().collect()} == {1, 3}
+
+
+def test_merge_schema_option_evolves_view(spark, tmp_path):
+    """writer option mergeSchema=true: when the SOURCE evolves a new
+    column and the transform passes it through, the maintained target
+    WIDENS (old rows read back null) and keeps converging; without the
+    option the extra column is silently projected away (strict default)."""
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["doc_id"],
+    )
+    w = (
+        Stream.fromChangeTable(src, "docs_ms_src")
+        .primaryKeys("doc_id")
+        .writeToPath(str(tmp_path / "view"))
+        .option("mergeSchema", "true")
+    )
+    src.merge(rows(spark, [(1, "a b"), (2, "c d")]))
+    w.run()
+    assert set(w.toDF().columns) == {"doc_id", "text"}
+
+    wide = spark.createDataFrame(
+        [(3, "e f", "en")], "doc_id long, text string, lang string"
+    )
+    src.merge(wide, merge_schema=True)           # source evolves
+    w.run()
+    out = {r["doc_id"]: r for r in w.toDF().collect()}
+    assert set(w.toDF().columns) == {"doc_id", "text", "lang"}
+    assert out[3]["lang"] == "en"
+    assert out[1]["lang"] is None                # old rows null-fill
+
+    # further CDC over the widened schema still converges
+    src.merge(spark.createDataFrame(
+        [(1, "a b c", "de")], "doc_id long, text string, lang string"))
+    src.delete_where("doc_id = 2")
+    w.run()
+    out = {r["doc_id"]: (r["text"], r["lang"]) for r in w.toDF().collect()}
+    assert out == {1: ("a b c", "de"), 3: ("e f", "en")}
+
+    # strict default: the extra column is projected away, not an error
+    w2 = (
+        Stream.fromChangeTable(src, "docs_ms_strict")
+        .primaryKeys("doc_id")
+        .writeToPath(str(tmp_path / "view_strict"))
+    )
+    w2.run()
+    assert set(w2.toDF().columns) == {"doc_id", "text", "lang"}
