@@ -3183,6 +3183,38 @@ def q_ivm_sessions(spark, sf_dir):
 
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct opening fingerprints (first-6-token prefix md5 — the shared
+    boilerplate/mirror-opening heuristic) they share — the curation
+    diagnostic for 'which feeds are mirroring each other' before mixture
+    weighting. Scale: distinct (source, fp) first, then a
+    fingerprint-keyed equi-join — per-fp fan-out is bounded by the source
+    count (small), so the join never goes quadratic in corpus size; one
+    count shuffle on the (tiny) source-pair domain."""
+    _prep(spark)
+    from streamjoin_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.slice(
+        F.filter(tokens(F.col("text")), lambda t: t != F.lit("")), 1, 6
+    )
+    v = docs.select(
+        "source", F.md5(F.array_join(prefix, " ")).alias("fp")
+    ).distinct()
+    A, B = "a", "b"
+    pairs = v.alias(A).join(
+        v.alias(B),
+        (F.col(f"{A}.fp") == F.col(f"{B}.fp"))
+        & (F.col(f"{A}.source") < F.col(f"{B}.source")),
+    )
+    return pairs.groupBy(
+        F.col(f"{A}.source").alias("source_a"),
+        F.col(f"{B}.source").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_shared_fps"))
+
+
+
 def q_ivm_quality_view(spark, sf_dir):
     """IVM e2e: a maintained quality-gated view — writer expectations in
     DROP mode (streaming/incremental.py _gate_expectations, the DLT
@@ -3420,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_sessions": q_ivm_sessions,
         "bpe_pair_stats": q_bpe_pair_stats,
         "ivm_quality_view": q_ivm_quality_view,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -6301,5 +6334,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tokens
             FROM final)
         SELECT doc_id, source, n_tokens FROM enr WHERE n_tokens >= 40
+    """
+    out["source_overlap"] = r"""
+        WITH v AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(
+                       (list_filter(string_split_regex(lower(trim(text)),
+                                                       '\s+'),
+                                    t -> t <> ''))[1:6], ' ')) AS fp
+            FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        FROM v a JOIN v b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
     """
     return out
