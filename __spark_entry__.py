@@ -3215,6 +3215,48 @@ def q_source_overlap(spark, sf_dir):
 
 
 
+def q_source_novelty(spark, sf_dir):
+    """Per-source content novelty: the fraction of a source's distinct
+    3-gram shingles that appear in NO other source — the distinctiveness
+    complement of source_overlap (a source with low novelty is mostly
+    re-hosting others' content and should be down-weighted in the
+    mixture). Scale: distinct (source, shingle) then one shingle-keyed
+    count (per-shingle fan-out bounded by the source count); the ratio is
+    division-derived so it is FLOOR-canonicalized on both engines (repo
+    float law)."""
+    _prep(spark)
+    from streamjoin_spark.functions import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", tokens(F.col("text")).alias("tk")
+    ).where(F.size("tk") >= 3)
+    sh = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.array_join(F.slice(F.col("tk"), i, F.lit(3)), " "),
+            )
+        ).alias("sh"),
+    ).distinct()
+    ns = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_src"))
+    per = sh.join(ns, "sh").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0)).alias("n_unique"),
+    )
+    return per.select(
+        "source", "n_shingles", "n_unique",
+        (
+            F.floor(
+                F.col("n_unique") / F.col("n_shingles") * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("novelty"),
+    )
+
+
+
 def q_ivm_quality_view(spark, sf_dir):
     """IVM e2e: a maintained quality-gated view — writer expectations in
     DROP mode (streaming/incremental.py _gate_expectations, the DLT
@@ -3453,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_stats": q_bpe_pair_stats,
         "ivm_quality_view": q_ivm_quality_view,
         "source_overlap": q_source_overlap,
+        "source_novelty": q_source_novelty,
     }
 
 
@@ -6347,5 +6390,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_shared_fps
         FROM v a JOIN v b ON a.fp = b.fp AND a.source < b.source
         GROUP BY 1, 2
+    """
+    out["source_novelty"] = r"""
+        WITH base AS (
+            SELECT source,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+        sh0 AS (
+            SELECT source, array_to_string(tk[i:i+2], ' ') AS sh
+            FROM base,
+                 UNNEST(generate_series(1, GREATEST(len(tk) - 2, 0))) g(i)
+            WHERE len(tk) >= 3),
+        sh AS (SELECT DISTINCT source, sh FROM sh0),
+        ns AS (SELECT sh, COUNT(*) AS n_src FROM sh GROUP BY sh),
+        per AS (
+            SELECT s.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique
+            FROM sh s JOIN ns USING (sh) GROUP BY 1)
+        SELECT source, n_shingles, n_unique,
+               FLOOR(n_unique / n_shingles * 1000000.0) / 1000000.0
+                   AS novelty
+        FROM per
     """
     return out
