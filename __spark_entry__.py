@@ -3257,6 +3257,29 @@ def q_source_novelty(spark, sf_dir):
 
 
 
+def q_dup_histogram(spark, sf_dir):
+    """Duplicate-multiplicity histogram: how many exact-content groups
+    exist at each copy count, and how many documents they hold — the
+    one-glance dedup dashboard (what fraction of the corpus is x2, x3, …
+    duplicated) that sizes the win before running cluster resolution.
+    Two tiny shuffles: content-hash groupBy, then a histogram over group
+    sizes (domain ≤ max multiplicity)."""
+    _prep(spark)
+    from streamjoin_spark.functions import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+    )
+
+
+
 def q_ivm_quality_view(spark, sf_dir):
     """IVM e2e: a maintained quality-gated view — writer expectations in
     DROP mode (streaming/incremental.py _gate_expectations, the DLT
@@ -3496,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_quality_view": q_ivm_quality_view,
         "source_overlap": q_source_overlap,
         "source_novelty": q_source_novelty,
+        "dup_histogram": q_dup_histogram,
     }
 
 
@@ -6414,5 +6438,16 @@ def oracle_sql() -> dict[str, str]:
                FLOOR(n_unique / n_shingles * 1000000.0) / 1000000.0
                    AS novelty
         FROM per
+    """
+    out["dup_histogram"] = r"""
+        WITH g AS (
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1)
+        SELECT n_copies,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n_copies) AS BIGINT) AS n_docs
+        FROM g GROUP BY n_copies
     """
     return out
