@@ -1080,7 +1080,12 @@ class ChangeTable:
             for dirs in self._manifest(mv).values():
                 referenced.update(dirs)
 
-        removed = {"data_dirs": 0, "change_dirs": 0, "manifests": 0}
+        removed = {
+            "data_dirs": 0,
+            "change_dirs": 0,
+            "change_part_dirs": 0,
+            "manifests": 0,
+        }
         data_root = os.path.join(self.path, "data")
         for commit_dir in sorted(os.listdir(data_root)):
             commit_abs = os.path.join(data_root, commit_dir)
@@ -1121,6 +1126,10 @@ class ChangeTable:
                     kept += 1
                 else:
                     shutil.rmtree(os.path.join(commit_abs, pd))
+                    # partial prunes of a live single-write dir are real
+                    # cleanup work — count them so retention telemetry
+                    # reflects what vacuum actually deleted
+                    removed["change_part_dirs"] += 1
             if kept == 0:
                 shutil.rmtree(commit_abs)
                 removed["change_dirs"] += 1

@@ -131,7 +131,20 @@ class DeltaSourceTable:
       ``operationMetrics`` (best effort: sum of byte-valued metrics;
       0 when the operation reports none, which only makes chunking more
       eager, never unsafe).
+
+    ``seed_watermark = -1``: unlike the native substrate (whose commit 0
+    is an empty CREATE), a Delta table carries its initial data in
+    version 0 (CTAS / first write with the CDF table property), so an IVM
+    consumer's first watermark must sit BELOW 0 for the first slice to
+    cover ``[0, head]``. Caveat the adapter cannot paper over: if CDF was
+    enabled at some later version k, Delta's CDF reader itself raises on
+    ``startingVersion < k`` — loud, not silent; such tables must be
+    migrated by bulk-loading a snapshot and pinning
+    ``startingVersion >= k`` on the stream.
     """
+
+    # first-watermark floor for IVM consumers (see class docstring)
+    seed_watermark = -1
 
     def __init__(
         self,

@@ -262,9 +262,14 @@ def _gate_expectations(stage, new_slice: DataFrame) -> DataFrame:
     - ``quarantine``: like ``drop``, plus the failing rows land in a side
       ChangeTable at ``expectationsQuarantinePath`` with their
       ``_violations``, content-addressed on ``_qid`` (the FileIngest
-      quarantine law, sources/__init__.py) so slice retries merge to
-      no-ops — an exactly-once audit log of everything the gate rejected.
-      The quarantine commit precedes the target commit, preserving the
+      quarantine law, sources/__init__.py). Retried slices are COMMIT-FREE
+      no-ops, not just state-idempotent: already-quarantined ``_qid``s are
+      anti-joined away before the merge (ChangeTable.merge emits
+      update_pre/post images even for byte-identical matched rows, so
+      without the anti-join every crash-retry would append spurious update
+      history), and an all-duplicate batch skips the merge entirely — an
+      exactly-once audit log of everything the gate rejected. The
+      quarantine commit precedes the target commit, preserving the
       crash-retry story.
 
     Costs nothing when unset; ``fail`` adds one aggregate job per slice,
@@ -292,6 +297,17 @@ def _gate_expectations(stage, new_slice: DataFrame) -> DataFrame:
             qpath = stage.expectations_quarantine_path
             if ChangeTable.exists(qpath):
                 qt = ChangeTable(bad.sparkSession, qpath)
+                # retry no-op law: a crash-retried slice re-derives the
+                # same _qids; merging them again would emit spurious
+                # update_pre/post history (merge has no content diff), so
+                # drop already-quarantined rows and skip the commit when
+                # nothing new remains
+                cols = bad.columns
+                bad = bad.join(
+                    qt.snapshot().select("_qid"), "_qid", "left_anti"
+                ).select(*cols)
+                if bad.isEmpty():
+                    return good
             else:
                 qt = ChangeTable.create(
                     bad.sparkSession, qpath, bad.schema, ["_qid"]
@@ -316,9 +332,18 @@ def _gate_expectations(stage, new_slice: DataFrame) -> DataFrame:
 def _seed_version(stream) -> int:
     """Initial watermark for one input: ``startingVersion - 1`` when the
     stream pins one (so the first slice covers commits ≥ startingVersion),
-    else 0 (full history)."""
+    else the source's ``seed_watermark`` floor (full history).
+
+    The floor is source-dependent: native ChangeTables commit v0 as an
+    empty CREATE, so watermark 0 loses nothing; a real Delta table carries
+    its INITIAL DATA in commit 0 (CTAS / first ``df.write``), so the Delta
+    adapter advertises ``seed_watermark = -1`` and the first slice covers
+    ``[0, head]`` — without it every maintained view built on the
+    migration bridge would silently drop the table's founding rows."""
+    ct = getattr(stream, "change_table", None)
+    floor = int(getattr(ct, "seed_watermark", 0))
     sv = getattr(stream, "_starting_version", None)
-    return max(0, sv - 1) if sv is not None else 0
+    return max(floor, sv - 1) if sv is not None else floor
 
 
 def _change_images(stream: Stream, ct: ChangeTable, v_from: int, v_to: int) -> DataFrame:

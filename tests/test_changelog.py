@@ -563,6 +563,37 @@ def test_vacuum_keeps_live_single_write_files(spark, tmp_path):
         F.col(COMMIT_VERSION) < 3).count() == 0
 
 
+def test_vacuum_counts_partial_part_prunes(spark, tmp_path):
+    """Retention telemetry: pruning SOME part dirs out of a live
+    single-write commit (others kept as manifest-referenced data) is
+    counted in ``change_part_dirs`` — previously such partial prunes
+    reported nothing, undercounting vacuum's actual cleanup work."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i), 1) for i in range(8)],
+        "id long, name string, amount double, seq int",
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(
+        spark, path, df.schema, ["id"], sequence_by=["seq"], n_buckets=2
+    )
+    ct.merge(df)                                 # v1: single-write, 2 part dirs
+    # rewrite ONE bucket's key repeatedly: only that part gets superseded;
+    # the other bucket's part dir stays live in the head manifest
+    bucketed = df.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(2)))
+    ids = {r["b"]: r["id"] for r in bucketed.collect()}
+    assert set(ids) == {0, 1}                    # both buckets populated
+    hot = ids[0]
+    for i in range(3):                           # v2..v4
+        ct.merge(spark.createDataFrame(
+            [(hot, f"u{i}", 0.0, 2 + i)],
+            "id long, name string, amount double, seq int",
+        ))
+    snap_before = sorted(tuple(r) for r in ct.snapshot().collect())
+    removed = ct.vacuum(retain_versions=2)       # keep v3..v4
+    assert removed["change_part_dirs"] >= 1      # the partial prune is counted
+    assert sorted(tuple(r) for r in ct.snapshot().collect()) == snap_before
+
+
 def test_read_change_range_lists_only_range_dirs(spark, tmp_path):
     """read_change_range is O(range): only the commit dirs inside
     [v_from, v_to] are opened (inputFiles pins the listing scope), and the

@@ -179,6 +179,85 @@ def test_delta_shaped_source_respects_ignore_deletes(spark, tmp_path):
     assert w.toDF().count() == 2  # stale row kept, as the reference does
 
 
+class _FakeDeltaV0(_FakeDelta):
+    """Delta-CDF-shaped wrapper with DELTA VERSION NUMBERING: a real Delta
+    table carries its initial data in commit 0 (CTAS / first write), while
+    the native substrate's v0 is an empty CREATE. This fake shifts the
+    wrapped ChangeTable's versions down by one (native v1 = delta v0), so
+    it reproduces the table shape that used to silently lose its founding
+    rows before ``seed_watermark = -1`` (ADVICE r5, incremental._seed_version)."""
+
+    seed_watermark = -1
+
+    def version(self) -> int:
+        return self._ct.version() - 1
+
+    def snapshot(self, version=None):
+        return self._ct.snapshot(None if version is None else version + 1)
+
+    def read_change_feed(self, starting_version: int = 1):
+        native = self._ct.read_change_feed(starting_version + 1)
+        shifted = native.withColumn(
+            "_commit_version", F.col("_commit_version") - 1
+        )
+        return normalize_cdf(self._cdfify(shifted))
+
+    def change_bytes(self, version: int) -> int:
+        return self._ct.change_bytes(version + 1)
+
+
+def test_delta_commit0_rows_not_lost(spark, tmp_path):
+    """A Delta-shaped source whose commit 0 CARRIES the initial data (the
+    normal CTAS shape) must deliver those rows to a maintained view on the
+    first drain: the IVM seed watermark for Delta adapters is -1, so the
+    first slice covers [0, head]. Before the fix the seed floored at 0 and
+    every view built on the migration bridge silently dropped commit 0."""
+    c_ct = ChangeTable.create(
+        spark, str(tmp_path / "c"), spark.createDataFrame([], CUST).schema, ["id"]
+    )
+    # native v1 == delta v0: the founding rows
+    c_ct.merge(spark.createDataFrame([(1, "ann", "a"), (2, "bob", "b")], CUST))
+    fake = _FakeDeltaV0(c_ct)
+    assert fake.version() == 0 and fake.read_change_feed(0).count() == 2
+
+    s = Stream.fromChangeTable(fake, "cust").primaryKeys("id")
+    w = s.to(lambda df: df).writeToPath(str(tmp_path / "view"))
+    w.run()
+    assert {r["id"] for r in w.toDF().collect()} == {1, 2}
+
+    # subsequent commits still flow (delta v1 = native v2)
+    c_ct.merge(spark.createDataFrame([(3, "cat", "c")], CUST))
+    w.run()
+    assert {r["id"] for r in w.toDF().collect()} == {1, 2, 3}
+
+    # explicit startingVersion=0 must ALSO cover commit 0 (max(floor, -1))
+    s2 = Stream.fromChangeTable(
+        _FakeDeltaV0(c_ct), "cust0", startingVersion=0
+    ).primaryKeys("id")
+    w2 = s2.to(lambda df: df).writeToPath(str(tmp_path / "view0"))
+    w2.run()
+    assert {r["id"] for r in w2.toDF().collect()} == {1, 2, 3}
+
+
+def test_seed_version_law(spark, tmp_path):
+    """_seed_version: native sources floor at 0 (v0 is an empty CREATE);
+    Delta-adapter sources floor at -1 (v0 carries data); an explicit
+    startingVersion pins max(floor, sv-1)."""
+    from streamjoin_spark.streaming.incremental import _seed_version
+
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "n"), spark.createDataFrame([], CUST).schema, ["id"]
+    )
+    native = Stream.fromChangeTable(ct, "n")
+    assert _seed_version(native) == 0
+    assert _seed_version(Stream.fromChangeTable(ct, "n", startingVersion=3)) == 2
+
+    fake = _FakeDeltaV0(ct)
+    assert _seed_version(Stream.fromChangeTable(fake, "d")) == -1
+    assert _seed_version(Stream.fromChangeTable(fake, "d", startingVersion=0)) == -1
+    assert _seed_version(Stream.fromChangeTable(fake, "d", startingVersion=2)) == 1
+
+
 def test_import_guard_without_delta(spark, tmp_path):
     if has_delta():  # pragma: no cover — environment-dependent
         pytest.skip("delta-spark installed; guard not exercisable")

@@ -255,6 +255,19 @@ def test_expectations_quarantine_mode(spark, tmp_path, docs_ct):
     assert qt.snapshot().count() == 2
     assert {r["doc_id"] for r in w.toDF().collect()} == {1, 3}
 
+    # COMMIT-FREE retry law: re-deriving an already-quarantined _qid in a
+    # later slice must not advance the quarantine table's version (merge
+    # would emit spurious update_pre/post history for identical rows; the
+    # gate anti-joins known _qids away and skips the merge entirely)
+    docs_ct.merge(rows(spark, [(2, "no")]))    # a third DISTINCT bad version
+    w.run()
+    assert qt.snapshot().count() == 3
+    v_mid = qt.version()
+    docs_ct.merge(rows(spark, [(2, "nope")]))  # back to a known bad row
+    w.run()
+    assert qt.snapshot().count() == 3
+    assert qt.version() == v_mid
+
 
 def test_merge_schema_option_evolves_view(spark, tmp_path):
     """writer option mergeSchema=true: when the SOURCE evolves a new

@@ -1,0 +1,132 @@
+"""Synthesize a K× replica of a testdata dir for scaling-law measurement.
+
+The 100 TB posture of every operator in this repo is argued from plan shape
+(what shuffles, what broadcasts, what prunes); this tool buys the missing
+EMPIRICAL evidence locally: replicate sf0.1 K× (default 10×, ~170 MB) and
+measure t(K×)/t(1×) per heavy query — a documented-linear operator whose
+ratio bends super-linear has a hidden quadratic.
+
+Replication must preserve each table's STATISTICAL structure, not just its
+row count — naive row cloning corrupts exactly the physics under test:
+
+- ``documents``: cloning text K× turns every document into a K-clone group,
+  so every pair-finder's output grows ~K²/2 per group and the measured law
+  would read "quadratic" for a perfectly linear operator. Instead each
+  replica k>0 deterministically SALTS ~60% of distinct tokens
+  (``w → w~k``, chosen by crc32(w) mixed with k): duplicate structure
+  WITHIN a replica is preserved exactly (the same salting applies to both
+  members of a dup pair), while cross-replica Jaccard collapses to ~0.09
+  (shared-token fraction ≈ 0.4² over the union), far below every
+  pair-finder threshold — the corpus behaves like K disjoint sub-corpora
+  of identical shape, which is exactly how a 10× crawl behaves.
+- ``embeddings``: ids offset; each replica adds small deterministic
+  Gaussian noise (σ=0.02, seeded by k) so ANN distance structure is
+  preserved without degenerate exact ties across replicas.
+- ``events``: event/user ids offset per replica → disjoint user universes;
+  sessionization, funnels and the event-derived graphs scale linearly by
+  construction (10 disjoint copies of the same workload).
+- TPC-H facts/dims: every key column offsets by k·10⁷ consistently across
+  tables (custkey in customer+orders, orderkey in orders+lineitem, …) so
+  referential integrity holds per replica; ``nation``/``region`` stay
+  single copies (bounded dims shared by all replicas, as in real TPC-H
+  scaling).
+
+Usage: python tools/make_scale.py [K] [src_dir] [out_dir]
+       (defaults: 10 /root/testdata/sf0.1 /tmp/scale/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+OFF = 10_000_000  # id offset per replica — far above any sf0.1 key space
+
+# key columns to offset, per table
+KEY_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+COPY_ONLY = ["nation", "region"]  # bounded shared dims: single copy
+
+
+def _salt_text(texts: list[str | None], k: int) -> tuple[list, list]:
+    """Deterministically salt ~60% of distinct tokens for replica k>0.
+    Per-TOKEN (not per-position) so every occurrence of a word moves
+    together and intra-replica shingle/dup structure is preserved."""
+    cache: dict[str, str] = {}
+    out_text, out_chars = [], []
+    for t in texts:
+        if t is None:
+            out_text.append(None)
+            out_chars.append(None)
+            continue
+        words = t.split(" ")
+        salted = []
+        for w in words:
+            s = cache.get(w)
+            if s is None:
+                h = (zlib.crc32(w.encode("utf-8")) + 0x9E3779B1 * k) & 0xFFFFFFFF
+                s = f"{w}~{k}" if h % 10 < 6 else w
+                cache[w] = s
+            salted.append(s)
+        nt = " ".join(salted)
+        out_text.append(nt)
+        out_chars.append(len(nt))
+    return out_text, out_chars
+
+
+def _replicate(name: str, table: pa.Table, k: int) -> pa.Table:
+    """One replica (k=0 is the identity)."""
+    if k == 0:
+        return table
+    cols = {c: table.column(c) for c in table.column_names}
+    for c in KEY_COLS.get(name, []):
+        cols[c] = pc.add(cols[c], pa.scalar(k * OFF, type=cols[c].type))
+    if name == "documents":
+        texts = cols["text"].to_pylist()
+        nt, nc = _salt_text(texts, k)
+        cols["text"] = pa.array(nt, type=pa.string())
+        cols["n_chars"] = pa.array(nc, type=table.schema.field("n_chars").type)
+    if name == "embeddings":
+        emb = cols["embedding"].combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float32)
+        rng = np.random.default_rng(42 + k)
+        noisy = flat + rng.normal(0.0, 0.02, size=flat.shape).astype(np.float32)
+        cols["embedding"] = type(emb).from_arrays(emb.offsets, pa.array(noisy))
+    return pa.table(cols, schema=pa.schema(
+        [table.schema.field(c) for c in table.column_names]
+    ))
+
+
+def main() -> None:
+    k_total = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale/sf1"
+    os.makedirs(out, exist_ok=True)
+    for name in COPY_ONLY:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: copied {t.num_rows}")
+    for name in KEY_COLS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        reps = [_replicate(name, t, k) for k in range(k_total)]
+        big = pa.concat_tables(reps)
+        pq.write_table(big, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} -> {big.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
