@@ -3373,6 +3373,54 @@ def q_bpe_pair_stats(spark, sf_dir):
 
 
 
+def q_ivm_metrics(spark, sf_dir):
+    """IVM e2e: the observability surface itself under the gate — a
+    maintained view drained with metricsPath set writes one metrics row
+    per governed slice (streaming/incremental.py _note_metrics /
+    _flush_metrics); the rollup over the metrics ChangeTable is fully
+    deterministic (version-count chunking, insert/update/delete rows):
+    3 backlog slices + 1 churn slice, 6 insert + 2 update-image + 1
+    delete change rows, last commit v4, every scope on the broadcast
+    rung. The reference's composite progress merge
+    (elzyme/streams.py:242-314) is the analog surface."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream as _S
+
+    base = tempfile.mkdtemp(prefix="sj_ivm_metrics_")
+    schema = "id long, val double"
+    src = ChangeTable.create(
+        spark, f"{base}/src",
+        spark.createDataFrame([], schema).schema, ["id"], n_buckets=4,
+    )
+    for i in range(6):
+        src.merge(spark.createDataFrame([(i, float(i))], schema))
+    w = (
+        _S.fromChangeTable(src, "m_src")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(f"{base}/view")
+        .option("maxVersionsPerTrigger", 2)
+        .option("metricsPath", f"{base}/metrics")
+    )
+    w.run()                               # 3 slices: inserts 2+2+2
+    src.merge(spark.createDataFrame([(0, 99.0)], schema))  # update: pre+post
+    src.delete_where("id = 1")                             # delete: 1 row
+    w.run()                               # 1 slice: 3 change rows
+    mt = ChangeTable(spark, f"{base}/metrics")
+    return (
+        mt.snapshot()
+        .groupBy("stage", "rung")
+        .agg(
+            F.count(F.lit(1)).alias("n_slices"),
+            F.sum("rows_out").alias("rows_out"),
+            F.max("committed_version").alias("last_commit"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3520,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "source_novelty": q_source_novelty,
         "dup_histogram": q_dup_histogram,
+        "ivm_metrics": q_ivm_metrics,
     }
 
 
@@ -6449,5 +6498,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_groups,
                CAST(SUM(n_copies) AS BIGINT) AS n_docs
         FROM g GROUP BY n_copies
+    """
+    # ivm_metrics: the maintained-view drain schedule is fully
+    # deterministic (version-count chunking), so the rollup is literal —
+    # 3 backlog slices (2 insert rows each) + 1 churn slice
+    # (update pre+post on id 0 + delete of id 1 = 3 rows), head commit v4
+    out["ivm_metrics"] = r"""
+        SELECT 'UnionLegStage' AS stage,
+               'broadcast'     AS rung,
+               CAST(4 AS BIGINT) AS n_slices,
+               CAST(9 AS BIGINT) AS rows_out,
+               CAST(4 AS BIGINT) AS last_commit
     """
     return out

@@ -52,6 +52,7 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -101,6 +102,12 @@ class ChangeTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self._meta = self._read_meta()
+        # OCC identity: commits claim their version slot under this token
+        # (see _next_version); per-instance, so an in-process crash-retry
+        # reclaims its own slot instantly while foreign writers wait
+        self._writer_token = uuid.uuid4().hex
+        self._claim_wait_s = 30.0    # how long to wait on an in-flight writer
+        self._claim_stale_s = 900.0  # when a dead writer's claim is stealable
         register_table(self.name, self.path)
 
     # ------------------------------------------------------------------
@@ -393,6 +400,22 @@ class ChangeTable:
             for fn in files:
                 if fn.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    def change_rows(self, version: int) -> int:
+        """Driver-side ROW count of one commit's change files — parquet
+        footer metadata only (pyarrow), no Spark job; the rows-out metric
+        of the IVM observability surface. Same walk as change_bytes."""
+        import pyarrow.parquet as pq  # noqa: PLC0415 - driver-only probe
+
+        d = os.path.join(self.path, "changes", f"c{version}")
+        if not os.path.isdir(d):
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
         return total
 
     def read_change_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -692,20 +715,104 @@ class ChangeTable:
         )
         self._publish(v, manifest, op)
 
+    # ------------------------------------------------------------------
+    # optimistic concurrency: version-slot claims
+    # ------------------------------------------------------------------
+    def _claim_path(self, v: int) -> str:
+        return os.path.join(self.path, "manifests", f"claim_v{v}.json")
+
+    def _try_claim(self, v: int) -> bool:
+        """Atomically claim commit slot ``v`` (O_CREAT|O_EXCL — the plain-
+        filesystem rendition of the Delta log's put-if-absent; atomic on
+        POSIX local filesystems and HDFS-style rename-no-overwrite stores;
+        on eventually-consistent object stores pair the substrate with a
+        coordination service, as Delta-on-S3 does). Returns True when the
+        slot is ours: freshly created, previously created by THIS writer
+        (an in-process crash-retry re-entering its own commit), or stolen
+        from a claim older than ``_claim_stale_s`` whose writer is
+        presumed dead (the steal is an atomic replace; two stealers racing
+        inside that window is the same best-effort caveat _publish always
+        documented)."""
+        p = self._claim_path(v)
+        payload = json.dumps({"token": self._writer_token, "ts": time.time()})
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            pass
+        try:
+            with open(p) as f:
+                claim = json.load(f)
+        except (OSError, ValueError):
+            return False  # mid-write or vanished: let the caller re-poll
+        if claim.get("token") == self._writer_token:
+            return True
+        if time.time() - float(claim.get("ts", 0)) > self._claim_stale_s:
+            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".claim.tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, p)
+            return True
+        return False
+
+    def _release_claim(self, v: int) -> None:
+        """Free an unused slot (failed or no-op commit) so waiting writers
+        proceed immediately instead of riding out the stale timeout.
+        Published slots keep their claim files (head ≥ v, so they can
+        never block anyone); vacuum sweeps them with the manifests."""
+        try:
+            os.remove(self._claim_path(v))
+        except FileNotFoundError:
+            pass
+
+    def _next_version(self) -> int:
+        """Claim-serialized version assignment — the commit protocol's
+        step 0 and the whole OCC story:
+
+        Every writer claims ``head + 1`` BEFORE writing any file, so two
+        concurrent writers can never address the same data/c{v} /
+        changes/c{v} paths (the clobbering hazard the raw _publish guard
+        could only detect after the fact). The loser of a claim race
+        waits for the in-flight winner to publish, then claims the next
+        slot — at which point the writer body's snapshot(v-1) reads pick
+        up the winner's rows, i.e. MERGE/APPEND/DELETE rebase
+        automatically and serialize like sequential commits (their
+        semantics are defined on the current snapshot). replace_keys is
+        the one writer whose inputs are computed OUTSIDE against a pinned
+        base; it layers an explicit scope-disjointness check on top (see
+        its ``expected_version``). Waiting is bounded by
+        ``_claim_wait_s``: a still-live writer holding the slot past that
+        raises ConcurrentWriteError; a DEAD writer's claim is stolen
+        after ``_claim_stale_s``."""
+        deadline = time.monotonic() + self._claim_wait_s
+        while True:
+            v = self.version() + 1
+            if self._try_claim(v):
+                return v
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"commit slot v{v} of {self.name!r} is claimed by "
+                    f"another in-flight writer (waited "
+                    f"{self._claim_wait_s:.1f}s); if that writer is dead, "
+                    f"its claim becomes stealable after "
+                    f"{self._claim_stale_s:.0f}s"
+                )
+            time.sleep(0.05)
+
     def _publish(self, v: int, manifest: dict, op: str) -> None:
         """Steps 3-4 of the commit protocol: overwrite manifest v + its
         timestamp file, then atomically bump the version — the publish
-        point. Guarded by an optimistic version check against a FRESH
-        meta read BEFORE the manifest overwrite, so a writer that raced
-        and lost gets a loud ConcurrentWriteError without clobbering the
-        winner's already-published manifest/timestamp. Best-effort (a
-        plain filesystem has no put-if-absent like the Delta log, and the
-        loser's data/change files written before this call may already
-        have overwritten the winner's — the substrate stays single-writer
-        by contract; this converts accidental violations into errors as
-        early as possible, it is not coordination). The fresh read also
-        carries forward concurrent metadata-only updates (vacuum's
-        change_floor) instead of clobbering them from the cache."""
+        point. Version slots are CLAIMED before any file write
+        (_next_version: O_EXCL put-if-absent, the Delta-log analog), so
+        concurrent writers serialize and never address the same
+        version-addressed paths; the optimistic version check against a
+        FRESH meta read kept here is belt-and-braces for the one
+        remaining hole (two stealers racing on a stale claim inside the
+        same instant). The fresh read also carries forward concurrent
+        metadata-only updates (vacuum's change_floor) instead of
+        clobbering them from the cache."""
         meta = dict(self._read_meta())
         if meta["version"] != v - 1:
             raise ConcurrentWriteError(
@@ -746,22 +853,26 @@ class ChangeTable:
         path for immutable event streams. ``merge_schema`` widens the table
         with the batch's new columns first (strict mode drops extras and
         errors on missing columns)."""
-        v = self.version() + 1
-        if merge_schema:
-            self._evolve_schema(df)
-            df = self._align(df)
-        else:
-            missing = [c for c in self._base_cols() if c not in df.columns]
-            if missing:
-                raise ValueError(
-                    f"append batch is missing column(s) {missing}; pass "
-                    "merge_schema=True to null-fill (and evolve new columns)"
-                )
-        batch = self._apply_generated(df).select(*self._data_cols())
-        self._check_constraints(batch)
-        self._write_commit(v, self._tag(batch, INSERT, v), op="APPEND",
-                           content_in_changes=True)
-        return v
+        v = self._next_version()
+        try:
+            if merge_schema:
+                self._evolve_schema(df)
+                df = self._align(df)
+            else:
+                missing = [c for c in self._base_cols() if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"append batch is missing column(s) {missing}; pass "
+                        "merge_schema=True to null-fill (and evolve new columns)"
+                    )
+            batch = self._apply_generated(df).select(*self._data_cols())
+            self._check_constraints(batch)
+            self._write_commit(v, self._tag(batch, INSERT, v), op="APPEND",
+                               content_in_changes=True)
+            return v
+        except BaseException:
+            self._release_claim(v)
+            raise
 
     def _check_constraints(self, batch: DataFrame) -> None:
         """CHECK-constraint gate on the write edge: one conditional-count
@@ -808,7 +919,16 @@ class ChangeTable:
         False for bulk upserts that would not fit the driver — the probe
         degrades to a shuffled semi-join, same contract as replace_keys.
         """
-        v = self.version() + 1
+        v = self._next_version()
+        try:
+            return self._merge_body(v, batch, merge_schema, hint_broadcast)
+        except BaseException:
+            self._release_claim(v)
+            raise
+
+    def _merge_body(
+        self, v: int, batch: DataFrame, merge_schema: bool, hint_broadcast: bool
+    ) -> int:
         if merge_schema:
             self._evolve_schema(batch)
             batch = self._align(batch)
@@ -906,6 +1026,7 @@ class ChangeTable:
         hint_broadcast: bool = True,
         op: str = "REPLACE",
         merge_schema: bool = False,
+        expected_version: int | None = None,
     ) -> int:
         """Replace every row whose ``key_cols`` tuple appears in ``scope_keys``
         with the rows of ``new_rows``, emitting a minimal change feed
@@ -925,8 +1046,64 @@ class ChangeTable:
         probe shuffles instead of OOM-ing the driver; locating affected
         rows is one snapshot scan; the rewrite is bounded to the parts
         holding affected rows.
+
+        ``expected_version``: OCC rebase guard for callers whose
+        ``new_rows`` were computed OUTSIDE against a pinned target head
+        (the IVM runtime). When another writer published commits in
+        ``(expected_version, head]`` meanwhile, this commit proceeds iff
+        their change rows' key scopes are DISJOINT from ``scope_keys``
+        (the interleaved commits touched different keys, so the
+        precomputed rows are still the correct result for this scope);
+        an overlap raises ConcurrentWriteError — the caller must
+        recompute from the new head. Writers whose semantics are defined
+        on the current snapshot (merge/append/delete) need no such guard:
+        version-slot claims serialize them and their bodies re-read the
+        fresh head (see _next_version).
         """
-        v = self.version() + 1
+        v = self._next_version()
+        try:
+            if expected_version is not None and v - 1 > int(expected_version):
+                key_cols_l = list(key_cols)
+                theirs = (
+                    self.read_change_range(int(expected_version) + 1, v - 1)
+                    .select(*key_cols_l)
+                    .dropDuplicates(key_cols_l)
+                )
+                mine = scope_keys.select(*key_cols_l).dropDuplicates(key_cols_l)
+                cond = None
+                for k in key_cols_l:
+                    c = F.col(f"t.`{k}`").eqNullSafe(F.col(f"m.`{k}`"))
+                    cond = c if cond is None else (cond & c)
+                overlap = theirs.alias("t").join(mine.alias("m"), cond, "inner")
+                if not overlap.isEmpty():
+                    raise ConcurrentWriteError(
+                        f"replace_keys on {self.name!r} rebased from "
+                        f"v{expected_version} to v{v - 1}, but the "
+                        "interleaved commits touched keys inside this "
+                        "commit's scope — the precomputed rows are stale; "
+                        "recompute from the new head and retry"
+                    )
+            out = self._replace_body(
+                v, scope_keys, key_cols, new_rows, hint_broadcast, op,
+                merge_schema,
+            )
+            if out != v:  # no-op: slot unused, free it for waiting writers
+                self._release_claim(v)
+            return out
+        except BaseException:
+            self._release_claim(v)
+            raise
+
+    def _replace_body(
+        self,
+        v: int,
+        scope_keys: DataFrame,
+        key_cols: Sequence[str],
+        new_rows: DataFrame,
+        hint_broadcast: bool,
+        op: str,
+        merge_schema: bool,
+    ) -> int:
         if merge_schema:
             # Delta mergeSchema analog on the IVM write edge: a slice
             # carrying columns the target lacks WIDENS the target first
@@ -1042,19 +1219,23 @@ class ChangeTable:
         downstream consumers opt in."""
         if isinstance(condition, str):
             condition = F.expr(condition)
-        v = self.version() + 1
-        manifest = self._manifest(v - 1)
-        cur_all = self.snapshot(v - 1)
-        doomed = cur_all.where(condition).persist()
-        parts = self._collect_parts(doomed)
-        remaining = self._read_parts(manifest, parts).where(
-            ~condition | condition.isNull()
-        )
-        changes = self._tag(doomed, DELETE, v)
-        self._write_commit(v, changes, rewritten=remaining,
-                           rewritten_parts=parts, op="DELETE")
-        doomed.unpersist()
-        return v
+        v = self._next_version()
+        try:
+            manifest = self._manifest(v - 1)
+            cur_all = self.snapshot(v - 1)
+            doomed = cur_all.where(condition).persist()
+            parts = self._collect_parts(doomed)
+            remaining = self._read_parts(manifest, parts).where(
+                ~condition | condition.isNull()
+            )
+            changes = self._tag(doomed, DELETE, v)
+            self._write_commit(v, changes, rewritten=remaining,
+                               rewritten_parts=parts, op="DELETE")
+            doomed.unpersist()
+            return v
+        except BaseException:
+            self._release_claim(v)
+            raise
 
     def vacuum(self, retain_versions: int = 7) -> dict:
         """Retention cleanup (the VACUUM + CDF-retention analog): drop
@@ -1139,9 +1320,10 @@ class ChangeTable:
             if os.path.exists(mp):
                 os.remove(mp)
                 removed["manifests"] += 1
-            tp = os.path.join(self.path, "manifests", f"t{mv}.json")
-            if os.path.exists(tp):
-                os.remove(tp)
+            for aux in (f"t{mv}.json", f"claim_v{mv}.json"):
+                ap = os.path.join(self.path, "manifests", aux)
+                if os.path.exists(ap):
+                    os.remove(ap)
 
         # publish the retention floor last (deletions above are idempotent,
         # so a crash before this re-runs cleanly); monotonic like version.
@@ -1187,32 +1369,38 @@ class ChangeTable:
         so downstream incremental consumers are not disturbed.
         ``curve="hilbert"`` (2 columns only) clusters on the Hilbert key
         instead — unit-step locality, the liquid-clustering-style sort."""
-        v = self.version() + 1
-        cur = self.snapshot(v - 1)
-        cluster_by: tuple[str, ...] = ()
-        if zorder_by:
-            if curve == "hilbert":
-                from .operators.layout import with_hilbert_key
+        v = self._next_version()
+        try:
+            cur = self.snapshot(v - 1)
+            cluster_by: tuple[str, ...] = ()
+            if zorder_by:
+                if curve == "hilbert":
+                    from .operators.layout import with_hilbert_key
 
-                cur = with_hilbert_key(cur, list(zorder_by), out_col="__zkey")
-            elif curve == "z":
-                from .operators.layout import with_zorder_key
+                    cur = with_hilbert_key(cur, list(zorder_by), out_col="__zkey")
+                elif curve == "z":
+                    from .operators.layout import with_zorder_key
 
-                cur = with_zorder_key(cur, list(zorder_by), out_col="__zkey")
-            else:
-                raise ValueError(f"curve must be 'z' or 'hilbert', got {curve!r}")
-            cluster_by = ("__zkey",)
-        all_parts = [int(p) for p in self._manifest(v - 1)]
-        empty_changes = self.spark.createDataFrame([], self.change_schema())
-        self._write_commit(
-            v,
-            empty_changes,
-            rewritten=cur,
-            rewritten_parts=all_parts,
-            cluster_by=cluster_by,
-            op="OPTIMIZE ZORDER" if cluster_by else "OPTIMIZE",
-        )
-        return v
+                    cur = with_zorder_key(cur, list(zorder_by), out_col="__zkey")
+                else:
+                    raise ValueError(
+                        f"curve must be 'z' or 'hilbert', got {curve!r}"
+                    )
+                cluster_by = ("__zkey",)
+            all_parts = [int(p) for p in self._manifest(v - 1)]
+            empty_changes = self.spark.createDataFrame([], self.change_schema())
+            self._write_commit(
+                v,
+                empty_changes,
+                rewritten=cur,
+                rewritten_parts=all_parts,
+                cluster_by=cluster_by,
+                op="OPTIMIZE ZORDER" if cluster_by else "OPTIMIZE",
+            )
+            return v
+        except BaseException:
+            self._release_claim(v)
+            raise
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW commit (the Delta

@@ -457,7 +457,15 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b).
 
     ``exact=True`` scores all pairs (oracle tier); default buckets by LSH
-    first so only same-bucket pairs are scored (scale tier)."""
+    first so only same-bucket pairs are scored (scale tier).
+
+    Threshold calibration at scale (measured, SCALING.md note 2): random
+    unrelated unit vectors in dimension d have cos ~ N(0, 1/d) — a
+    threshold inside that tail (e.g. 0.35 at d=64, ~2.8σ) admits
+    O(n²·p_tail) random collisions however good the blocking, so output
+    grows quadratically while wall time stays linear (LSH bounds the
+    scored pairs). For corpus dedup pick threshold ≳ 5/√d or add a
+    downstream verify stage."""
     # pair scoring is O(n²/buckets); rebalance the probe side up front so it
     # never runs serial behind a broadcast join of the (small) build side
     par = df.sparkSession.sparkContext.defaultParallelism

@@ -811,6 +811,8 @@ def incremental_video_pairs(
     frame_bytes: int = 64,
     n_frames: int = 8,
     min_shared: int = 2,
+    rebuild_every: int | None = None,
+    max_fp_df: float | int | None = 0.5,
 ):
     """Continuously maintained video near-duplicate pairs — the incremental
     twin of ``multimodal.video_neardup_pairs(max_fp_df=None)`` (VERDICT r4
@@ -826,9 +828,12 @@ def incremental_video_pairs(
     The batch tier's hot-frame cap (``max_fp_df``) is a corpus-global
     frequency aggregate and intentionally NOT maintained here — a frame
     crossing the hotness threshold would retract pairs across the whole
-    corpus, the opposite of incremental. Deploy the cap by periodic batch
-    rebuild when boilerplate frames are a concern; the maintained pipeline
-    stays exact without it.
+    corpus, the opposite of incremental. ``rebuild_every=N`` deploys the
+    cap on that schedule: the returned :class:`RebuildingWriter`
+    reconciles the maintained table against the ``max_fp_df``-capped
+    batch twin every N source commits (one compensating replace_keys
+    commit — downstream CDC consumers converge normally); without it the
+    maintained pipeline stays exact and uncapped.
 
     Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
     """
@@ -852,7 +857,7 @@ def incremental_video_pairs(
         .to(fr("_b"))
         .to(lambda df: df.withColumnRenamed(f"{id_col}_b", "doc_b"))
     )
-    return (
+    writer = (
         a.join(b, "inner")
         .on((a["fp_a"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"]))
         .select(a["doc_a"], a["frame_a"], b["doc_b"], b["frame_b"],
@@ -862,6 +867,17 @@ def incremental_video_pairs(
         .to(lambda df: df.where(F.col("n_shared") >= min_shared))
         .writeToPath(path)
     )
+    if rebuild_every is None:
+        return writer
+    from .operators.multimodal import video_neardup_pairs
+
+    def twin() -> DataFrame:
+        return video_neardup_pairs(
+            docs.snapshot(), payload_col, id_col, frame_bytes, n_frames,
+            min_shared, max_fp_df=max_fp_df,
+        )
+
+    return RebuildingWriter(writer, docs, twin, rebuild_every)
 
 
 def simhash_segment_rows(
@@ -1075,6 +1091,8 @@ def incremental_winnow_pairs(
     k: int = 4,
     w: int = 5,
     min_shared: int = 2,
+    rebuild_every: int | None = None,
+    max_fp_df: float | int | None = 0.5,
 ):
     """Continuously maintained MOSS-overlap pairs — the incremental twin
     of ``text.winnow_overlap_pairs(max_fp_df=None)``: documents sharing
@@ -1089,7 +1107,13 @@ def incremental_winnow_pairs(
 
     The batch tier's hot-fingerprint DF cap is corpus-global and stays
     batch-only (same reasoning as the video hot-frame cap: a fingerprint
-    crossing the threshold would retract pairs corpus-wide).
+    crossing the threshold would retract pairs corpus-wide) —
+    ``rebuild_every=N`` deploys it anyway: the returned
+    :class:`RebuildingWriter` reconciles the maintained table against the
+    ``max_fp_df``-capped batch twin every N source commits through one
+    compensating replace_keys commit, so a fingerprint that crossed the
+    cap converges at the next scheduled rebuild (CDC-tested in
+    tests/test_incremental_dedup.py).
 
     Returns the incremental writer (``.run()`` / ``.start()`` / ``.toDF()``).
     """
@@ -1109,7 +1133,7 @@ def incremental_winnow_pairs(
         .primaryKeys("doc_b", "pos_b")
         .to(fr("_b"))
     )
-    return (
+    writer = (
         a.join(b, "inner")
         .on((a["fp_a"] == b["fp_b"]) & (a["doc_a"] < b["doc_b"]))
         .select(a["doc_a"], a["pos_a"], b["doc_b"], b["pos_b"], a["fp_a"])
@@ -1118,6 +1142,17 @@ def incremental_winnow_pairs(
         .to(lambda df: df.where(F.col("n_shared") >= min_shared))
         .writeToPath(path)
     )
+    if rebuild_every is None:
+        return writer
+    from .operators.text import winnow_overlap_pairs
+
+    def twin() -> DataFrame:
+        return winnow_overlap_pairs(
+            docs.snapshot(), text_col, id_col, k, w, min_shared,
+            max_fp_df=max_fp_df,
+        )
+
+    return RebuildingWriter(writer, docs, twin, rebuild_every)
 
 
 class DedupChain:
@@ -1316,3 +1351,89 @@ def incremental_sessions(
         )
         .writeToPath(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scheduled rebuild for capped pair tables (r6 — VERDICT r5 #7)
+# ---------------------------------------------------------------------------
+
+
+class RebuildingWriter:
+    """Incremental writer + a SCHEDULED full rebuild against its capped
+    batch twin — for maintained pair tables whose hot-key caps
+    (``max_fp_df`` hot-fingerprint / hot-frame guards) are corpus-global
+    and therefore batch-only: a key crossing the hotness threshold must
+    retract pairs corpus-wide, which no bounded incremental slice can do.
+
+    Between rebuilds the table is maintained exactly (uncapped) by the
+    wrapped writer; every ``rebuild_every`` SOURCE commits, ``run()``
+    additionally recomputes the capped batch result and reconciles the
+    whole table to it through ``replace_keys`` over the union of old and
+    new pair keys — an ordinary commit with a minimal compensating change
+    feed (the RESTORE physics), so downstream incremental consumers
+    converge through normal CDC instead of needing a reset. The rebuild
+    watermark persists next to the target (restart-safe, like stage
+    progress).
+
+    Scale: the rebuild costs one capped batch pass (the same job a
+    nightly batch dedup would run) amortized over N commits; the swap's
+    diff is scoped to pairs that actually changed, so a near-converged
+    rebuild commits almost nothing.
+    """
+
+    def __init__(self, writer, source: ChangeTable, batch_fn, rebuild_every: int):
+        import json as _json
+        import os as _os
+
+        self.writer = writer
+        self.source = source
+        self.batch_fn = batch_fn
+        self.rebuild_every = int(rebuild_every)
+        self._json, self._os = _json, _os
+        self._marker = None  # resolved lazily: the target path may be lazy
+
+    # -- writer passthrough -------------------------------------------
+    def toDF(self) -> DataFrame:
+        return self.writer.toDF()
+
+    @property
+    def target(self):
+        return self.writer.target
+
+    def stageProgress(self):
+        return self.writer.stageProgress()
+
+    def _last_rebuilt(self) -> int:
+        self._marker = self._os.path.join(self.target.path, "_rebuild.json")
+        if self._os.path.exists(self._marker):
+            with open(self._marker) as f:
+                return int(self._json.load(f)["source_version"])
+        return 0
+
+    def run(self) -> int:
+        n = self.writer.run()
+        head = self.source.version()
+        if head - self._last_rebuilt() >= self.rebuild_every:
+            self.rebuild(head)
+            n += 1
+        return n
+
+    def rebuild(self, head: int | None = None) -> None:
+        """Reconcile the maintained table to the capped batch twin NOW
+        (also callable directly for an operator-initiated rebuild)."""
+        head = self.source.version() if head is None else head
+        twin = self.batch_fn()
+        t = self.target
+        self._marker = self._os.path.join(t.path, "_rebuild.json")
+        pks = list(t.primary_keys)
+        scope = (
+            t.snapshot().select(*pks)
+            .unionByName(twin.select(*pks))
+            .dropDuplicates(pks)
+        )
+        # table-sized scope: never broadcast (the restore contract)
+        t.replace_keys(scope, pks, twin, hint_broadcast=False, op="REBUILD")
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as f:
+            self._json.dump({"source_version": head}, f)
+        self._os.replace(tmp, self._marker)

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,6 +113,10 @@ class _Governor:
         # ≤ 2^scopeBloomBits positions broadcast) unless disabled
         self.scope_bloom = str(o.get("scopeBloomFilter", "true")).lower() != "false"
         self.scope_bloom_bits = int(o.get("scopeBloomBits", 17))
+        # observability: the degradation-ladder rung the LAST scoped() call
+        # took (broadcast | bloom+shuffle | shuffle) — copied into each
+        # slice's metrics record
+        self.last_rung: str | None = None
 
     def chunk_end(self, ct: ChangeTable, v0: int, v1: int) -> tuple[int, int]:
         """(end_version, chunk_bytes): the largest end ≤ v1 keeping
@@ -176,9 +181,12 @@ class _Governor:
         ``scopeBloomBits`` sizes the position space.
         """
         if self.should_hint(est_bytes):
+            self.last_rung = "broadcast"
             return _semi_filter(snap, F.broadcast(keys), cols)
         if not self.scope_bloom:
+            self.last_rung = "shuffle"
             return _semi_filter(snap, keys, cols)
+        self.last_rung = "bloom+shuffle"
         m = 1 << self.scope_bloom_bits
         from ..functions import hash64
 
@@ -396,6 +404,49 @@ class _Progress:
             os.replace(tmp, self.path)
 
 
+def _note_metrics(
+    stage,
+    t0: float,
+    versions_from: Sequence[int],
+    versions_to: Sequence[int],
+    slice_bytes: int,
+    committed: int | None,
+) -> None:
+    """Record one drained slice's observability record on the stage
+    (bounded in-memory ring; flushed to a metrics ChangeTable by the
+    writer when ``metricsPath`` is set). Every field is O(1) driver-side:
+    rows_out reads parquet FOOTERS of the committed change files (no
+    Spark job), latency is the process() wall clock, the governor rung is
+    whatever ladder level the last scope filter took. The reference's
+    analog is its composite streaming-progress merge
+    (elzyme/streams.py:242-314); this surfaces the engine-specific
+    currencies that progress object cannot: backlog bytes, ladder rung,
+    commit latency."""
+    if not hasattr(stage, "metrics"):
+        from collections import deque
+
+        stage.metrics = deque(maxlen=256)
+        stage._metrics_seq = -1
+    stage._metrics_seq += 1
+    target = getattr(stage, "target", None)
+    rows_out = None
+    if committed is not None and target is not None:
+        rows_out = target.change_rows(committed)
+    stage.metrics.append({
+        "seq": stage._metrics_seq,
+        "stage": type(stage).__name__.lstrip("_"),
+        "target": getattr(target, "path", None),
+        "batch_id": stage.progress.batch_id,
+        "versions_from": list(versions_from),
+        "versions_to": list(versions_to),
+        "slice_bytes": int(slice_bytes or 0),
+        "rung": getattr(stage.governor, "last_rung", None),
+        "committed_version": committed,
+        "rows_out": rows_out,
+        "seconds": round(time.monotonic() - t0, 4),
+    })
+
+
 class _JoinStage:
     """One incremental join stage: two ChangeTable-backed inputs → one target."""
 
@@ -506,6 +557,9 @@ class _JoinStage:
         return affected, new_slice, [lv1, rv1], slice_bytes
 
     def process(self) -> bool:
+        t0 = time.monotonic()
+        v_from = list(self.progress.versions)
+        tv0 = self.target.version()
         out = self.compute_slice()
         if out is None:
             return False
@@ -519,6 +573,8 @@ class _JoinStage:
         )
         self.progress.versions = versions
         self.progress.save()
+        _note_metrics(self, t0, v_from, versions, slice_bytes,
+                      changed if changed > tv0 else None)
         return True
 
 
@@ -561,10 +617,12 @@ class _ForeachStage(_JoinStage):
         self._wants_scope = n_params >= 3
 
     def process(self) -> bool:
+        t0 = time.monotonic()
+        v_from = list(self.progress.versions)
         out = self.compute_slice()
         if out is None:
             return False
-        affected, new_slice, versions, _bytes = out
+        affected, new_slice, versions, nbytes = out
         if self._wants_scope:
             self.func(new_slice, affected, self.progress.batch_id)
         else:
@@ -572,6 +630,7 @@ class _ForeachStage(_JoinStage):
         self.progress.batch_id += 1
         self.progress.versions = versions
         self.progress.save()
+        _note_metrics(self, t0, v_from, versions, nbytes, None)
         return True
 
 
@@ -607,6 +666,7 @@ class _UnionLegStage:
         self.progress.seed([_seed_version(stream)])
 
     def process(self) -> bool:
+        t0 = time.monotonic()
         ct = self.stream.change_table
         v0 = self.progress.versions[0]
         if ct.version() <= v0:
@@ -622,13 +682,16 @@ class _UnionLegStage:
         new_slice = _gate_expectations(
             self, self.governor.scoped(snap, affected, self.pks, nbytes)
         )
-        self.target.replace_keys(
+        tv0 = self.target.version()
+        changed = self.target.replace_keys(
             affected, self.pks, new_slice,
             hint_broadcast=self.governor.should_hint(nbytes),
             merge_schema=getattr(self, "merge_schema", False),
         )
         self.progress.versions = [v1]
         self.progress.save()
+        _note_metrics(self, t0, [v0], [v1], nbytes,
+                      changed if changed > tv0 else None)
         return True
 
 
@@ -690,6 +753,7 @@ class _AggStage:
         return self.agg_cols
 
     def process(self) -> bool:
+        t0 = time.monotonic()
         src = self.gb.source
         ct = src.change_table
         v0 = self.progress.versions[0]
@@ -729,12 +793,15 @@ class _AggStage:
                     recompute(rkeys)
                 )
 
+        tv0 = self.target.version()
         changed = self.target.replace_keys(
             affected, self.group_cols, _gate_expectations(self, new_slice),
             hint_broadcast=self.governor.should_hint(nbytes),
         )
         self.progress.versions = [v1]
         self.progress.save()
+        _note_metrics(self, t0, [v0], [v1], nbytes,
+                      changed if changed > tv0 else None)
         return changed > 0 or v1 != v0
 
     def _additive_slice(self, images: DataFrame, affected: DataFrame) -> DataFrame:
@@ -1240,8 +1307,62 @@ class _WriterBase:
         return self.pipeline.stages[-1].target
 
     def run(self) -> int:
-        """Process everything outstanding (availableNow semantics)."""
-        return self.pipeline.process_all_available()
+        """Process everything outstanding (availableNow semantics). With
+        the ``metricsPath`` writer option set, every drained slice's
+        observability record (backlog versions/bytes, governor rung, rows
+        out, commit latency) is additionally flushed to a metrics
+        ChangeTable there — one insert-only commit per run, queryable
+        like any table (and CDC-consumable: a monitoring pipeline can
+        maintain rollups over it with this same engine)."""
+        n = self.pipeline.process_all_available()
+        mp = self._options.get("metricsPath")
+        if mp:
+            self._flush_metrics(str(mp))
+        return n
+
+    METRICS_SCHEMA = (
+        "metric_id string, stage string, target string, batch_id long, "
+        "versions_from string, versions_to string, slice_bytes long, "
+        "rung string, committed_version long, rows_out long, "
+        "seconds double, seq long"
+    )
+
+    def _flush_metrics(self, path: str) -> None:
+        """Append the not-yet-flushed slice metrics of every stage to the
+        metrics ChangeTable. Insert-only (single-write commit), one small
+        driver-built frame per run — observability never rewrites data or
+        disturbs the pipeline's own watermarks."""
+        import uuid as _uuid
+
+        spark = self._spark()
+        if not hasattr(self, "_metrics_cursor"):
+            self._metrics_cursor: dict[int, int] = {}
+            self._metrics_run_id = _uuid.uuid4().hex[:12]
+        rows = []
+        for idx, st in enumerate(self.pipeline.stages):
+            cur = self._metrics_cursor.get(id(st), -1)
+            for rec in list(getattr(st, "metrics", []) or []):
+                if rec["seq"] <= cur:
+                    continue
+                rows.append((
+                    f"{self._metrics_run_id}|{idx}|{rec['seq']}",
+                    rec["stage"], rec["target"], rec["batch_id"],
+                    json.dumps(rec["versions_from"]),
+                    json.dumps(rec["versions_to"]),
+                    rec["slice_bytes"], rec["rung"],
+                    rec["committed_version"], rec["rows_out"],
+                    rec["seconds"], rec["seq"],
+                ))
+                cur = rec["seq"]
+            self._metrics_cursor[id(st)] = cur
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, self.METRICS_SCHEMA)
+        if ChangeTable.exists(path):
+            mt = ChangeTable(spark, path)
+        else:
+            mt = ChangeTable.create(spark, path, df.schema, ["metric_id"])
+        mt.append(df)
 
     def toStream(self) -> Stream:
         """The result as a Stream for ad-hoc chaining/reads."""
@@ -1311,6 +1432,13 @@ class _WriterBase:
                 # change bytes of the most recent slice this stage ran —
                 # the governor's chunking metric, None before any slice
                 "last_slice_bytes": getattr(st, "_slice_bytes", None),
+                # full observability record of the most recent slice
+                # (backlog range, governor rung, rows out, latency);
+                # the whole ring is on st.metrics, flushed to the
+                # metricsPath table when configured
+                "last_metrics": (
+                    st.metrics[-1] if getattr(st, "metrics", None) else None
+                ),
             }
             for st in self.pipeline.stages
         ]

@@ -148,3 +148,274 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
         elif r[CHANGE_TYPE] == DELETE:
             state.pop(r["id"], None)
     assert _rows(state) == _rows(model)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency: claim-serialized writers (r6)
+# ---------------------------------------------------------------------------
+
+from streamjoin_spark.changelog import ConcurrentWriteError  # noqa: E402
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _mk(spark, path):
+    df0 = spark.createDataFrame([], SCHEMA)
+    return ChangeTable.create(spark, path, df0.schema, ["id"], sequence_by=["seq"])
+
+
+def test_two_writer_interleaved_ops_converge(spark, tmp_path):
+    """Fixed-seed schedule of merges/appends/deletes alternating between
+    two writer INSTANCES of the same table: version-slot claims serialize
+    them, every op's body reads the fresh head, so the final state equals
+    the model applied in schedule order — the single-writer contract
+    relaxed to any number of serialized writers."""
+    rng = random.Random(7)
+    path = str(tmp_path / "occ")
+    _mk(spark, path)
+    writers = [ChangeTable(spark, path), ChangeTable(spark, path)]
+    model: dict = {}
+    next_id = 0
+    for step in range(8):
+        w = writers[step % 2]
+        op = rng.choice(["merge", "merge", "append", "delete"])
+        if op == "merge":
+            batch = [(next_id % 5, f"s{step}", float(step), step)]
+            w.merge(_b(spark, batch))
+            _apply_merge(model, batch)
+            next_id += 1
+        elif op == "append":
+            batch = [(100 + next_id, f"a{step}", 1.0, 0)]
+            w.append(_b(spark, batch))
+            for (i, n, a, s) in batch:
+                model[i] = (n, a, s)
+            next_id += 1
+        elif op == "delete":
+            if not model:
+                continue
+            doomed = sorted(model)[0]
+            w.delete_where(F.col("id") == int(doomed))
+            model.pop(doomed)
+    assert _snap(writers[0]) == _rows(model)
+    assert _snap(writers[1]) == _rows(model)
+
+
+def test_claim_blocks_second_writer_then_serializes(spark, tmp_path):
+    """An in-flight writer's claimed slot blocks a second writer for the
+    bounded wait (ConcurrentWriteError, table untouched); once the holder
+    publishes, the second writer claims the next slot and both commits
+    land — no clobbered files, no lost commit."""
+    path = str(tmp_path / "claim")
+    _mk(spark, path)
+    a, b = ChangeTable(spark, path), ChangeTable(spark, path)
+    b._claim_wait_s = 0.3
+    v = a._next_version()                      # a is "in flight" at slot v
+    with pytest.raises(ConcurrentWriteError, match="claimed"):
+        b.merge(_b(spark, [(1, "b", 1.0, 1)]))
+    assert b.version() == v - 1                # head untouched by the loser
+    av = a.merge(_b(spark, [(0, "a", 0.0, 1)]))  # same token reclaims slot v
+    assert av == v
+    b._claim_wait_s = 10.0
+    bv = b.merge(_b(spark, [(1, "b", 1.0, 1)]))
+    assert bv == v + 1
+    assert _snap(a) == [(0, "a", 0.0, 1), (1, "b", 1.0, 1)]
+
+
+def test_stale_claim_of_dead_writer_is_stolen(spark, tmp_path):
+    """A claim whose writer died (never published) stops blocking after
+    the staleness window: the next writer steals the slot and proceeds —
+    no permanent wedge from a crashed process."""
+    path = str(tmp_path / "stale")
+    _mk(spark, path)
+    dead, live = ChangeTable(spark, path), ChangeTable(spark, path)
+    v = dead._next_version()                   # claim, then "die"
+    live._claim_stale_s = 0.0                  # immediately stealable
+    lv = live.merge(_b(spark, [(5, "x", 5.0, 1)]))
+    assert lv == v
+    assert _snap(live) == [(5, "x", 5.0, 1)]
+
+
+def test_threaded_writers_serialize(spark, tmp_path):
+    """Two OS threads writing disjoint keys concurrently: claims serialize
+    the six commits, none is lost, and the feed replay reconstructs the
+    final state (the invariant IVM consumers rely on)."""
+    import threading
+
+    path = str(tmp_path / "thr")
+    _mk(spark, path)
+    errs: list = []
+
+    def work(base):
+        try:
+            w = ChangeTable(spark, path)
+            for i in range(3):
+                w.merge(_b(spark, [(base + i, f"w{base + i}", 1.0, 1)]))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(b,)) for b in (0, 100)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    ct = ChangeTable(spark, path)
+    assert ct.version() == 6
+    assert len(_snap(ct)) == 6
+    state: dict = {}
+    for r in sorted(ct.read_change_feed().collect(),
+                    key=lambda r: r[COMMIT_VERSION]):
+        if r[CHANGE_TYPE] in (INSERT, UPDATE_POST):
+            state[r["id"]] = (r["name"], r["amount"], r["seq"])
+        elif r[CHANGE_TYPE] == DELETE:
+            state.pop(r["id"], None)
+    assert _rows(state) == _snap(ct)
+
+
+def test_replace_keys_expected_version_disjoint_allows_overlap_raises(
+    spark, tmp_path
+):
+    """The IVM rebase law: replace_keys with expected_version proceeds when
+    the interleaved commits' key scopes are DISJOINT from its own (the
+    precomputed rows are still correct for the scope) and raises
+    ConcurrentWriteError on overlap (they are stale); the refused commit
+    releases its slot so the table keeps committing."""
+    path = str(tmp_path / "rk")
+    _mk(spark, path)
+    ct = ChangeTable(spark, path)
+    ct.merge(_b(spark, [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]))
+    h = ct.version()
+    scope = spark.createDataFrame([(2,)], "id long")
+
+    # disjoint interleave: another writer touches key 1 only
+    ct.merge(_b(spark, [(1, "a2", 1.5, 2)]))
+    v = ct.replace_keys(
+        scope, ["id"], _b(spark, [(2, "b2", 9.9, 5)]), expected_version=h
+    )
+    assert v == ct.version()
+    assert _snap(ct) == [(1, "a2", 1.5, 2), (2, "b2", 9.9, 5)]
+
+    # overlapping interleave: the winner touched key 2 — stale precompute
+    h2 = ct.version()
+    ct.merge(_b(spark, [(2, "race", 3.0, 6)]))
+    with pytest.raises(ConcurrentWriteError, match="stale"):
+        ct.replace_keys(
+            scope, ["id"], _b(spark, [(2, "old", 0.0, 7)]),
+            expected_version=h2,
+        )
+    # slot released: the next commit claims head+1 immediately
+    nxt = ct.merge(_b(spark, [(3, "c", 3.0, 1)]))
+    assert nxt == ct.version()
+
+
+# ---------------------------------------------------------------------------
+# Crash-injection kill-point sweep over every commit kind (r6)
+# ---------------------------------------------------------------------------
+
+
+def _kill_publish(self, *a, **kw):
+    raise RuntimeError("killed: pre-manifest")
+
+
+def _kill_meta(self, *a, **kw):
+    raise RuntimeError("killed: pre-meta-bump")
+
+
+KILL_POINTS = {
+    # data/c{v} + changes/c{v} written, manifest + t-file + meta NOT
+    "pre_manifest": ("_publish", _kill_publish),
+    # manifest + t-file written, meta bump NOT (the narrowest window)
+    "pre_meta": ("_write_meta", _kill_meta),
+}
+
+
+@pytest.mark.parametrize("kill", sorted(KILL_POINTS))
+def test_crash_kill_points_all_commit_kinds(spark, tmp_path, kill):
+    """Kill the commit protocol between every artifact, for every commit
+    kind (append / bulk-load single-write merge / rewriting merge /
+    replace_keys / delete_where / compact / restore): the un-published
+    commit must be invisible (version, snapshot, feed unchanged), and the
+    RETRY of the same operation must land exactly once — the idempotent
+    pure-overwrite law of the protocol, proven at every kill point rather
+    than just the one the single-write test covered."""
+    attr, fn = KILL_POINTS[kill]
+    b0 = [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+
+    ops = {
+        "append": lambda ct: ct.append(_b(spark, [(50, "ap", 5.0, 0)])),
+        "merge_rewrite": lambda ct: ct.merge(_b(spark, [(1, "a2", 1.5, 2)])),
+        "replace": lambda ct: ct.replace_keys(
+            spark.createDataFrame([(2,)], "id long"), ["id"],
+            _b(spark, [(2, "r", 9.0, 3)]),
+        ),
+        "delete": lambda ct: ct.delete_where("id = 2"),
+        "compact": lambda ct: ct.compact(),
+        "restore": lambda ct: ct.restore(1),
+    }
+    finals = {
+        "append": sorted([(1, "a", 1.0, 1), (2, "b", 2.0, 1), (50, "ap", 5.0, 0)]),
+        "merge_rewrite": [(1, "a2", 1.5, 2), (2, "b", 2.0, 1)],
+        "replace": [(1, "a", 1.0, 1), (2, "r", 9.0, 3)],
+        "delete": [(1, "a", 1.0, 1)],
+        "compact": sorted(b0),
+        "restore": sorted(b0),
+    }
+    for name, op in ops.items():
+        path = str(tmp_path / f"{kill}_{name}")
+        _mk(spark, path)
+        ct = ChangeTable(spark, path)
+        ct.merge(_b(spark, b0))                      # v1 baseline
+        if name == "restore":
+            ct.merge(_b(spark, [(2, "tmp", 0.0, 2)]))  # v2 to roll back
+        v_before = ct.version()
+        snap_before = _snap(ct)
+        feed_before = ct.read_change_feed().count()
+
+        real = getattr(ChangeTable, attr)
+        setattr(ChangeTable, attr, fn)
+        try:
+            with pytest.raises(RuntimeError, match="killed"):
+                op(ct)
+        finally:
+            setattr(ChangeTable, attr, real)
+
+        # the crashed commit is invisible on every read surface
+        assert ct.version() == v_before, f"{name}/{kill}: version moved"
+        assert _snap(ct) == snap_before, f"{name}/{kill}: snapshot moved"
+        assert ct.read_change_feed().count() == feed_before, (
+            f"{name}/{kill}: feed leaked orphans"
+        )
+
+        op(ct)                                        # retry lands once
+        assert _snap(ct) == finals[name], f"{name}/{kill}: retry diverged"
+        v = ct.version()
+        ranged = sorted(map(tuple, ct.read_change_range(v, v).collect()))
+        full = sorted(map(tuple, ct.read_change_feed().where(
+            F.col(COMMIT_VERSION) == v).collect()))
+        assert ranged == full, f"{name}/{kill}: range/feed mismatch"
+
+
+def test_crash_between_vacuum_deletes_and_floor_bump(spark, tmp_path):
+    """vacuum's deletions are idempotent and its floor bump publishes
+    last: a crash between them leaves a readable table and the re-run
+    converges to the same floor."""
+    path = str(tmp_path / "vac")
+    _mk(spark, path)
+    ct = ChangeTable(spark, path)
+    for i in range(5):
+        ct.merge(_b(spark, [(i, f"x{i}", float(i), 1)]))
+    snap = _snap(ct)
+    real = ChangeTable._write_meta
+    ChangeTable._write_meta = _kill_meta
+    try:
+        with pytest.raises(RuntimeError, match="killed"):
+            ct.vacuum(retain_versions=2)
+    finally:
+        ChangeTable._write_meta = real
+    assert ct.change_floor() == 0                 # bump never published
+    assert _snap(ct) == snap                      # current state readable
+    ct.vacuum(retain_versions=2)                  # idempotent re-run
+    assert ct.change_floor() == ct.version() - 1
+    assert _snap(ct) == snap

@@ -256,3 +256,77 @@ def test_bloom_ladder_plan_shapes(spark):
     assert sorted(r["k"] for r in over.collect()) == sorted(
         r["k"] for r in under.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewed CDC: a zipfian delta (one key = ~50% of changes) must neither
+# diverge nor serialize the recompute into one task (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_zipfian_cdc_converges_join_and_agg(spark, tmp_path, cust_ct, ord_ct):
+    """Differential CDC under a zipfian workload: customer 1 owns half of
+    all order churn (inserts + updates + deletes, forcing the dirty-group
+    recompute path); the governed join AND agg targets still converge to
+    their batch twins. Guards the skew story's CORRECTNESS half; the plan
+    half is pinned below."""
+    cust_ct.merge(c_rows(spark, [(i, f"c{i}", "A") for i in range(1, 6)]))
+    # hot key 1: 40 orders; cold keys 2..5: 10 orders each
+    hot = [(1000 + i, 1, float(i)) for i in range(40)]
+    cold = [(2000 + 10 * c + i, c, float(i)) for c in range(2, 6) for i in range(10)]
+    ord_ct.merge(o_rows(spark, hot + cold))
+
+    w_join = make_writer(cust_ct, ord_ct, tmp_path / "j", maxVersionsPerTrigger=2)
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w_agg = (
+        o.groupBy("cid")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        .writeToPath(str(tmp_path / "a"))
+    )
+    w_join.run()
+    w_agg.run()
+
+    # zipfian churn: updates + deletes concentrated on key 1 (retractions
+    # route its group through dirty-group recompute every cycle)
+    ord_ct.merge(o_rows(spark, [(1000 + i, 1, float(i) + 0.5) for i in range(20)]))
+    ord_ct.delete_where("oid >= 1030 AND oid < 1040")
+    ord_ct.merge(o_rows(spark, [(2021, 2, 99.0)]))   # a cold-key touch too
+    w_join.run()
+    w_agg.run()
+
+    assert_same(w_join.toDF(), batch_join(cust_ct, ord_ct, "left"))
+    expect = (
+        ord_ct.snapshot()
+        .groupBy("cid")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    assert_same(w_agg.toDF(), expect)
+
+
+def test_dirty_group_recompute_is_two_phase_not_single_task(spark, tmp_path, ord_ct):
+    """Plan pin for the skew story's PHYSICS half: the dirty-group
+    recompute (governor.scoped snapshot → groupBy.agg) compiles to a
+    TWO-PHASE hash aggregate — partial_sum/partial_count BELOW the
+    exchange — so a hot group's rows combine map-side across every input
+    partition and only k partial rows cross the shuffle; the hot group can
+    never serialize its raw rows into one task. The shuffled scope rung
+    additionally runs under AQE skew-join (session factory pins
+    spark.sql.adaptive.skewJoin.enabled)."""
+    from streamjoin_spark.streaming.incremental import _Governor
+
+    ord_ct.merge(o_rows(
+        spark, [(i, 1 if i % 2 == 0 else i, float(i)) for i in range(100)]
+    ))
+    gov = _Governor({})
+    keys = ord_ct.snapshot().select("cid").dropDuplicates(["cid"])
+    dirty = gov.scoped(ord_ct.snapshot(), keys, ["cid"], est_bytes=0)
+    out = dirty.groupBy("cid").agg(
+        F.sum("price").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan and "partial_count" in plan, plan
+    # the partial aggregate sits BELOW the shuffle (printed after Exchange
+    # in the top-down tree): map-side combine, k rows cross the wire
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("partial_sum") > ex, plan
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -848,3 +848,71 @@ def test_incremental_sessions_maintained(spark, tmp_path):
         w.toDF().select("user_id", "n_events", "n_sessions", "total_value"),
         twin(),
     )
+
+
+def test_rebuild_every_applies_corpus_global_cap(spark, tmp_path, docs_ct):
+    """rebuild_every=N (RebuildingWriter): between rebuilds the maintained
+    pair table is exact/uncapped; when a fingerprint crosses the
+    corpus-global hot cap (max_fp_df), the scheduled rebuild reconciles
+    the table to the CAPPED batch twin through one compensating commit —
+    the convergence the capped semantics cannot get from bounded
+    incremental slices (VERDICT r5 #7)."""
+    from streamjoin_spark.operators.text import winnow_overlap_pairs
+    from streamjoin_spark.pipelines import (
+        RebuildingWriter,
+        incremental_winnow_pairs,
+    )
+
+    KW = dict(k=3, w=4, min_shared=1)
+    CAP = 3  # absolute DF cap: fp in >3 docs is "boilerplate"
+    w = incremental_winnow_pairs(
+        docs_ct, str(tmp_path / "wpairs"), rebuild_every=3, max_fp_df=CAP,
+        **KW,
+    )
+    assert isinstance(w, RebuildingWriter)
+
+    boiler = "common boilerplate paragraph repeated across documents often"
+    docs_ct.merge(d_rows(spark, [          # v1: fp df == 2, under the cap
+        (1, boiler + " alpha unique tail one"),
+        (2, boiler + " beta unique tail two"),
+    ]))
+    w.run()                                # no rebuild yet (head 1 < 3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+    assert (1, 2) in pairs                 # uncapped between rebuilds
+
+    # v2..v3: the fingerprint crosses the cap (df=4 > 3)
+    docs_ct.merge(d_rows(spark, [(3, boiler + " gamma unique tail three")]))
+    docs_ct.merge(d_rows(spark, [(4, boiler + " delta unique tail four")]))
+    w.run()                                # head 3 -> scheduled rebuild fires
+
+    def capped_twin():
+        return winnow_overlap_pairs(
+            docs_ct.snapshot(), max_fp_df=CAP, **KW
+        )
+
+    got = {(r["doc_a"], r["doc_b"], r["n_shared"]) for r in w.toDF().collect()}
+    want = {(r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in capped_twin().collect()}
+    assert got == want, f"only-inc={got - want} only-batch={want - got}"
+    # the cap actually BIT: the capped law drops pairs the uncapped
+    # maintained state carried (the corpus-wide retraction a bounded
+    # incremental slice cannot express)
+    uncapped = {(r["doc_a"], r["doc_b"], r["n_shared"])
+                for r in winnow_overlap_pairs(
+                    docs_ct.snapshot(), max_fp_df=None, **KW).collect()}
+    assert got < uncapped, (got, uncapped)
+
+    # post-rebuild CDC keeps converging (to the UNCAPPED law) and the next
+    # rebuild re-applies the cap without drift
+    docs_ct.merge(d_rows(spark, [
+        (5, "fresh pairwise content shared here exactly"),
+        (6, "fresh pairwise content shared here exactly plus tail"),
+    ]))
+    w.run()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in w.toDF().collect()}
+    assert (5, 6) in pairs
+    w.rebuild()                            # operator-initiated rebuild
+    got = {(r["doc_a"], r["doc_b"], r["n_shared"]) for r in w.toDF().collect()}
+    want = {(r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in capped_twin().collect()}
+    assert got == want

@@ -1,0 +1,95 @@
+"""IVM observability: per-slice metrics (r6).
+
+Every drained slice records {backlog range, slice bytes, governor rung,
+rows out, committed version, latency} on its stage (bounded ring, surfaced
+via stageProgress) and, with the ``metricsPath`` writer option, flushes to
+a metrics ChangeTable — itself CDC-consumable. The reference's analog is
+its composite streaming-progress merge (elzyme/streams.py:242-314); these
+metrics add the engine-specific currencies that object cannot carry.
+"""
+
+import pyspark.sql.functions as F
+
+from streamjoin_spark import Stream
+from streamjoin_spark.changelog import ChangeTable
+
+DOC = "id long, val string"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, DOC)
+
+
+def test_slice_metrics_recorded_and_flushed(spark, tmp_path):
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["id"],
+    )
+    mpath = str(tmp_path / "metrics")
+    w = (
+        Stream.fromChangeTable(src, "s")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(str(tmp_path / "view"))
+        .option("maxVersionsPerTrigger", 2)
+        .option("metricsPath", mpath)
+    )
+    for i in range(6):
+        src.merge(_rows(spark, [(i, f"v{i}")]))
+    w.run()
+
+    # one record per drained slice: 6 commits / 2 per slice = 3
+    st = w.pipeline.stages[-1]
+    recs = list(st.metrics)
+    assert len(recs) == 3
+    for m in recs:
+        assert m["stage"] == "UnionLegStage"
+        assert m["slice_bytes"] > 0
+        assert m["rung"] == "broadcast"          # tiny scope: first ladder rung
+        assert m["committed_version"] is not None
+        assert m["rows_out"] == 2                # 2 insert change rows / slice
+        assert m["seconds"] >= 0
+        assert m["versions_to"][0] - m["versions_from"][0] == 2
+    assert [m["seq"] for m in recs] == [0, 1, 2]
+
+    # composite progress carries the latest record
+    sp = w.stageProgress()[-1]
+    assert sp["last_metrics"]["seq"] == 2
+
+    # flushed to the metrics ChangeTable — queryable like any table
+    mt = ChangeTable(spark, mpath)
+    assert mt.snapshot().count() == 3
+    agg = mt.snapshot().agg(
+        F.sum("rows_out").alias("r"), F.max("committed_version").alias("v")
+    ).collect()[0]
+    assert agg["r"] == 6 and agg["v"] == 3
+
+    # idle run flushes nothing; new churn appends exactly its slices
+    w.run()
+    assert mt.snapshot().count() == 3
+    src.merge(_rows(spark, [(99, "x")]))
+    w.run()
+    assert mt.snapshot().count() == 4
+    last = mt.snapshot().orderBy(F.desc("seq")).limit(1).collect()[0]
+    assert last["rows_out"] == 1 and last["rung"] == "broadcast"
+
+
+def test_metrics_record_shuffle_rung(spark, tmp_path):
+    """broadcastThreshold=0 + Bloom off ⇒ the recorded rung is the exact
+    shuffle semi-join (the ladder's bottom), proving the metric reflects
+    the governor's actual decision, not a constant."""
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["id"],
+    )
+    w = (
+        Stream.fromChangeTable(src, "s")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(str(tmp_path / "view"))
+        .option("broadcastThreshold", 0)
+        .option("scopeBloomFilter", "false")
+    )
+    src.merge(_rows(spark, [(1, "a"), (2, "b")]))
+    w.run()
+    assert w.pipeline.stages[-1].metrics[-1]["rung"] == "shuffle"

@@ -37,6 +37,7 @@ Usage: python tools/make_scale.py [K] [src_dir] [out_dir]
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 import zlib
@@ -62,8 +63,28 @@ KEY_COLS = {
 COPY_ONLY = ["nation", "region"]  # bounded shared dims: single copy
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _scramble(w: str, k: int) -> str:
+    """Deterministic pseudo-word for (w, replica k): every byte differs
+    from the original (md5-derived letters, length preserved +1). A mere
+    suffix salt (``w~k``) is NOT enough for the media queries: their
+    payload fingerprints (sliding-window simhash over encode(text)) keep
+    all in-word windows identical across replicas, so replicas stayed
+    within the near-dup hamming radius and pair counts grew ~K²
+    (measured: image pairs 38.7× at K=10). Full-word scrambles share no
+    windows, pushing cross-replica fingerprints to ~half the bits apart."""
+    h = hashlib.md5(f"{w}|{k}".encode()).hexdigest()
+    n = len(w) + 1
+    out = []
+    for i in range(n):
+        out.append(_ALPHA[int(h[(2 * i) % 32 : (2 * i) % 32 + 2], 16) % 26])
+    return "".join(out)
+
+
 def _salt_text(texts: list[str | None], k: int) -> tuple[list, list]:
-    """Deterministically salt ~60% of distinct tokens for replica k>0.
+    """Deterministically scramble ~60% of distinct tokens for replica k>0.
     Per-TOKEN (not per-position) so every occurrence of a word moves
     together and intra-replica shingle/dup structure is preserved."""
     cache: dict[str, str] = {}
@@ -79,7 +100,7 @@ def _salt_text(texts: list[str | None], k: int) -> tuple[list, list]:
             s = cache.get(w)
             if s is None:
                 h = (zlib.crc32(w.encode("utf-8")) + 0x9E3779B1 * k) & 0xFFFFFFFF
-                s = f"{w}~{k}" if h % 10 < 6 else w
+                s = _scramble(w, k) if h % 10 < 6 else w
                 cache[w] = s
             salted.append(s)
         nt = " ".join(salted)
@@ -101,11 +122,19 @@ def _replicate(name: str, table: pa.Table, k: int) -> pa.Table:
         cols["text"] = pa.array(nt, type=pa.string())
         cols["n_chars"] = pa.array(nc, type=table.schema.field("n_chars").type)
     if name == "embeddings":
+        # per-replica RANDOM ORTHOGONAL rotation: cosine similarity is
+        # invariant under Q_k, so intra-replica near-dup/ANN structure is
+        # preserved EXACTLY, while cross-replica cosines randomize to ~0 —
+        # additive noise (the first attempt) left replicas inside the
+        # near-dup radius and pair counts grew ~K² (measured 346× at K=10)
         emb = cols["embedding"].combine_chunks()
         flat = np.asarray(emb.values, dtype=np.float32)
+        dim = flat.shape[0] // len(emb)
+        mat = flat.reshape(-1, dim)
         rng = np.random.default_rng(42 + k)
-        noisy = flat + rng.normal(0.0, 0.02, size=flat.shape).astype(np.float32)
-        cols["embedding"] = type(emb).from_arrays(emb.offsets, pa.array(noisy))
+        q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+        rotated = (mat @ q.astype(np.float32)).astype(np.float32).ravel()
+        cols["embedding"] = type(emb).from_arrays(emb.offsets, pa.array(rotated))
     return pa.table(cols, schema=pa.schema(
         [table.schema.field(c) for c in table.column_names]
     ))

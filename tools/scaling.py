@@ -1,0 +1,174 @@
+"""Empirical scaling-law measurement: t(Kx)/t(1x) for the heaviest queries.
+
+Runs each target query from __spark_entry__.queries() at the 1x dir
+(default /root/testdata/sf0.1) and the Kx dir (default /tmp/scale/sf1,
+built by tools/make_scale.py), best-of-2 per scale, and prints one JSON
+blob with per-query seconds, output rows, and the ratio. Pair-finder
+diagnostics (candidate counts, bucket-occupancy percentiles) are probed
+directly through the operators' internal candidate stages so a hidden
+quadratic shows up as a candidate-count ratio >> K even when wall time
+hides it behind fixed overheads.
+
+Usage: python tools/scaling.py [out.json] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+ONE_X = os.environ.get("SCALE_1X", "/root/testdata/sf0.1")
+TEN_X = os.environ.get("SCALE_KX", "/tmp/scale/sf1")
+
+# the judge's target list (VERDICT r5 Next-round #1) + the other
+# pair-finders, the cheapest place for a quadratic to hide
+QUERIES = [
+    "ppjoin_pairs",
+    "lpa_communities",
+    "kcore",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "cross_corpus_neardup",
+    "multimodal_image_neardup",
+    "multimodal_audio_neardup",
+    "multimodal_video_neardup",
+    "ann_ivf_pq",
+    "ann_ivf_topk",
+    "bloom_prune",
+    "dedup_minhash_lsh",
+    "winnow_overlap",
+    "passage_dedup",
+    "triangle_count",
+    "embedding_neardup",
+    # machinery-bound end-to-end CDC pipelines (single run, no best-of)
+    "ivm_join_cdc",
+    "ivm_chain_cdc",
+]
+
+
+def _run(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.monotonic()
+    n = fn(spark, sf_dir).count()
+    return time.monotonic() - t0, n
+
+
+def _occupancy(df, cols) -> dict:
+    """Bucket-occupancy stats for a blocking stage: counts per bucket →
+    {buckets, max, p99, candidate_pairs=Σ c·(c−1)/2}."""
+    occ = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+    row = occ.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.max("c").alias("mx"),
+        F.expr("percentile_approx(c, 0.99)").alias("p99"),
+        F.sum(F.expr("c * (c - 1) / 2")).alias("cand"),
+    ).collect()[0]
+    return {
+        "buckets": int(row["buckets"] or 0),
+        "max_occ": int(row["mx"] or 0),
+        "p99_occ": float(row["p99"] or 0),
+        "candidate_pairs": int(row["cand"] or 0),
+    }
+
+
+def diagnostics(spark, sf_dir: str) -> dict:
+    """Candidate-stage probes for the two highest-risk pair-finders."""
+    from streamjoin_spark.operators.dedup import (
+        _ppjoin_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out: dict = {}
+
+    # MinHash-LSH: band-bucket occupancy (the corpus-sized-bucket killer) —
+    # the exact banding minhash_lsh_pairs builds (12 hashes, 4 bands of 3)
+    num_hashes, band_size = 12, 3
+    sigs = minhash_signatures(docs, num_hashes=num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                ",", *[f"h{b * band_size + j}" for j in range(band_size)]
+            )).alias("bh"),
+        )
+        for b in range(num_hashes // band_size)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select("doc_id", "x.band", "x.bh")
+    out["minhash_lsh"] = _occupancy(bands, ["band", "bh"])
+
+    # PPJoin: candidate pairs AFTER the prefix + in-join filters
+    cands, _sets = _ppjoin_candidates(docs, "text", "doc_id", n=3, threshold=0.7)
+    out["ppjoin"] = {"candidate_pairs": cands.count()}
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_raw.json"
+    names = QUERIES
+    for i, a in enumerate(sys.argv):
+        if a == "--queries":
+            names = sys.argv[i + 1].split(",")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("streamjoin-spark-scaling")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _identity, "id long"
+    ).count()
+
+    qs = entrymod.queries()
+    results: dict = {"one_x": ONE_X, "k_x": TEN_X, "queries": {}}
+    for name in names:
+        fn = qs[name]
+        attempts = 1 if name.startswith("ivm_") else 2
+        rec: dict = {}
+        for label, d in (("t1", ONE_X), ("tK", TEN_X)):
+            best, rows = None, None
+            for _ in range(attempts):
+                try:
+                    t, n = _run(fn, spark, d)
+                except Exception as e:  # record, keep sweeping
+                    rec[label + "_err"] = repr(e)[:200]
+                    break
+                best = t if best is None else min(best, t)
+                rows = n
+            rec[label], rec[label + "_rows"] = best, rows
+        if rec.get("t1") and rec.get("tK"):
+            rec["ratio"] = round(rec["tK"] / rec["t1"], 2)
+        results["queries"][name] = rec
+        print(name, json.dumps(rec), file=sys.stderr, flush=True)
+
+    results["diagnostics"] = {
+        "one_x": diagnostics(spark, ONE_X),
+        "k_x": diagnostics(spark, TEN_X),
+    }
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["queries"]))
+
+
+if __name__ == "__main__":
+    main()
