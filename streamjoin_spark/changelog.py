@@ -675,8 +675,16 @@ class ChangeTable:
                 manifest[p].append(os.path.join(changes_rel, d))
             self._publish(v, manifest, op)
             return
+        # Two actions per rewrite commit (data dirs + change files). A
+        # FUSED single-action variant (union tagged by __dest, staged
+        # write, driver renames) was built and A/B-measured in r6: a WASH
+        # (19.4 vs 19.5 s on ivm_join_cdc warm) — the change frame is
+        # persisted by the writers, so the second action's compute is
+        # cached and only ~50 ms of local scheduling was at stake, not
+        # worth the layout complexity. See BASELINE.md r6 IVM notes.
         content = rewritten if rewritten is not None else appended
         wrote_any = content is not None
+        changes_abs = os.path.join(self.path, "changes", f"c{v}")
         if wrote_any:
             out = self._with_part(
                 content.select(*self._data_cols(), *cluster_by)
@@ -691,9 +699,14 @@ class ChangeTable:
                     .drop(*cluster_by)
                 )
             out.write.mode("overwrite").partitionBy(PART).parquet(commit_abs)
+        (
+            changes.select(*change_cols)
+            .write.mode("overwrite")
+            .parquet(changes_abs)
+        )
 
         manifest = dict(self._manifest(v - 1))
-        if wrote_any:
+        if wrote_any and os.path.isdir(commit_abs):
             on_disk = {
                 d.split("=", 1)[1]
                 for d in os.listdir(commit_abs)
@@ -707,12 +720,6 @@ class ChangeTable:
             entry = os.path.join(commit_rel, f"{PART}={p}")
             manifest.setdefault(p, [])
             manifest[p].append(entry)
-
-        (
-            changes.select(*change_cols)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.path, "changes", f"c{v}"))
-        )
         self._publish(v, manifest, op)
 
     # ------------------------------------------------------------------
