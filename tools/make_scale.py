@@ -31,8 +31,8 @@ row count — naive row cloning corrupts exactly the physics under test:
   single copies (bounded dims shared by all replicas, as in real TPC-H
   scaling).
 
-Usage: python tools/make_scale.py [K] [src_dir] [out_dir]
-       (defaults: 10 /root/testdata/sf0.1 /tmp/scale/sf1)
+Usage: python tools/make_scale.py [K] [src_dir] [out_dir] [--tables a,b,c]
+       (defaults: 10 /root/testdata/sf0.1 /tmp/scale/sf1, all tables)
 """
 
 from __future__ import annotations
@@ -141,15 +141,24 @@ def _replicate(name: str, table: pa.Table, k: int) -> pa.Table:
 
 
 def main() -> None:
-    k_total = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--tables":
+            only = set(sys.argv[i + 1].split(","))
+    k_total = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = args[2] if len(args) > 2 else "/tmp/scale/sf1"
     os.makedirs(out, exist_ok=True)
     for name in COPY_ONLY:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(out, f"{name}.parquet"))
         print(f"{name}: copied {t.num_rows}")
     for name in KEY_COLS:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         reps = [_replicate(name, t, k) for k in range(k_total)]
         big = pa.concat_tables(reps)

@@ -141,9 +141,10 @@ def main() -> None:
 
     qs = entrymod.queries()
     results: dict = {"one_x": ONE_X, "k_x": TEN_X, "queries": {}}
+    max_attempts = int(os.environ.get("SCALE_ATTEMPTS", "2"))
     for name in names:
         fn = qs[name]
-        attempts = 1 if name.startswith("ivm_") else 2
+        attempts = 1 if name.startswith("ivm_") else max_attempts
         rec: dict = {}
         for label, d in (("t1", ONE_X), ("tK", TEN_X)):
             best, rows = None, None
