@@ -103,9 +103,13 @@ class ChangeTable:
         self.path = path.rstrip("/")
         self._meta = self._read_meta()
         # OCC identity: commits claim their version slot under this token
-        # (see _next_version); per-instance, so an in-process crash-retry
-        # reclaims its own slot instantly while foreign writers wait
-        self._writer_token = uuid.uuid4().hex
+        # (see _next_version) — per (instance, thread), so an in-process
+        # crash-retry reclaims its own slot instantly while every OTHER
+        # writer (foreign instance OR a sibling thread sharing this
+        # instance) waits; a per-instance-only token would let two threads
+        # of one ChangeTable both "own" the same slot and clobber each
+        # other's version-addressed writes
+        self._writer_token_base = uuid.uuid4().hex
         self._claim_wait_s = 30.0    # how long to wait on an in-flight writer
         self._claim_stale_s = 900.0  # when a dead writer's claim is stealable
         register_table(self.name, self.path)
@@ -650,6 +654,7 @@ class ChangeTable:
         truncates to the retained window.
         """
         v = new_version
+        self._assert_claim(v)  # abort pre-write if the slot was stolen
         commit_rel = os.path.join("data", f"c{v}")
         commit_abs = os.path.join(self.path, commit_rel)
         if rewritten is not None and appended is not None:
@@ -728,6 +733,12 @@ class ChangeTable:
     def _claim_path(self, v: int) -> str:
         return os.path.join(self.path, "manifests", f"claim_v{v}.json")
 
+    @property
+    def _writer_token(self) -> str:
+        import threading  # noqa: PLC0415 - stdlib, cheap
+
+        return f"{self._writer_token_base}-{threading.get_ident()}"
+
     def _try_claim(self, v: int) -> bool:
         """Atomically claim commit slot ``v`` (O_CREAT|O_EXCL — the plain-
         filesystem rendition of the Delta log's put-if-absent; atomic on
@@ -763,6 +774,39 @@ class ChangeTable:
             os.replace(tmp, p)
             return True
         return False
+
+    def _assert_claim(self, v: int) -> None:
+        """Ownership re-verification + heartbeat at the write edge: called
+        by _write_commit immediately before the first file write. If the
+        slot was STOLEN (this writer outlived ``_claim_stale_s`` and
+        another writer took the claim), abort with ConcurrentWriteError
+        BEFORE any overwrite-mode write can destroy the thief's
+        version-addressed files; otherwise refresh the claim timestamp so
+        staleness is measured from the last protocol step, not the claim
+        instant — a live writer is only stealable if a SINGLE Spark action
+        of its commit exceeds ``_claim_stale_s`` (size that above your
+        longest action; the residual TOCTOU window between this check and
+        the write is the documented best-effort caveat of a
+        plain-filesystem log). A missing claim file (a sweep raced it) is
+        re-created as ours."""
+        p = self._claim_path(v)
+        token = self._writer_token
+        try:
+            with open(p) as f:
+                claim = json.load(f)
+            if claim.get("token") != token:
+                raise ConcurrentWriteError(
+                    f"commit slot v{v} of {self.name!r} was stolen while "
+                    "this writer was working (its claim went stale — raise "
+                    "_claim_stale_s above the longest single commit "
+                    "action); aborting before any file write"
+                )
+        except (OSError, ValueError):
+            pass  # missing/garbled: re-assert ours below
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".claim.tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"token": token, "ts": time.time()}))
+        os.replace(tmp, p)
 
     def _release_claim(self, v: int) -> None:
         """Free an unused slot (failed or no-op commit) so waiting writers

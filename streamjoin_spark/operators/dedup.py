@@ -637,6 +637,7 @@ def signature_pairs(
     n_bits: int = SIMHASH_BITS,
     max_hamming: int = 4,
     blocked: bool = True,
+    refine_over: int | None = None,
 ) -> DataFrame:
     """Pairs of ids whose fixed-width bit-string signatures are within
     ``max_hamming`` — the generic pigeonhole machinery behind
@@ -648,6 +649,21 @@ def signature_pairs(
     output to all-pairs, blocking is a guarantee not a heuristic.
     ``blocked=False`` keeps the all-pairs formulation as the small-scale
     correctness oracle. Output: ``doc_a < doc_b, hamming``.
+
+    ``refine_over=k``: LOSSLESS hot-bucket refinement (the multi-index-
+    hashing second level). A segment value shared by m items contributes
+    m²/2 candidates; when the signature space is vocabulary-limited
+    (measured: 100× synthetic corpus, image candidates grew ~23× per 10×
+    data while TRUE pairs grew 11.8× — SCALING.md), hot buckets dominate
+    the verify stage. Buckets larger than ``k`` re-block on the
+    COMPLEMENT bits: a true pair agreeing exactly on segment s has all
+    ≤ max_hamming errors in the remaining bits, so pigeonholing THOSE
+    into ``max_hamming + 1`` sub-segments guarantees one exact sub-match
+    — candidates shrink ~(sub-bucket fraction)× with zero recall loss
+    (identical-signature clusters stay quadratic, as their output is).
+    Costs one bucket-count shuffle over the (tiny) signature frame and
+    (max_hamming+1)× fan-out on hot rows only; leave ``None`` below
+    corpus scales where the verify stage is cheap anyway.
     """
     a, b = sigs.alias("a"), sigs.alias("b")
     if not blocked:
@@ -659,7 +675,7 @@ def signature_pairs(
         )
     else:
         n_seg = max_hamming + 1
-        segs, pos = [], 1
+        segs, pos, seg_meta = [], 1, []
         for s in range(n_seg):
             ln = n_bits // n_seg + (1 if s < n_bits % n_seg else 0)
             segs.append(
@@ -668,26 +684,97 @@ def signature_pairs(
                     F.substring(sig_col, pos, ln).alias("sv"),
                 )
             )
+            seg_meta.append((s, pos, ln))
             pos += ln
         blocks = sigs.select(
             F.col(id_col), F.col(sig_col), F.explode(F.array(*segs)).alias("x")
         ).select(id_col, sig_col, F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv"))
-        ba, bb = blocks.alias("a"), blocks.alias("b")
-        cand = (
-            ba.join(
-                bb,
+
+        def pair_join(ba, bb, extra=None):
+            on = (
                 (F.col("a.seg") == F.col("b.seg"))
                 & (F.col("a.sv") == F.col("b.sv"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             )
-            .select(
+            if extra is not None:
+                on = on & extra
+            return ba.alias("a").join(bb.alias("b"), on).select(
                 F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"a.{sig_col}").alias("sim_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
                 F.col(f"b.{sig_col}").alias("sim_b"),
             )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
+
+        if refine_over is None:
+            cand = pair_join(blocks, blocks).dropDuplicates(["doc_a", "doc_b"])
+        else:
+            counts = blocks.groupBy("seg", "sv").agg(
+                F.count(F.lit(1)).alias("__bdf")
+            )
+            sized = blocks.join(counts, ["seg", "sv"]).select(
+                id_col, sig_col, "seg", "sv", "__bdf"
+            )
+            cold = sized.where(F.col("__bdf") <= refine_over).drop("__bdf")
+            hot = sized.where(F.col("__bdf") > refine_over).drop("__bdf")
+
+            # complement bits of segment s, as one CASE expression; then
+            # its (max_hamming+1)-way sub-split — all per-seg geometry is
+            # folded into literal offsets (pure codegen, no UDFs)
+            def comp_expr():
+                e = None
+                for s, p, ln in seg_meta:
+                    branch = F.concat(
+                        F.substring(sig_col, 1, p - 1),
+                        F.substring(sig_col, p + ln, n_bits - (p - 1) - ln),
+                    )
+                    e = (
+                        F.when(F.col("seg") == s, branch)
+                        if e is None
+                        else e.when(F.col("seg") == s, branch)
+                    )
+                return e
+
+            sub_structs = []
+            for j in range(n_seg):
+                sub = None
+                for s, _p, ln in seg_meta:
+                    m = n_bits - ln
+                    sp = sum(
+                        m // n_seg + (1 if i < m % n_seg else 0)
+                        for i in range(j)
+                    ) + 1
+                    sl = m // n_seg + (1 if j < m % n_seg else 0)
+                    branch = F.substring(F.col("__comp"), sp, sl)
+                    sub = (
+                        F.when(F.col("seg") == s, branch)
+                        if sub is None
+                        else sub.when(F.col("seg") == s, branch)
+                    )
+                sub_structs.append(
+                    F.struct(F.lit(j).alias("sseg"), sub.alias("ssv"))
+                )
+            refined = (
+                hot.withColumn("__comp", comp_expr())
+                .select(
+                    id_col, sig_col, "seg", "sv",
+                    F.explode(F.array(*sub_structs)).alias("y"),
+                )
+                .select(
+                    id_col, sig_col, "seg", "sv",
+                    F.col("y.sseg").alias("sseg"),
+                    F.col("y.ssv").alias("ssv"),
+                )
+            )
+            hot_pairs = pair_join(
+                refined, refined,
+                extra=(F.col("a.sseg") == F.col("b.sseg"))
+                & (F.col("a.ssv") == F.col("b.ssv")),
+            )
+            cand = (
+                pair_join(cold, cold)
+                .unionByName(hot_pairs)
+                .dropDuplicates(["doc_a", "doc_b"])
+            )
     return cand.select(
         "doc_a",
         "doc_b",
@@ -701,10 +788,12 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 4,
     blocked: bool = True,
+    refine_over: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming — the SimHash
     front-end over the generic ``signature_pairs`` pigeonhole machinery
-    (see there for why blocking is lossless)."""
+    (see there for why blocking is lossless and what ``refine_over``
+    buys on vocabulary-limited corpora)."""
     return signature_pairs(
         simhash(df, text_col, id_col),
         id_col=id_col,
@@ -712,6 +801,7 @@ def simhash_pairs(
         n_bits=SIMHASH_BITS,
         max_hamming=max_hamming,
         blocked=blocked,
+        refine_over=refine_over,
     )
 
 

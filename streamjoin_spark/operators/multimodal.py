@@ -386,6 +386,7 @@ def image_neardup_pairs(
     max_hamming: int = 4,
     decode: str = "fake",
     blocked: bool = True,
+    refine_over: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hashes within ``max_hamming``
     bits — re-encoded/resized/lightly-edited copies of the same picture
@@ -405,6 +406,7 @@ def image_neardup_pairs(
         n_bits=64,
         max_hamming=max_hamming,
         blocked=blocked,
+        refine_over=refine_over,
     )
 
 

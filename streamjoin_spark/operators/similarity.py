@@ -465,7 +465,17 @@ def embedding_neardup_pairs(
     O(n²·p_tail) random collisions however good the blocking, so output
     grows quadratically while wall time stays linear (LSH bounds the
     scored pairs). For corpus dedup pick threshold ≳ 5/√d or add a
-    downstream verify stage."""
+    downstream verify stage.
+
+    ``n_planes`` calibration at scale (measured, SCALING.md 100× sweep):
+    bucket count is FIXED at 2^n_planes and within-bucket scoring
+    parallelism is bounded by distinct buckets — at 500k vectors with 6
+    planes (64 buckets) one shuffle partition serialized ~10M cosine
+    evaluations into a single straggler task. Scale planes with the
+    corpus: n_planes ≈ log2(n / target_bucket_size) (e.g. 12 at 500k for
+    ~50-vector buckets); more planes trade recall for candidate volume,
+    so pair it with band-OR multi-probe or a brute-force verify of the
+    survivors when recall matters."""
     # pair scoring is O(n²/buckets); rebalance the probe side up front so it
     # never runs serial behind a broadcast join of the (small) build side
     par = df.sparkSession.sparkContext.defaultParallelism

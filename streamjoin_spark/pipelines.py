@@ -30,6 +30,9 @@ governor; per-doc band fan-out is ``num_hashes/band_size`` rows, constant.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1382,32 +1385,43 @@ class RebuildingWriter:
     """
 
     def __init__(self, writer, source: ChangeTable, batch_fn, rebuild_every: int):
-        import json as _json
-        import os as _os
-
         self.writer = writer
         self.source = source
         self.batch_fn = batch_fn
         self.rebuild_every = int(rebuild_every)
-        self._json, self._os = _json, _os
         self._marker = None  # resolved lazily: the target path may be lazy
 
-    # -- writer passthrough -------------------------------------------
-    def toDF(self) -> DataFrame:
-        return self.writer.toDF()
+    # -- writer passthrough --------------------------------------------
+    # the full writer surface delegates (toDF/target/stageProgress/
+    # toStream/start/trigger/queryName/...); fluent config returns THIS
+    # wrapper so the rebuild schedule survives an .option() chain. In
+    # continuous .start() mode the microbatches maintain the uncapped
+    # law; scheduled rebuilds fire on run() (availableNow drains) or via
+    # an external scheduler calling .rebuild().
+    def __getattr__(self, name):
+        return getattr(self.writer, name)
+
+    def option(self, key, value) -> "RebuildingWriter":
+        self.writer.option(key, value)
+        return self
+
+    def trigger(self, **kw) -> "RebuildingWriter":
+        self.writer.trigger(**kw)
+        return self
+
+    def queryName(self, name: str) -> "RebuildingWriter":
+        self.writer.queryName(name)
+        return self
 
     @property
     def target(self):
         return self.writer.target
 
-    def stageProgress(self):
-        return self.writer.stageProgress()
-
     def _last_rebuilt(self) -> int:
-        self._marker = self._os.path.join(self.target.path, "_rebuild.json")
-        if self._os.path.exists(self._marker):
+        self._marker = os.path.join(self.target.path, "_rebuild.json")
+        if os.path.exists(self._marker):
             with open(self._marker) as f:
-                return int(self._json.load(f)["source_version"])
+                return int(json.load(f)["source_version"])
         return 0
 
     def run(self) -> int:
@@ -1424,7 +1438,7 @@ class RebuildingWriter:
         head = self.source.version() if head is None else head
         twin = self.batch_fn()
         t = self.target
-        self._marker = self._os.path.join(t.path, "_rebuild.json")
+        self._marker = os.path.join(t.path, "_rebuild.json")
         pks = list(t.primary_keys)
         scope = (
             t.snapshot().select(*pks)
@@ -1435,5 +1449,5 @@ class RebuildingWriter:
         t.replace_keys(scope, pks, twin, hint_broadcast=False, op="REBUILD")
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as f:
-            self._json.dump({"source_version": head}, f)
-        self._os.replace(tmp, self._marker)
+            json.dump({"source_version": head}, f)
+        os.replace(tmp, self._marker)

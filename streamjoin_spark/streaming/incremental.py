@@ -425,7 +425,12 @@ def _note_metrics(
     if not hasattr(stage, "metrics"):
         from collections import deque
 
-        stage.metrics = deque(maxlen=256)
+        # ring bound: ~1 KB/record → ≤ ~4 MB/stage; a single run() draining
+        # more slices than this flushes only the retained tail (the flush
+        # cursor is seq-based, so the gap is at the OLD end and visible as
+        # a seq discontinuity in the metrics table, never silent
+        # double-count). Size it above any realistic per-run slice count.
+        stage.metrics = deque(maxlen=4096)
         stage._metrics_seq = -1
     stage._metrics_seq += 1
     target = getattr(stage, "target", None)
@@ -775,12 +780,20 @@ class _AggStage:
                 out = fn(out)
             return out
 
+        # pin the target head NOW: the additive path reads the STORED
+        # values from this exact version, and replace_keys' OCC rebase
+        # guard (expected_version) rejects the commit if a foreign writer
+        # touched any of this slice's groups after the pin — the
+        # lost-update protection the claim-serialized multi-writer story
+        # needs for externally precomputed state (single-writer pipelines:
+        # the guard is inert, head never moves between pin and claim)
+        tv0 = self.target.version()
         if not self.additive:
             new_slice = recompute(affected)
         else:
             retract_imgs = images.where(F.col("_change_type").isin(UPDATE_PRE, DELETE))
             if retract_imgs.isEmpty():
-                new_slice = self._additive_slice(images, affected)
+                new_slice = self._additive_slice(images, affected, tv0)
             else:
                 # groups seeing any retraction re-aggregate from the snapshot
                 # (additive retraction is unsound for NULL-edge SUM and for
@@ -789,14 +802,14 @@ class _AggStage:
                 hinted_rkeys = self.governor.hint(rkeys, nbytes)
                 ins_affected = _anti_filter(affected, hinted_rkeys, g)
                 ins_images = _anti_filter(images, hinted_rkeys, g)
-                new_slice = self._additive_slice(ins_images, ins_affected).unionByName(
-                    recompute(rkeys)
-                )
+                new_slice = self._additive_slice(
+                    ins_images, ins_affected, tv0
+                ).unionByName(recompute(rkeys))
 
-        tv0 = self.target.version()
         changed = self.target.replace_keys(
             affected, self.group_cols, _gate_expectations(self, new_slice),
             hint_broadcast=self.governor.should_hint(nbytes),
+            expected_version=tv0,
         )
         self.progress.versions = [v1]
         self.progress.save()
@@ -804,13 +817,17 @@ class _AggStage:
                       changed if changed > tv0 else None)
         return changed > 0 or v1 != v0
 
-    def _additive_slice(self, images: DataFrame, affected: DataFrame) -> DataFrame:
+    def _additive_slice(
+        self, images: DataFrame, affected: DataFrame, target_version: int
+    ) -> DataFrame:
         """stored ⊕ (plus-frame − minus-frame) for the affected groups
         (reference plus/minus frames: elzyme/aggs.py:45-51; delta expression
         elzyme/aggs.py:76; MERGE update ``u.x + staged.x`` elzyme/aggs.py:77).
         Callers route retraction-touched groups elsewhere, so the minus frame
         is empty in practice; it is kept for the plus/minus algebra's shape
-        and costs nothing on an empty filter."""
+        and costs nothing on an empty filter. The stored values read the
+        EXPLICITLY pinned ``target_version`` — the same version the commit's
+        ``expected_version`` guard protects (process() pins both)."""
         g = self.group_cols
         plus = (
             images.where(F.col("_change_type").isin(INSERT, UPDATE_POST))
@@ -846,7 +863,8 @@ class _AggStage:
 
         U, D = "stored", "delta"
         stored = self.governor.scoped(
-            self.target.snapshot(), affected, g, getattr(self, "_slice_bytes", 0)
+            self.target.snapshot(target_version), affected, g,
+            getattr(self, "_slice_bytes", 0),
         )
         merged = stored.alias(U).join(
             self.governor.hint(
@@ -1338,7 +1356,7 @@ class _WriterBase:
         if not hasattr(self, "_metrics_cursor"):
             self._metrics_cursor: dict[int, int] = {}
             self._metrics_run_id = _uuid.uuid4().hex[:12]
-        rows = []
+        rows, new_cursor = [], {}
         for idx, st in enumerate(self.pipeline.stages):
             cur = self._metrics_cursor.get(id(st), -1)
             for rec in list(getattr(st, "metrics", []) or []):
@@ -1354,7 +1372,7 @@ class _WriterBase:
                     rec["seconds"], rec["seq"],
                 ))
                 cur = rec["seq"]
-            self._metrics_cursor[id(st)] = cur
+            new_cursor[id(st)] = cur
         if not rows:
             return
         df = spark.createDataFrame(rows, self.METRICS_SCHEMA)
@@ -1363,6 +1381,11 @@ class _WriterBase:
         else:
             mt = ChangeTable.create(spark, path, df.schema, ["metric_id"])
         mt.append(df)
+        # cursors advance only AFTER the append commits: a failed flush
+        # retries the same records next run (idempotent content, fresh
+        # metric_ids — an audit table tolerates that; losing them silently
+        # would not be tolerable)
+        self._metrics_cursor.update(new_cursor)
 
     def toStream(self) -> Stream:
         """The result as a Stream for ad-hoc chaining/reads."""
@@ -1393,9 +1416,11 @@ class _WriterBase:
             ).select(F.lit(ct.name).alias("__src"), F.col(COMMIT_VERSION))
             ticks = t if ticks is None else ticks.unionByName(t)
         writer = (
-            ticks.writeStream.foreachBatch(
-                lambda df, bid: pipeline.process_all_available()
-            )
+            # self.run(), not pipeline.process_all_available(): run() also
+            # flushes per-slice metrics to the metricsPath table, which
+            # must keep flowing in continuous mode (it targets exactly the
+            # long-running deployments)
+            ticks.writeStream.foreachBatch(lambda df, bid: self.run())
             .option(
                 "checkpointLocation",
                 self._options.get(

@@ -419,3 +419,61 @@ def test_crash_between_vacuum_deletes_and_floor_bump(spark, tmp_path):
     ct.vacuum(retain_versions=2)                  # idempotent re-run
     assert ct.change_floor() == ct.version() - 1
     assert _snap(ct) == snap
+
+
+def test_stolen_claim_aborts_before_any_write(spark, tmp_path):
+    """A live-but-slow writer whose claim went stale and was stolen must
+    abort at the write edge (ownership re-verify in _write_commit) BEFORE
+    its overwrite-mode writes can destroy the thief's published files —
+    and the thief's commit survives intact."""
+    path = str(tmp_path / "steal")
+    _mk(spark, path)
+    slow, thief = ChangeTable(spark, path), ChangeTable(spark, path)
+    v = slow._next_version()               # slow writer claims, then stalls
+    thief._claim_stale_s = 0.0             # its claim is immediately stale
+    tv = thief.merge(_b(spark, [(7, "thief", 7.0, 1)]))
+    assert tv == v
+    snap = _snap(thief)
+    # slow writer wakes up and tries to commit into its stolen slot: the
+    # pre-write ownership check aborts it; the thief's data is untouched
+    with pytest.raises(ConcurrentWriteError, match="stolen"):
+        slow._write_commit(
+            v, slow._tag(_b(spark, [(8, "slow", 8.0, 1)]), "insert", v),
+            op="MERGE", content_in_changes=True,
+        )
+    assert _snap(slow) == snap
+    # and the heartbeat: a writer that still OWNS its claim refreshes the
+    # timestamp at the write edge, so staleness measures from the last
+    # protocol step (asserted indirectly: a fresh merge works)
+    nxt = slow.merge(_b(spark, [(8, "slow", 8.0, 1)]))
+    assert nxt == v + 1
+
+
+def test_same_instance_threads_serialize(spark, tmp_path):
+    """Two OS threads sharing ONE ChangeTable instance: the claim token is
+    per (instance, thread), so the second thread cannot 'reclaim' the
+    first thread's in-flight slot — commits serialize exactly like
+    separate instances (previously a per-instance token let both threads
+    own the same slot and clobber each other's version-addressed dirs)."""
+    import threading
+
+    path = str(tmp_path / "shared")
+    _mk(spark, path)
+    ct = ChangeTable(spark, path)
+    errs: list = []
+
+    def work(base):
+        try:
+            for i in range(3):
+                ct.merge(_b(spark, [(base + i, f"t{base + i}", 1.0, 1)]))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(b,)) for b in (0, 100)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert ct.version() == 6
+    assert len(_snap(ct)) == 6

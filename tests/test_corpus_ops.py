@@ -1608,3 +1608,54 @@ if _HAVE_HYP:
                 rpos = w - 1 - win[::-1].index(m)
                 sel.add((j + rpos + 1, m))
             assert got.get(i, set()) == sel, (i, text)
+
+
+def test_signature_pairs_hot_refinement_lossless(spark):
+    """refine_over (multi-index-hashing second level): hot segment buckets
+    re-block on complement-bit sub-segments — output must stay IDENTICAL
+    to blocked=False all-pairs at every refinement threshold, including
+    refine_over=0/1 (everything refined) and a corpus engineered to share
+    one segment corpus-wide (the hot-bucket case the knob exists for)."""
+    base = ("spark incremental engine maintains joined views over change "
+            "feeds with bounded rewrites").split()
+    rows = []
+    for i in range(30):
+        words = list(base)
+        words[i % len(words)] = f"tok{i}"
+        if i % 3 == 0:
+            words.append(f"extra{i // 3}")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for radius in (2, 4):
+        allpairs = {(r["doc_a"], r["doc_b"], r["hamming"])
+                    for r in dedup.simhash_pairs(
+                        docs, max_hamming=radius, blocked=False).collect()}
+        assert allpairs
+        for cap in (0, 1, 5, 10_000):
+            refined = {(r["doc_a"], r["doc_b"], r["hamming"])
+                       for r in dedup.simhash_pairs(
+                           docs, max_hamming=radius, refine_over=cap
+                       ).collect()}
+            assert refined == allpairs, (radius, cap)
+
+    # synthetic fixed-width signatures with a CORPUS-WIDE shared segment
+    # (worst hot bucket) + controlled far pairs
+    import random
+
+    rng = random.Random(13)
+    sig_rows = []
+    shared = "1010101010101"                       # 13 bits, segment 0 at h=4
+    for i in range(40):
+        rest = "".join(rng.choice("01") for _ in range(51))
+        sig_rows.append((i, shared + rest))
+    sigs = spark.createDataFrame(sig_rows, "doc_id long, s string")
+    want = {(r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.signature_pairs(
+                sigs, id_col="doc_id", sig_col="s", n_bits=64,
+                max_hamming=4, blocked=False).collect()}
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in dedup.signature_pairs(
+               sigs, id_col="doc_id", sig_col="s", n_bits=64,
+               max_hamming=4, refine_over=8).collect()}
+    assert got == want

@@ -141,11 +141,15 @@ def _replicate(name: str, table: pa.Table, k: int) -> pa.Table:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    only = None
-    for i, a in enumerate(sys.argv):
-        if a == "--tables":
-            only = set(sys.argv[i + 1].split(","))
+    argv, args, only = sys.argv[1:], [], None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--tables":
+            only = set(argv[i + 1].split(","))
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     k_total = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = args[2] if len(args) > 2 else "/tmp/scale/sf1"

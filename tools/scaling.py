@@ -112,11 +112,16 @@ def diagnostics(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_raw.json"
-    names = QUERIES
-    for i, a in enumerate(sys.argv):
-        if a == "--queries":
-            names = sys.argv[i + 1].split(",")
+    argv, positional, names = sys.argv[1:], [], QUERIES
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--queries":
+            names = argv[i + 1].split(",")
+            i += 2
+        else:
+            positional.append(argv[i])
+            i += 1
+    out_path = positional[0] if positional else "SCALING_raw.json"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
