@@ -663,6 +663,24 @@ def q_multimodal_image_neardup(spark, sf_dir):
     return image_neardup_pairs(docs, max_hamming=4, decode="fake")
 
 
+def q_multimodal_image_neardup_refined(spark, sf_dir):
+    """The image pairing with the HOT-BUCKET REFINEMENT engaged
+    (signature_pairs refine_over — the lossless multi-index-hashing second
+    level, r6; measured 9.9× on the 100× sweep, SCALING.md note 5).
+    refine_over=1 forces every bucket through the complement-bit
+    re-pigeonhole, so this gate entry proves losslessness against the SAME
+    DuckDB oracle as the unrefined query — identical output by
+    construction, now pinned cross-engine."""
+    _prep(spark)
+    from streamjoin_spark.operators.multimodal import image_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return image_neardup_pairs(docs, max_hamming=4, decode="fake",
+                               refine_over=1)
+
+
 def q_multimodal_audio_neardup(spark, sf_dir):
     """Energy-diff audio fingerprints (64 bits, 4-byte windows) paired at
     hamming <= 3 via pigeonhole blocking
@@ -3569,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_novelty": q_source_novelty,
         "dup_histogram": q_dup_histogram,
         "ivm_metrics": q_ivm_metrics,
+        "multimodal_image_neardup_refined": q_multimodal_image_neardup_refined,
     }
 
 
@@ -6510,4 +6529,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(9 AS BIGINT) AS rows_out,
                CAST(4 AS BIGINT) AS last_commit
     """
+    # the refined pairing is lossless BY CONSTRUCTION — same oracle as the
+    # unrefined query (signature_pairs refine_over, r6)
+    out["multimodal_image_neardup_refined"] = out["multimodal_image_neardup"]
     return out
