@@ -585,11 +585,14 @@ def audio_neardup_pairs(
     max_hamming: int = 3,
     decode: str = "fake",
     blocked: bool = True,
+    refine_over: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: energy-diff fingerprints within
     ``max_hamming`` bits, paired by the generic pigeonhole machinery
     (``dedup.signature_pairs`` — lossless blocking, payloads decoded
-    exactly once). Output: ``doc_a < doc_b, hamming``."""
+    exactly once; ``refine_over`` engages the lossless hot-bucket
+    refinement for entropy-limited fingerprint spaces, SCALING.md notes
+    5-6). Output: ``doc_a < doc_b, hamming``."""
     from .dedup import signature_pairs
 
     return signature_pairs(
@@ -601,6 +604,7 @@ def audio_neardup_pairs(
         n_bits=n_bits,
         max_hamming=max_hamming,
         blocked=blocked,
+        refine_over=refine_over,
     )
 
 
