@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# rounds taken by the most recent k_core call — scaling telemetry (the
+# dedup.LAST_CC_ROUNDS pattern); peeling rounds are structure-bound, so
+# this is how SCALING.md verifies a bigger corpus didn't add rounds
+LAST_KCORE_ROUNDS: dict[str, int] = {}
+
 __all__ = ["pagerank", "cooccurrence_edges", "triangles", "k_core"]
 
 # ranks are carried between iterations in integer "micro-rank" units
@@ -176,8 +181,14 @@ def k_core(
     """
     und = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    # NO initial eager checkpoint of the (largest) undirected frame: the
+    # per-round checkpoints below already truncate lineage from round 2 on,
+    # and graphs that are ALREADY a k-core converge in round 1 — measured
+    # at the 100× scale sweep: the co-purchase graph peels zero nodes, and
+    # materializing its ~2×|pairs| union to local disk was the entire cost
+    # (185 s → the one degree groupBy). Round 1 streams the union instead.
+    for rounds in range(1, max_rounds + 1):
+        LAST_KCORE_ROUNDS["rounds"] = rounds  # scaling telemetry (cc pattern)
         # the node-sized degree frame is checkpointed so the convergence
         # probe, the two semi-filters and the final return all read ONE
         # materialization instead of re-running the |E| groupBy 2-4×
