@@ -477,3 +477,36 @@ def test_same_instance_threads_serialize(spark, tmp_path):
     assert not errs
     assert ct.version() == 6
     assert len(_snap(ct)) == 6
+
+
+def test_threaded_writers_overlapping_keys_seq_law(spark, tmp_path):
+    """Two threads merging the SAME key concurrently: claims serialize the
+    commits and merge's sequence ordering makes the outcome deterministic
+    regardless of interleaving — the highest seq wins, exactly as if the
+    merges ran sequentially in any order."""
+    import threading
+
+    path = str(tmp_path / "ovl")
+    _mk(spark, path)
+    errs: list = []
+
+    def work(tag, seqs):
+        try:
+            w = ChangeTable(spark, path)
+            for s in seqs:
+                w.merge(_b(spark, [(1, f"{tag}{s}", float(s), s)]))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=work, args=("a", [0, 2, 4])),
+        threading.Thread(target=work, args=("b", [1, 3, 5])),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    ct = ChangeTable(spark, path)
+    assert ct.version() == 6                      # all six commits landed
+    assert _snap(ct) == [(1, "b5", 5.0, 5)]       # highest seq wins
