@@ -663,6 +663,21 @@ def q_multimodal_image_neardup(spark, sf_dir):
     return image_neardup_pairs(docs, max_hamming=4, decode="fake")
 
 
+def q_ngram_decontaminate(spark, sf_dir):
+    """GPT-3-style exact 13-gram decontamination (dedup.ngram_decontaminate,
+    Brown et al. 2020 App. C): train = docs with doc_id % 7 != 0, eval =
+    the rest; output the contaminated train docs with their distinct
+    shared-13-gram counts. Eval grams broadcast; train never shuffles
+    except on its own doc id."""
+    _prep(spark)
+    from streamjoin_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    return ngram_decontaminate(train, ev, n=13)
+
+
 def q_multimodal_image_neardup_refined(spark, sf_dir):
     """The image pairing with the HOT-BUCKET REFINEMENT engaged
     (signature_pairs refine_over — the lossless multi-index-hashing second
@@ -3588,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_histogram": q_dup_histogram,
         "ivm_metrics": q_ivm_metrics,
         "multimodal_image_neardup_refined": q_multimodal_image_neardup_refined,
+        "ngram_decontaminate": q_ngram_decontaminate,
     }
 
 
@@ -6532,4 +6548,21 @@ def oracle_sql() -> dict[str, str]:
     # the refined pairing is lossless BY CONSTRUCTION — same oracle as the
     # unrefined query (signature_pairs refine_over, r6)
     out["multimodal_image_neardup_refined"] = out["multimodal_image_neardup"]
+    out["ngram_decontaminate"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        tr AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 12),
+                              i -> array_to_string(w[i:i+12], ' '))) AS shingle
+                FROM t WHERE doc_id % 7 <> 0 AND len(w) >= 13)),
+        ev AS (
+            SELECT DISTINCT shingle FROM (
+                SELECT unnest(list_transform(generate_series(1, len(w) - 12),
+                              i -> array_to_string(w[i:i+12], ' '))) AS shingle
+                FROM t WHERE doc_id % 7 = 0 AND len(w) >= 13))
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY tr.doc_id
+    """
     return out

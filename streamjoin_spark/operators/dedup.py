@@ -319,6 +319,40 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Training documents sharing ANY exact ``n``-gram with an eval corpus
+    — the GPT-3 13-gram decontamination rule (Brown et al. 2020, App. C),
+    the EXACT-overlap complement to the MinHash-based
+    ``minhash_lsh_pairs_between`` contamination scan: fuzzy matching
+    finds near-duplicate eval documents, this finds verbatim eval
+    passages quoted inside otherwise-unrelated training docs (the leak
+    n-gram Jaccard's symmetric denominator misses).
+
+    Output: ``(id_col, n_hit_ngrams)`` — the contaminated training docs
+    with their count of distinct shared n-grams (filter or join-anti the
+    corpus against it to scrub).
+
+    Scale: the eval side reduces to its DISTINCT n-gram set and is
+    broadcast (eval suites are 1e3-1e6 grams — trivially broadcastable
+    next to a 100 TB train side); the train side is one map-only shingle
+    fan-out + a broadcast semi-ish join + a doc-keyed count — the train
+    corpus is never shuffled except on its own doc id."""
+    ev = _shingle_frame(eval_df, text_col, id_col, n).select("shingle").distinct()
+    tr = _shingle_frame(train, text_col, id_col, n)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .select(F.col("__id").alias(id_col), "n_hit_ngrams")
+    )
+
+
 def minhash_lsh_pairs_between(
     left: DataFrame,
     right: DataFrame,
