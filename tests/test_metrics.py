@@ -93,3 +93,35 @@ def test_metrics_record_shuffle_rung(spark, tmp_path):
     src.merge(_rows(spark, [(1, "a"), (2, "b")]))
     w.run()
     assert w.pipeline.stages[-1].metrics[-1]["rung"] == "shuffle"
+
+
+def test_metrics_flush_in_continuous_start_mode(spark, tmp_path):
+    """start() mode (real Structured Streaming trigger loop) must keep the
+    metricsPath table flowing: the foreachBatch trigger drives writer.run()
+    (which flushes), not the raw pipeline drain — previously the metrics
+    table was silently never written in exactly the long-running mode it
+    targets."""
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["id"],
+    )
+    mpath = str(tmp_path / "metrics")
+    src.merge(_rows(spark, [(1, "a"), (2, "b")]))
+    w = (
+        Stream.fromChangeTable(src, "s")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(str(tmp_path / "view"))
+        .option("metricsPath", mpath)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+    )
+    w.trigger(availableNow=True).start()
+    try:
+        w.awaitTermination(120)
+    finally:
+        w.stop()
+    mt = ChangeTable(spark, mpath)
+    recs = mt.snapshot().collect()
+    assert len(recs) >= 1
+    assert {r["rows_out"] for r in recs} == {2}
+    assert all(r["rung"] == "broadcast" for r in recs)
