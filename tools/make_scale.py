@@ -47,7 +47,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-OFF = 10_000_000  # id offset per replica — far above any sf0.1 key space
+# id offset per replica — far above any sf0.1 key space; override via
+# SCALE_OFFSET when replicating an ALREADY-replicated dir (its ids occupy
+# k·10M slots, so a second-level replication needs a bigger stride)
+OFF = int(os.environ.get("SCALE_OFFSET", 10_000_000))
 
 # key columns to offset, per table
 KEY_COLS = {
