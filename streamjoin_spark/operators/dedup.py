@@ -697,7 +697,13 @@ def signature_pairs(
     (identical-signature clusters stay quadratic, as their output is).
     Costs one bucket-count shuffle over the (tiny) signature frame and
     (max_hamming+1)× fan-out on hot rows only; leave ``None`` below
-    corpus scales where the verify stage is cheap anyway.
+    corpus scales where the verify stage is cheap anyway. Applicability
+    boundary (both measured at the 100× sweep): a hot bucket of DIVERSE
+    signatures colliding on one segment refines 9.9×; a hot bucket that
+    is a genuine duplicate CLUSTER (identical signatures — they share
+    every sub-segment too) cannot shrink and pays the fan-out for
+    nothing (audio: 1.17× slower, identical output) — exact-dup upstream
+    is the fix there, not better blocking.
     """
     a, b = sigs.alias("a"), sigs.alias("b")
     if not blocked:
