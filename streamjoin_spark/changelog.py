@@ -98,9 +98,16 @@ def resolve_table_path(spark: SparkSession, name: str) -> str:
 
 
 class ChangeTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, backend=None):
+        from .backends import POSIX
+
         self.spark = spark
         self.path = path.rstrip("/")
+        # storage-atomicity contract for the PROTOCOL files (meta, claims):
+        # put-if-absent + atomic replace + monotonic reads — see
+        # backends.py for the POSIX/S3 mapping; the data plane (parquet)
+        # is version-addressed and needs no atomicity at all
+        self.backend = backend if backend is not None else POSIX
         self._meta = self._read_meta()
         # OCC identity: commits claim their version slot under this token
         # (see _next_version) — per (instance, thread), so an in-process
@@ -122,14 +129,15 @@ class ChangeTable:
         return os.path.join(self.path, META_FILE)
 
     def _read_meta(self) -> dict:
-        with open(self._meta_path) as f:
-            return json.load(f)
+        raw = self.backend.read(self._meta_path)
+        if raw is None:
+            raise FileNotFoundError(self._meta_path)
+        return json.loads(raw)
 
     def _write_meta(self, meta: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        # the publish point: all-or-nothing overwrite through the backend
+        # (POSIX temp+rename; object stores a plain atomic PUT)
+        self.backend.replace(self._meta_path, json.dumps(meta))
         self._meta = meta
 
     @property
@@ -740,11 +748,11 @@ class ChangeTable:
         return f"{self._writer_token_base}-{threading.get_ident()}"
 
     def _try_claim(self, v: int) -> bool:
-        """Atomically claim commit slot ``v`` (O_CREAT|O_EXCL — the plain-
-        filesystem rendition of the Delta log's put-if-absent; atomic on
-        POSIX local filesystems and HDFS-style rename-no-overwrite stores;
-        on eventually-consistent object stores pair the substrate with a
-        coordination service, as Delta-on-S3 does). Returns True when the
+        """Atomically claim commit slot ``v`` through the backend's
+        put-if-absent (POSIX O_CREAT|O_EXCL; S3 conditional PUT
+        ``If-None-Match: *`` — the Delta log's primitive; stores with
+        neither need a coordination service, as Delta-on-S3 ships —
+        see backends.py for the full contract). Returns True when the
         slot is ours: freshly created, previously created by THIS writer
         (an in-process crash-retry re-entering its own commit), or stolen
         from a claim older than ``_claim_stale_s`` whose writer is
@@ -753,25 +761,19 @@ class ChangeTable:
         documented)."""
         p = self._claim_path(v)
         payload = json.dumps({"token": self._writer_token, "ts": time.time()})
-        try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
+        if self.backend.put_if_absent(p, payload):
             return True
-        except FileExistsError:
-            pass
+        raw = self.backend.read(p)
+        if raw is None:
+            return False  # vanished between probe and read: re-poll
         try:
-            with open(p) as f:
-                claim = json.load(f)
-        except (OSError, ValueError):
-            return False  # mid-write or vanished: let the caller re-poll
+            claim = json.loads(raw)
+        except ValueError:
+            return False  # foreign claimant mid-write: re-poll
         if claim.get("token") == self._writer_token:
             return True
         if time.time() - float(claim.get("ts", 0)) > self._claim_stale_s:
-            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".claim.tmp")
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            os.replace(tmp, p)
+            self.backend.replace(p, payload)
             return True
         return False
 
@@ -787,36 +789,42 @@ class ChangeTable:
         of its commit exceeds ``_claim_stale_s`` (size that above your
         longest action; the residual TOCTOU window between this check and
         the write is the documented best-effort caveat of a
-        plain-filesystem log). A missing claim file (a sweep raced it) is
-        re-created as ours."""
+        plain-filesystem log). A MISSING claim file (a racing release or
+        an external sweep removed it) is re-taken only through the atomic
+        put-if-absent — if another writer legitimately claimed the freed
+        slot in the gap, this writer aborts loudly instead of silently
+        overwriting their claim (both believing they own v would be the
+        one split-brain this protocol must never widen)."""
         p = self._claim_path(v)
         token = self._writer_token
+        payload = json.dumps({"token": token, "ts": time.time()})
+        raw = self.backend.read(p)
+        if raw is None:
+            if self.backend.put_if_absent(p, payload):
+                return  # re-claimed atomically; payload IS the heartbeat
+            raw = self.backend.read(p)  # somebody else got there first
         try:
-            with open(p) as f:
-                claim = json.load(f)
-            if claim.get("token") != token:
-                raise ConcurrentWriteError(
-                    f"commit slot v{v} of {self.name!r} was stolen while "
-                    "this writer was working (its claim went stale — raise "
-                    "_claim_stale_s above the longest single commit "
-                    "action); aborting before any file write"
-                )
-        except (OSError, ValueError):
-            pass  # missing/garbled: re-assert ours below
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".claim.tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps({"token": token, "ts": time.time()}))
-        os.replace(tmp, p)
+            claim = json.loads(raw) if raw is not None else {}
+        except ValueError:
+            # garbled content can only be a FOREIGN put-if-absent in
+            # flight (our own writes land via atomic replace): not ours
+            claim = {}
+        if claim.get("token") != token:
+            raise ConcurrentWriteError(
+                f"commit slot v{v} of {self.name!r} was stolen or "
+                "re-claimed while this writer was working (its claim went "
+                "stale or was released — raise _claim_stale_s above the "
+                "longest single commit action); aborting before any file "
+                "write"
+            )
+        self.backend.replace(p, payload)
 
     def _release_claim(self, v: int) -> None:
         """Free an unused slot (failed or no-op commit) so waiting writers
         proceed immediately instead of riding out the stale timeout.
         Published slots keep their claim files (head ≥ v, so they can
         never block anyone); vacuum sweeps them with the manifests."""
-        try:
-            os.remove(self._claim_path(v))
-        except FileNotFoundError:
-            pass
+        self.backend.remove(self._claim_path(v))
 
     def _next_version(self) -> int:
         """Claim-serialized version assignment — the commit protocol's

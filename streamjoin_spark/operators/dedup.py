@@ -409,6 +409,26 @@ def minhash_lsh_pairs_between(
 # SimHash
 # ---------------------------------------------------------------------------
 SIMHASH_BITS = 32
+
+# Auto-refinement thresholds for signature_pairs(refine_over="auto").
+# Per-bucket qualifiers (both scaled by n_seg = max_hamming + 1, the
+# fan-out multiplier the refinement pays): occupancy — a bucket of m rows
+# costs ~m²/2 candidate verifications unrefined vs ~n_seg·m explode rows
+# refined, so m must comfortably exceed 2·n_seg before the second level
+# pays (32·n_seg = 160 at the default radius 4); diversity — refinement
+# splits only DISTINCT signatures (an identical-signature duplicate
+# cluster shares every sub-segment — measured 1.17× anti-win, SCALING.md),
+# so a bucket must also hold > 4·n_seg distinct signatures.
+# Engage gate: the split plan itself costs a few fixed shuffles (~2.5 s
+# measured at sf0.1) REGARDLESS of how much it saves, so refinement only
+# engages when the qualifying buckets' summed candidate mass Σ m(m−1)/2
+# is large enough that the verify stage it shrinks dominates that fixed
+# cost (sf0.1 image: 0.3M hot candidates verify in well under the
+# overhead → stays cold; the 100× sweep's ~1e8-candidate hot set is a
+# measured 9.9× win → engages).
+REFINE_AUTO_OCCUPANCY = 32
+REFINE_AUTO_DIVERSITY = 4
+REFINE_AUTO_CANDIDATES = 5_000_000
 _HIGH_NIBBLE = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
 
@@ -671,7 +691,7 @@ def signature_pairs(
     n_bits: int = SIMHASH_BITS,
     max_hamming: int = 4,
     blocked: bool = True,
-    refine_over: int | None = None,
+    refine_over: int | str | None = "auto",
 ) -> DataFrame:
     """Pairs of ids whose fixed-width bit-string signatures are within
     ``max_hamming`` — the generic pigeonhole machinery behind
@@ -684,26 +704,46 @@ def signature_pairs(
     ``blocked=False`` keeps the all-pairs formulation as the small-scale
     correctness oracle. Output: ``doc_a < doc_b, hamming``.
 
-    ``refine_over=k``: LOSSLESS hot-bucket refinement (the multi-index-
+    ``refine_over``: LOSSLESS hot-bucket refinement (the multi-index-
     hashing second level). A segment value shared by m items contributes
     m²/2 candidates; when the signature space is vocabulary-limited
     (measured: 100× synthetic corpus, image candidates grew ~23× per 10×
     data while TRUE pairs grew 11.8× — SCALING.md), hot buckets dominate
-    the verify stage. Buckets larger than ``k`` re-block on the
-    COMPLEMENT bits: a true pair agreeing exactly on segment s has all
-    ≤ max_hamming errors in the remaining bits, so pigeonholing THOSE
-    into ``max_hamming + 1`` sub-segments guarantees one exact sub-match
-    — candidates shrink ~(sub-bucket fraction)× with zero recall loss
-    (identical-signature clusters stay quadratic, as their output is).
-    Costs one bucket-count shuffle over the (tiny) signature frame and
-    (max_hamming+1)× fan-out on hot rows only; leave ``None`` below
-    corpus scales where the verify stage is cheap anyway. Applicability
-    boundary (both measured at the 100× sweep): a hot bucket of DIVERSE
-    signatures colliding on one segment refines 9.9×; a hot bucket that
-    is a genuine duplicate CLUSTER (identical signatures — they share
-    every sub-segment too) cannot shrink and pays the fan-out for
-    nothing (audio: 1.17× slower, identical output) — exact-dup upstream
-    is the fix there, not better blocking.
+    the verify stage. Hot buckets re-block on the COMPLEMENT bits: a
+    true pair agreeing exactly on segment s has all ≤ max_hamming errors
+    in the remaining bits, so pigeonholing THOSE into ``max_hamming + 1``
+    sub-segments guarantees one exact sub-match — candidates shrink
+    ~(sub-bucket fraction)× with zero recall loss (identical-signature
+    clusters stay quadratic, as their output is). Costs one bucket-count
+    shuffle over the (tiny) signature frame and (max_hamming+1)× fan-out
+    on hot rows only. Applicability boundary (both measured at the 100×
+    sweep, SCALING.md): a hot bucket of DIVERSE signatures colliding on
+    one segment refines 9.9×; a hot bucket that is a genuine duplicate
+    CLUSTER (identical signatures — they share every sub-segment too)
+    cannot shrink and pays the fan-out for nothing (audio: 1.17× slower,
+    identical output) — exact-dup upstream is the fix there, not better
+    blocking.
+
+    Modes (output is byte-identical in all of them — this knob is purely
+    a physical plan choice):
+
+    - ``"auto"`` (default): self-tuning. One small driver-side probe over
+      the cached block frame (n_docs × (max_hamming+1) short rows) finds
+      the buckets whose occupancy exceeds
+      ``REFINE_AUTO_OCCUPANCY * (max_hamming + 1)`` AND whose
+      DISTINCT-signature count exceeds
+      ``REFINE_AUTO_DIVERSITY * (max_hamming + 1)`` (the measured
+      diverse-vs-duplicate signal: duplicate clusters are irreducible and
+      never engage). Refinement engages only when those buckets' summed
+      candidate mass Σ m(m−1)/2 exceeds ``REFINE_AUTO_CANDIDATES`` —
+      below that the split plan's fixed shuffle cost outweighs any verify
+      saving, and the EXACT unrefined plan runs instead (over the same
+      cache, so the probe pass is not wasted). Within-plan, exactly the
+      qualifying buckets refine.
+    - ``int k``: manual override — refine every bucket with occupancy
+      > k regardless of diversity (the r6 gate query pins k=1 to force
+      the 100×-scale path at sf0.1).
+    - ``None``: never refine.
     """
     a, b = sigs.alias("a"), sigs.alias("b")
     if not blocked:
@@ -745,17 +785,68 @@ def signature_pairs(
                 F.col(f"b.{sig_col}").alias("sim_b"),
             )
 
-        if refine_over is None:
+        refine = refine_over
+        auto_cond = (F.col("__bdf") > REFINE_AUTO_OCCUPANCY * n_seg) & (
+            F.col("__bdist") > REFINE_AUTO_DIVERSITY * n_seg
+        )
+        if refine == "auto":
+            # Driver-side adaptivity: the refinement's split plan carries
+            # extra shuffles (bucket-count join, two self-joins, a union
+            # dedup) that cost real time even when the hot side is EMPTY
+            # (measured +1.5-2 s at sf0.1, where p99 occupancy is 2.0 and
+            # nothing ever refines). So probe the bucket counts with one
+            # small aggregate action over the cached block frame — tiny
+            # by construction: n_docs × (max_hamming+1) short rows — and
+            # take the EXACT unrefined plan when no bucket exceeds both
+            # the occupancy and diversity thresholds. The probe's decode
+            # pass is not wasted: the pair join reads the same cache.
+            blocks = blocks.persist()
+            probe = blocks.groupBy("seg", "sv").agg(
+                F.count(F.lit(1)).alias("__bdf"),
+                F.countDistinct(sig_col).alias("__bdist"),
+            )
+            hot_mass = (
+                probe.where(auto_cond)
+                .agg(
+                    F.sum(
+                        F.col("__bdf") * (F.col("__bdf") - 1) / F.lit(2.0)
+                    ).alias("__mass")
+                )
+                .collect()[0]["__mass"]
+            )  # bounded collect: exactly one row
+            refine = (
+                "auto"
+                if hot_mass is not None and hot_mass > REFINE_AUTO_CANDIDATES
+                else None
+            )
+        if refine is None:
             cand = pair_join(blocks, blocks).dropDuplicates(["doc_a", "doc_b"])
         else:
-            counts = blocks.groupBy("seg", "sv").agg(
-                F.count(F.lit(1)).alias("__bdf")
-            )
+            # the split plan references the block frame from several
+            # subtrees (bucket counts + cold/hot legs of two self-joins);
+            # without a cache each subtree re-evaluates the signature
+            # derivation — for multimodal callers that is the Arrow decode
+            # pass itself, re-run up to 5× (measured ~1.8 s at sf0.1).
+            # (the auto probe already persisted; don't double-mark)
+            if refine_over != "auto":
+                blocks = blocks.persist()
+            n_cols = ["__bdf"]
+            aggs = [F.count(F.lit(1)).alias("__bdf")]
+            if refine == "auto":
+                # keep the diversity guard in the plan too: duplicate
+                # clusters (low distinct-signature count) stay cold even
+                # when OTHER buckets of the same corpus engage
+                aggs.append(F.countDistinct(sig_col).alias("__bdist"))
+                n_cols.append("__bdist")
+                hot_cond = auto_cond
+            else:
+                hot_cond = F.col("__bdf") > int(refine)
+            counts = blocks.groupBy("seg", "sv").agg(*aggs)
             sized = blocks.join(counts, ["seg", "sv"]).select(
-                id_col, sig_col, "seg", "sv", "__bdf"
+                id_col, sig_col, "seg", "sv", *n_cols
             )
-            cold = sized.where(F.col("__bdf") <= refine_over).drop("__bdf")
-            hot = sized.where(F.col("__bdf") > refine_over).drop("__bdf")
+            cold = sized.where(~hot_cond).drop(*n_cols)
+            hot = sized.where(hot_cond).drop(*n_cols)
 
             # complement bits of segment s, as one CASE expression; then
             # its (max_hamming+1)-way sub-split — all per-seg geometry is
@@ -828,7 +919,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 4,
     blocked: bool = True,
-    refine_over: int | None = None,
+    refine_over: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming — the SimHash
     front-end over the generic ``signature_pairs`` pigeonhole machinery
@@ -925,8 +1016,12 @@ def prefix_jaccard_pairs(
     only — and a shingle's position in every doc's order GROWS with its
     document frequency, so boilerplate (the k² blow-up in the naive
     self-join) is structurally excluded from prefixes of large docs
-    instead of lossily capped. Shuffles: shingle-df groupBy, per-doc rank
-    window, prefix self-join on shingle; candidates pass PPJoin's length
+    instead of lossily capped. Shuffles: shingle-df groupBy, one id-keyed
+    groupBy whose array_sort yields the per-doc rarity ranks AND the
+    verification sets (no rank window — its per-partition sort buffers
+    over the full occurrence frame were the 1000× heap hazard,
+    SCALING.md), prefix self-join on shingle; candidates pass PPJoin's
+    length
     + positional filters in-join, then verification — two id-keyed joins
     attaching each candidate pair's shingle SET as an array, with the
     intersection counted by codegen ``array_intersect`` per pair — no
@@ -1032,32 +1127,53 @@ def _ppjoin_candidates(
     never changes the row set — proven by the hypothesis property pin in
     tests/test_plans.py). ``with_bound_cols=False`` is the variant used in
     tests to prove that row-neutrality (same pairs, no bound buffers)."""
-    from pyspark.sql import Window
-
     sh = _shingle_frame(df, text_col, id_col, n).persist()
-    sets = sh.groupBy("__id").agg(
-        F.collect_list("shingle").alias("__set")
-    ).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = (
+    # Per-doc rarity ranking WITHOUT a rank window (r6 VERDICT task 7):
+    # collect each doc's (df, shingle) structs and array_sort them —
+    # struct comparison is field-by-field, so this IS the (df asc,
+    # shingle asc) global rarity order, and the element position IS the
+    # old window's row_number. One id-keyed groupBy replaces BOTH the
+    # sort window (whose per-partition sort buffers over ~500M occurrence
+    # rows GC-stalled the default single-JVM heap at 1000× — SCALING.md)
+    # and the separate verification-set collect: the hash aggregate
+    # spills by GROUP, each group bounded by one doc's shingle count, and
+    # the prefix self-join input is sliced to prefix length BEFORE the
+    # explode instead of filtered after it.
+    docs_arr = (
         sh.join(dfreq, "shingle")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.asc("__df"), F.asc("shingle")
-                )
-            ),
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__toks")
         )
+        .persist()
     )
-    sizes = sets.select("__id", F.size("__set").alias("sz"))
+    sets = docs_arr.select(
+        "__id", F.transform("__toks", lambda x: x["shingle"]).alias("__set")
+    )
+    # prefix length |S| - ceil(t·|S|) + 1 ∈ [1, |S|] for t ∈ (0, 1], so
+    # the ANSI slice bounds are always valid
+    plen = (
+        F.size("__toks")
+        - F.ceil(F.lit(threshold) * F.size("__toks"))
+        + F.lit(1)
+    ).cast("int")
     prefix = (
-        ranked.join(sizes, "__id")
-        .where(
-            F.col("__rn")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+        docs_arr.select(
+            "__id",
+            F.size("__toks").alias("sz"),
+            F.slice(
+                F.transform("__toks", lambda x: x["shingle"]), F.lit(1), plen
+            ).alias("__prefix"),
         )
-        .select("__id", "shingle", "sz", "__rn")
+        .select(
+            "__id", "sz", F.posexplode("__prefix").alias("__pos", "shingle")
+        )
+        .select(
+            "__id", "shingle", "sz", (F.col("__pos") + F.lit(1)).alias("__rn")
+        )
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     sza, szb = F.col("pa.sz"), F.col("pb.sz")

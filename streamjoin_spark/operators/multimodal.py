@@ -386,7 +386,7 @@ def image_neardup_pairs(
     max_hamming: int = 4,
     decode: str = "fake",
     blocked: bool = True,
-    refine_over: int | None = None,
+    refine_over: int | str | None = "auto",
 ) -> DataFrame:
     """Image near-duplicate pairs: perceptual hashes within ``max_hamming``
     bits — re-encoded/resized/lightly-edited copies of the same picture
@@ -585,7 +585,7 @@ def audio_neardup_pairs(
     max_hamming: int = 3,
     decode: str = "fake",
     blocked: bool = True,
-    refine_over: int | None = None,
+    refine_over: int | str | None = "auto",
 ) -> DataFrame:
     """Audio near-duplicate pairs: energy-diff fingerprints within
     ``max_hamming`` bits, paired by the generic pigeonhole machinery

@@ -563,6 +563,10 @@ class _JoinStage:
 
     def process(self) -> bool:
         t0 = time.monotonic()
+        # the governor is SHARED across pipeline stages: clear its rung slot
+        # so a slice that never calls scoped() records None, not the
+        # previous stage's ladder level
+        self.governor.last_rung = None
         v_from = list(self.progress.versions)
         tv0 = self.target.version()
         out = self.compute_slice()
@@ -577,6 +581,7 @@ class _JoinStage:
             merge_schema=getattr(self, "merge_schema", False),
         )
         self.progress.versions = versions
+        self.progress.batch_id += 1  # table sinks count slices too
         self.progress.save()
         _note_metrics(self, t0, v_from, versions, slice_bytes,
                       changed if changed > tv0 else None)
@@ -623,6 +628,7 @@ class _ForeachStage(_JoinStage):
 
     def process(self) -> bool:
         t0 = time.monotonic()
+        self.governor.last_rung = None  # shared governor: per-stage rung
         v_from = list(self.progress.versions)
         out = self.compute_slice()
         if out is None:
@@ -672,6 +678,7 @@ class _UnionLegStage:
 
     def process(self) -> bool:
         t0 = time.monotonic()
+        self.governor.last_rung = None  # shared governor: per-stage rung
         ct = self.stream.change_table
         v0 = self.progress.versions[0]
         if ct.version() <= v0:
@@ -694,6 +701,7 @@ class _UnionLegStage:
             merge_schema=getattr(self, "merge_schema", False),
         )
         self.progress.versions = [v1]
+        self.progress.batch_id += 1  # table sinks count slices too
         self.progress.save()
         _note_metrics(self, t0, [v0], [v1], nbytes,
                       changed if changed > tv0 else None)
@@ -759,6 +767,7 @@ class _AggStage:
 
     def process(self) -> bool:
         t0 = time.monotonic()
+        self.governor.last_rung = None  # shared governor: per-stage rung
         src = self.gb.source
         ct = src.change_table
         v0 = self.progress.versions[0]
@@ -812,6 +821,7 @@ class _AggStage:
             expected_version=tv0,
         )
         self.progress.versions = [v1]
+        self.progress.batch_id += 1  # table sinks count slices too
         self.progress.save()
         _note_metrics(self, t0, [v0], [v1], nbytes,
                       changed if changed > tv0 else None)
@@ -1380,11 +1390,12 @@ class _WriterBase:
             mt = ChangeTable(spark, path)
         else:
             mt = ChangeTable.create(spark, path, df.schema, ["metric_id"])
-        mt.append(df)
-        # cursors advance only AFTER the append commits: a failed flush
-        # retries the same records next run (idempotent content, fresh
-        # metric_ids — an audit table tolerates that; losing them silently
-        # would not be tolerable)
+        # merge, not append: metric_ids are DETERMINISTIC (run_id|idx|seq)
+        # and the cursor advances only AFTER the commit returns, so a run()
+        # retried after a published-but-interrupted flush re-submits the
+        # same ids — MERGE by pk makes the retry idempotent (append would
+        # stack duplicate-key rows in a pk=metric_id table)
+        mt.merge(df)
         self._metrics_cursor.update(new_cursor)
 
     def toStream(self) -> Stream:

@@ -1,0 +1,272 @@
+"""Commit protocol over a NON-POSIX storage backend (VERDICT r6 task 2).
+
+The ChangeTable commit protocol assumes exactly two storage primitives —
+atomic put-if-absent (claims) and all-or-nothing replace (meta publish) —
+abstracted behind backends.CommitBackend. This suite runs the protocol on
+a fake S3-class object store that has NO RENAME (replace is a direct PUT
+into the object map) and serves LAGGING cross-client reads (a client sees
+other clients' writes only after ``lag`` reads, never regressing below
+what it already observed — the session-monotonic guarantee every real
+store in scope provides; S3 has been fully strongly consistent since
+Dec 2020). Proven here:
+
+- two writers with lagging views still SERIALIZE: contiguous version
+  sequence, both key sets land, snapshot correct (the claim loop absorbs
+  staleness — a stale head read makes put-if-absent fail against the
+  authoritative store and the writer re-poll);
+- a pathologically REGRESSIVE view (session monotonicity violated) makes
+  the writer fail LOUDLY — bounded claim wait, then the publish head
+  check as last resort — and publish NOTHING; never silent corruption;
+- put_if_absent is authoritative even when the claimant is invisible to
+  the caller's lagged read view (the S3 conditional-PUT property);
+- a claim that VANISHES mid-commit is re-taken only via put-if-absent:
+  a foreign writer that claimed the freed slot in the gap wins and the
+  write edge aborts instead of silently overwriting their claim
+  (ADVICE r6 on changelog._assert_claim).
+
+The fake mirrors protocol files to the real filesystem so Spark-side
+readers (manifests, parquet) and POSIX-backend instances interoperate;
+the mirror is bookkeeping, not part of the protocol under test — the
+protocol itself runs entirely on put-if-absent + PUT + lagged read.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from streamjoin_spark.backends import CommitBackend
+from streamjoin_spark.changelog import ChangeTable, ConcurrentWriteError
+
+SCHEMA = "id long, name string, amount double, seq int"
+
+
+class FakeObjectStore:
+    """Shared ground-truth object map (the 'region'); per-client views are
+    CommitBackend instances with independent visibility lag. No rename
+    exists anywhere in this store — replace is a direct PUT. Generation 0
+    of every path is seeded from the pre-existing real file (the state
+    `ChangeTable.create` laid down) and counts as universally seen."""
+
+    def __init__(self, lag: int = 0):
+        self.lock = threading.Lock()
+        self.objects: dict[str, list] = {}  # path -> [(gen, payload|None)]
+        self.gen = 0
+        self.lag = lag
+
+    def hist(self, path: str) -> list:
+        h = self.objects.get(path)
+        if h is None:
+            try:
+                with open(path) as f:
+                    h = [(0, f.read())]
+            except FileNotFoundError:
+                h = [(0, None)]
+            self.objects[path] = h
+        return h
+
+    def put(self, path: str, payload) -> None:
+        self.gen += 1
+        self.hist(path).append((self.gen, payload))
+        # mirror to the real filesystem for POSIX-view interop (not part
+        # of the protocol under test)
+        if payload is None:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        else:
+            with open(path, "w") as f:
+                f.write(payload)
+
+    def client(self, monotonic: bool = True) -> "FakeClient":
+        return FakeClient(self, monotonic)
+
+
+class FakeClient(CommitBackend):
+    def __init__(self, store: FakeObjectStore, monotonic: bool):
+        self.store = store
+        self.monotonic = monotonic
+        self._seen: dict[str, int] = {}        # per-path visibility floor
+        self._stale_reads: dict[str, int] = {}  # reads left before fresh
+
+    # -- writes hit ground truth (a PUT is a PUT) -----------------------
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        st = self.store
+        with st.lock:
+            if st.hist(path)[-1][1] is not None:
+                return False  # authoritative, like S3 If-None-Match: *
+            st.put(path, payload)
+            self._seen[path] = st.gen  # a writer sees its own write
+            return True
+
+    def replace(self, path: str, payload: str) -> None:
+        st = self.store
+        with st.lock:
+            st.put(path, payload)
+            self._seen[path] = st.gen
+
+    def remove(self, path: str) -> None:
+        st = self.store
+        with st.lock:
+            st.put(path, None)
+            self._seen[path] = st.gen
+
+    # -- reads are lagged per client ------------------------------------
+    def read(self, path: str) -> str | None:
+        st = self.store
+        with st.lock:
+            hist = st.hist(path)
+            idx = len(hist) - 1
+            seen = self._seen.get(path, 0)
+            if hist[idx][0] > seen:  # latest write not yet seen
+                pending = self._stale_reads.get(path)
+                if pending is None:
+                    pending = st.lag
+                if pending > 0:
+                    self._stale_reads[path] = pending - 1
+                    floor = seen if self.monotonic else -1
+                    while idx > 0 and hist[idx][0] > floor:
+                        idx -= 1
+                else:
+                    self._stale_reads.pop(path, None)
+            gen, payload = hist[idx]
+            if self.monotonic and gen > seen:
+                self._seen[path] = gen
+            return payload
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _fresh_table(spark, path):
+    df0 = spark.createDataFrame([], SCHEMA)
+    return ChangeTable.create(
+        spark, path, df0.schema, ["id"], sequence_by=["seq"]
+    )
+
+
+def test_two_lagged_writers_serialize(spark, tmp_path):
+    """Disjoint-key writers through lagging object-store views: the claim
+    loop absorbs staleness and the commits serialize exactly as on POSIX."""
+    path = str(tmp_path / "obj")
+    _fresh_table(spark, path)
+    store = FakeObjectStore(lag=2)
+    a = ChangeTable(spark, path, backend=store.client())
+    b = ChangeTable(spark, path, backend=store.client())
+    a._claim_wait_s = b._claim_wait_s = 30.0
+
+    for i in range(3):
+        a.merge(_b(spark, [(i, f"a{i}", 1.0, 1)]))
+        b.merge(_b(spark, [(100 + i, f"b{i}", 2.0, 1)]))
+
+    fresh = ChangeTable(spark, path)  # POSIX view reads the mirrored state
+    assert fresh.version() == 6  # contiguous: no slot skipped or reused
+    rows = sorted(r["id"] for r in fresh.snapshot().collect())
+    assert rows == [0, 1, 2, 100, 101, 102]
+    # the change feed replays to the same state (IVM consumer invariant)
+    feed = fresh.read_change_feed(0)
+    assert feed.where(feed._change_type == "insert").count() == 6
+
+
+def test_interleaved_threads_on_object_store(spark, tmp_path):
+    """Two OS threads racing through separate lagged clients: every commit
+    lands once, versions stay contiguous."""
+    path = str(tmp_path / "obj_threads")
+    _fresh_table(spark, path)
+    store = FakeObjectStore(lag=1)
+    errors = []
+
+    def writer(tag, base):
+        try:
+            ct = ChangeTable(spark, path, backend=store.client())
+            ct._claim_wait_s = 60.0
+            for i in range(3):
+                ct.merge(_b(spark, [(base + i, f"{tag}{i}", 1.0, 1)]))
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a", 0))
+    t2 = threading.Thread(target=writer, args=("b", 100))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errors == []
+    fresh = ChangeTable(spark, path)
+    assert fresh.version() == 6
+    assert fresh.snapshot().count() == 6
+
+
+def test_regressive_view_fails_loudly(spark, tmp_path):
+    """A view violating session monotonicity (reads regress below what the
+    writer already saw) cannot corrupt: the stale head makes every claim
+    attempt lose against the authoritative store, and the bounded claim
+    wait raises — nothing is published, the table stays intact. The
+    publish head check is additionally exercised directly as the
+    last-resort guard for a writer that somehow got past claims."""
+    path = str(tmp_path / "obj_regress")
+    _fresh_table(spark, path)
+    store = FakeObjectStore(lag=0)
+    a = ChangeTable(spark, path, backend=store.client())
+    a.merge(_b(spark, [(1, "a", 1.0, 1)]))  # head -> v1
+
+    b_client = store.client(monotonic=False)
+    b = ChangeTable(spark, path, backend=b_client)
+    assert b.version() == 1
+    # poison every further read of b's view: serve pre-v1 bodies again
+    b_client._seen.clear()
+    b_client._stale_reads[b._meta_path] = 10**6
+    store.lag = 10**6
+    b._claim_wait_s = 0.5
+    with pytest.raises(ConcurrentWriteError):
+        b.merge(_b(spark, [(2, "b", 1.0, 1)]))
+    # last-resort guard: a writer past the claims with a regressed head
+    # read trips the publish version check before writing any manifest
+    with pytest.raises(ConcurrentWriteError):
+        b._publish(2, {}, op="MERGE")
+    store.lag = 0
+    fresh = ChangeTable(spark, path)
+    assert fresh.version() == 1  # losing writer published nothing
+    assert [r["id"] for r in fresh.snapshot().collect()] == [1]
+    assert not os.path.exists(os.path.join(path, "manifests", "v2.json"))
+
+
+def test_put_if_absent_is_authoritative(tmp_path):
+    """A claim invisible to the caller's lagged READ view still defeats
+    its put-if-absent — conditional PUT evaluates ground truth."""
+    store = FakeObjectStore(lag=5)
+    a, b = store.client(), store.client()
+    p = str(tmp_path / "claim_v1.json")
+    assert a.put_if_absent(p, json.dumps({"token": "a"}))
+    assert b.read(p) is None  # b's view lags: claim not visible yet
+    assert not b.put_if_absent(p, json.dumps({"token": "b"}))  # still loses
+
+
+def test_vanished_claim_reclaimed_by_foreigner_aborts(spark, tmp_path):
+    """ADVICE r6 (changelog.py _assert_claim): a missing claim at the
+    write edge is re-taken only via put-if-absent; a foreign writer that
+    legitimately claimed the freed slot wins and this writer aborts."""
+    path = str(tmp_path / "vanish")
+    ct = _fresh_table(spark, path)
+    v = ct._next_version()
+    # claim vanishes (racing release / sweep), foreign writer claims it
+    ct.backend.remove(ct._claim_path(v))
+    ct.backend.put_if_absent(
+        ct._claim_path(v), json.dumps({"token": "foreign", "ts": 0})
+    )
+    with pytest.raises(ConcurrentWriteError):
+        ct._assert_claim(v)
+    ct.backend.remove(ct._claim_path(v))  # teardown: drop foreign claim
+
+
+def test_vanished_claim_unclaimed_is_retaken(spark, tmp_path):
+    """The benign half: the claim vanished and NOBODY took it — the writer
+    re-claims atomically and the commit proceeds."""
+    path = str(tmp_path / "vanish_ok")
+    ct = _fresh_table(spark, path)
+    v = ct._next_version()
+    ct.backend.remove(ct._claim_path(v))
+    ct._assert_claim(v)  # re-claims; no raise
+    claim = json.loads(ct.backend.read(ct._claim_path(v)))
+    assert claim["token"] == ct._writer_token
+    ct._release_claim(v)

@@ -101,6 +101,60 @@ def test_parallel_equals_serial_state(
     assert_same(ws.toDF(), wp.toDF())
 
 
+def test_level_groups_overlap_in_wall_clock(
+    spark, tmp_path, cust_ct, ord_ct, item_ct, pay_ct
+):
+    """Concurrency pin (VERDICT r6 task 6): stageParallelism must actually
+    OVERLAP the independent level-0 branch drains in wall-clock, not just
+    converge — each branch stage's process() is wrapped with a widened
+    window (sleep + timestamps); under parallelism=2 the two branches'
+    first slices must run concurrently, and under the serial drain the
+    same instrumentation must show disjoint intervals (guards against the
+    overlap assertion passing vacuously)."""
+    import time
+
+    seed(spark, cust_ct, ord_ct, item_ct, pay_ct)
+
+    def instrument(w):
+        intervals = {}
+        levels = w.pipeline._levels()
+        assert [len(level) for level in levels] == [2, 1]
+        for gi, group in enumerate(levels[0]):
+            for st in group:
+                orig = st.process
+
+                def run(orig=orig, gi=gi):
+                    t0 = time.monotonic()
+                    time.sleep(0.4)  # widen the window: sleep ≫ scheduling jitter
+                    out = orig()
+                    intervals.setdefault(gi, []).append((t0, time.monotonic()))
+                    return out
+
+                st.process = run
+        return intervals
+
+    def first_overlap(intervals):
+        (a0, a1), (b0, b1) = intervals[0][0], intervals[1][0]
+        return a0 < b1 and b0 < a1
+
+    wp = (
+        make_diamond(cust_ct, ord_ct, item_ct, pay_ct)
+        .writeToPath(str(tmp_path / "overlap_par"))
+        .option("stageParallelism", 2)
+    )
+    par_iv = instrument(wp)
+    wp.run()
+    assert first_overlap(par_iv), f"parallel branches did not overlap: {par_iv}"
+
+    ws = make_diamond(cust_ct, ord_ct, item_ct, pay_ct).writeToPath(
+        str(tmp_path / "overlap_ser")
+    )
+    ser_iv = instrument(ws)
+    ws.run()
+    assert not first_overlap(ser_iv), f"serial drain overlapped: {ser_iv}"
+    assert_same(wp.toDF(), ws.toDF())
+
+
 def test_parallel_drain_through_streaming_start(
     spark, tmp_path, cust_ct, ord_ct, item_ct, pay_ct
 ):
