@@ -175,6 +175,16 @@ class ChangeTable:
         self._meta = self._read_meta()
         return self._meta["version"]
 
+    def applied_through(self, stage_key: str) -> list[int] | None:
+        """Input versions this target has already consumed for the given
+        IVM stage (recorded atomically with the commit by
+        ``replace_keys(applied_marker=...)``); None before the stage's
+        first marked commit. Fresh read — the restart-healing path that
+        needs this runs before any other metadata access."""
+        self._meta = self._read_meta()
+        rec = self._meta.get("applied_through", {}).get(stage_key)
+        return [int(x) for x in rec] if rec is not None else None
+
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self._meta["schema"])
 
@@ -631,6 +641,7 @@ class ChangeTable:
         cluster_by: Sequence[str] = (),
         op: str = "WRITE",
         content_in_changes: bool = False,
+        meta_updates: dict | None = None,
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -686,7 +697,7 @@ class ChangeTable:
                 p = d.split("=", 1)[1]
                 manifest.setdefault(p, [])
                 manifest[p].append(os.path.join(changes_rel, d))
-            self._publish(v, manifest, op)
+            self._publish(v, manifest, op, meta_updates=meta_updates)
             return
         # Two actions per rewrite commit (data dirs + change files). A
         # FUSED single-action variant (union tagged by __dest, staged
@@ -733,7 +744,7 @@ class ChangeTable:
             entry = os.path.join(commit_rel, f"{PART}={p}")
             manifest.setdefault(p, [])
             manifest[p].append(entry)
-        self._publish(v, manifest, op)
+        self._publish(v, manifest, op, meta_updates=meta_updates)
 
     # ------------------------------------------------------------------
     # optimistic concurrency: version-slot claims
@@ -860,7 +871,9 @@ class ChangeTable:
                 )
             time.sleep(0.05)
 
-    def _publish(self, v: int, manifest: dict, op: str) -> None:
+    def _publish(
+        self, v: int, manifest: dict, op: str, meta_updates: dict | None = None
+    ) -> None:
         """Steps 3-4 of the commit protocol: overwrite manifest v + its
         timestamp file, then atomically bump the version — the publish
         point. Version slots are CLAIMED before any file write
@@ -895,6 +908,16 @@ class ChangeTable:
             cts = prev_cts + 1e-3
         with open(os.path.join(self.path, "manifests", f"t{v}.json"), "w") as f:
             json.dump({"commit_ts": cts, "op": op}, f)
+        # caller-supplied metadata rides the SAME atomic meta bump (e.g.
+        # the IVM applied_through marker — exactly-once across stages
+        # needs the input watermark and the commit to land together);
+        # dict-valued entries merge key-wise so independent stages sharing
+        # one target never clobber each other's markers
+        for k, val in (meta_updates or {}).items():
+            if isinstance(val, dict):
+                meta[k] = {**meta.get(k, {}), **val}
+            else:
+                meta[k] = val
         meta["version"] = v
         self._write_meta(meta)
 
@@ -1086,6 +1109,7 @@ class ChangeTable:
         op: str = "REPLACE",
         merge_schema: bool = False,
         expected_version: int | None = None,
+        applied_marker: tuple[str, Sequence[int]] | None = None,
     ) -> int:
         """Replace every row whose ``key_cols`` tuple appears in ``scope_keys``
         with the rows of ``new_rows``, emitting a minimal change feed
@@ -1118,6 +1142,18 @@ class ChangeTable:
         on the current snapshot (merge/append/delete) need no such guard:
         version-slot claims serialize them and their bodies re-read the
         fresh head (see _next_version).
+
+        ``applied_marker=(stage_key, input_versions)``: exactly-once
+        bookkeeping for IVM stages — the input watermark this slice
+        consumed is recorded in table meta ATOMICALLY with the version
+        bump, so a crash between this commit and the stage's own
+        progress save is detectable on restart (``applied_through``):
+        the stage heals its watermark instead of re-applying the slice.
+        Required for correctness wherever the apply is not idempotent
+        (the additive aggregate fast path adds deltas to stored values —
+        a replay double-counts; found by the r7 pipeline kill-point
+        sweep); elsewhere it just saves a wasted recompute. No-op
+        commits record nothing (re-deriving a no-op is idempotent).
         """
         v = self._next_version()
         try:
@@ -1144,7 +1180,7 @@ class ChangeTable:
                     )
             out = self._replace_body(
                 v, scope_keys, key_cols, new_rows, hint_broadcast, op,
-                merge_schema,
+                merge_schema, applied_marker,
             )
             if out != v:  # no-op: slot unused, free it for waiting writers
                 self._release_claim(v)
@@ -1162,7 +1198,13 @@ class ChangeTable:
         hint_broadcast: bool,
         op: str,
         merge_schema: bool,
+        applied_marker: tuple[str, Sequence[int]] | None = None,
     ) -> int:
+        meta_updates = (
+            {"applied_through": {applied_marker[0]: [int(x) for x in applied_marker[1]]}}
+            if applied_marker is not None
+            else None
+        )
         if merge_schema:
             # Delta mergeSchema analog on the IVM write edge: a slice
             # carrying columns the target lacks WIDENS the target first
@@ -1185,7 +1227,8 @@ class ChangeTable:
                 if new_rows.isEmpty():
                     return v - 1  # no-op: nothing to commit
                 self._write_commit(v, self._tag(new_rows, INSERT, v), op=op,
-                                   content_in_changes=True)
+                                   content_in_changes=True,
+                                   meta_updates=meta_updates)
                 return v
             finally:
                 new_rows.unpersist()
@@ -1262,7 +1305,8 @@ class ChangeTable:
             if changes.isEmpty():
                 return v - 1
             self._write_commit(v, changes, rewritten=new_content,
-                               rewritten_parts=parts, op=op)
+                               rewritten_parts=parts, op=op,
+                               meta_updates=meta_updates)
             return v
         finally:
             old_scope.unpersist()

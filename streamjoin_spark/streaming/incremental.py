@@ -404,6 +404,37 @@ class _Progress:
             os.replace(tmp, self.path)
 
 
+def _stage_key(stage) -> str:
+    """Stable per-(target, stage) identity for the applied_through marker:
+    the progress file's basename — unique within a target's directory
+    (the main stage uses _progress.json, union legs _progress_union{i})
+    and stable across restarts."""
+    return os.path.basename(stage.progress.path)
+
+
+def _heal_watermark(stage) -> None:
+    """Close the crash window between a PUBLISHED stage commit and the
+    stage's progress save: the commit carried an ``applied_through``
+    marker (written atomically with the version bump), so on restart the
+    stage clamps its watermark up to what the target already consumed
+    instead of replaying the slice. Replay is a CORRECTNESS hazard on the
+    additive aggregate path (stored ⊕ delta applied twice double-counts —
+    found by the r7 pipeline kill-point sweep) and a wasted recompute
+    everywhere else. Watermarks only ever advance here."""
+    t = getattr(stage, "target", None)
+    if t is None or not hasattr(t, "applied_through"):
+        return
+    applied = t.applied_through(_stage_key(stage))
+    if not applied or len(applied) != len(stage.progress.versions):
+        return
+    healed = [
+        max(int(a), int(b)) for a, b in zip(applied, stage.progress.versions)
+    ]
+    if healed != [int(x) for x in stage.progress.versions]:
+        stage.progress.versions = healed
+        stage.progress.save()
+
+
 def _note_metrics(
     stage,
     t0: float,
@@ -567,6 +598,7 @@ class _JoinStage:
         # so a slice that never calls scoped() records None, not the
         # previous stage's ladder level
         self.governor.last_rung = None
+        _heal_watermark(self)
         v_from = list(self.progress.versions)
         tv0 = self.target.version()
         out = self.compute_slice()
@@ -579,6 +611,7 @@ class _JoinStage:
             affected, self.p_pks, new_slice,
             hint_broadcast=self.governor.should_hint(slice_bytes),
             merge_schema=getattr(self, "merge_schema", False),
+            applied_marker=(_stage_key(self), versions),
         )
         self.progress.versions = versions
         self.progress.batch_id += 1  # table sinks count slices too
@@ -679,6 +712,7 @@ class _UnionLegStage:
     def process(self) -> bool:
         t0 = time.monotonic()
         self.governor.last_rung = None  # shared governor: per-stage rung
+        _heal_watermark(self)
         ct = self.stream.change_table
         v0 = self.progress.versions[0]
         if ct.version() <= v0:
@@ -699,6 +733,7 @@ class _UnionLegStage:
             affected, self.pks, new_slice,
             hint_broadcast=self.governor.should_hint(nbytes),
             merge_schema=getattr(self, "merge_schema", False),
+            applied_marker=(_stage_key(self), [v1]),
         )
         self.progress.versions = [v1]
         self.progress.batch_id += 1  # table sinks count slices too
@@ -768,6 +803,7 @@ class _AggStage:
     def process(self) -> bool:
         t0 = time.monotonic()
         self.governor.last_rung = None  # shared governor: per-stage rung
+        _heal_watermark(self)  # additive path is NOT replay-idempotent
         src = self.gb.source
         ct = src.change_table
         v0 = self.progress.versions[0]
@@ -819,6 +855,7 @@ class _AggStage:
             affected, self.group_cols, _gate_expectations(self, new_slice),
             hint_broadcast=self.governor.should_hint(nbytes),
             expected_version=tv0,
+            applied_marker=(_stage_key(self), [v1]),
         )
         self.progress.versions = [v1]
         self.progress.batch_id += 1  # table sinks count slices too
