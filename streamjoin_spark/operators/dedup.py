@@ -411,23 +411,28 @@ def minhash_lsh_pairs_between(
 SIMHASH_BITS = 32
 
 # Auto-refinement thresholds for signature_pairs(refine_over="auto").
-# Per-bucket qualifiers (both scaled by n_seg = max_hamming + 1, the
-# fan-out multiplier the refinement pays): occupancy — a bucket of m rows
-# costs ~m²/2 candidate verifications unrefined vs ~n_seg·m explode rows
-# refined, so m must comfortably exceed 2·n_seg before the second level
-# pays (32·n_seg = 160 at the default radius 4); diversity — refinement
-# splits only DISTINCT signatures (an identical-signature duplicate
-# cluster shares every sub-segment — measured 1.17× anti-win, SCALING.md),
-# so a bucket must also hold > 4·n_seg distinct signatures.
+# Per-bucket qualifiers: occupancy — a bucket of m rows costs ~m²/2
+# candidate verifications unrefined vs ~n_seg·m explode rows refined, so
+# the per-bucket break-even sits near m ≈ 2·n_seg (10 at the default
+# radius 4; scaled by n_seg = max_hamming + 1, the fan-out multiplier);
+# diversity — refinement splits only DISTINCT signatures (an
+# identical-signature duplicate cluster shares every sub-segment —
+# measured 1.17× anti-win, SCALING.md), so a bucket qualifies only when
+# its average signature multiplicity m/d stays under
+# REFINE_AUTO_MAX_DUP_RATIO (a RELATIVE test — an absolute distinct-count
+# floor would exclude every mid-size diverse bucket by construction;
+# measured r7 at 100×: the 33k buckets of occupancy 2-160 carry 54M of
+# the 255M candidate mass, and leaving them cold made auto 2.3× slower
+# than refine-everything).
 # Engage gate: the split plan itself costs a few fixed shuffles (~2.5 s
 # measured at sf0.1) REGARDLESS of how much it saves, so refinement only
 # engages when the qualifying buckets' summed candidate mass Σ m(m−1)/2
 # is large enough that the verify stage it shrinks dominates that fixed
-# cost (sf0.1 image: 0.3M hot candidates verify in well under the
-# overhead → stays cold; the 100× sweep's ~1e8-candidate hot set is a
-# measured 9.9× win → engages).
-REFINE_AUTO_OCCUPANCY = 32
-REFINE_AUTO_DIVERSITY = 4
+# cost (sf0.1 image: 0.6M qualifying candidates verify in well under the
+# overhead → stays cold; the 100× sweep's 2.5e8-candidate set is a
+# measured multi-× win → engages).
+REFINE_AUTO_OCCUPANCY = 2
+REFINE_AUTO_MAX_DUP_RATIO = 4
 REFINE_AUTO_CANDIDATES = 5_000_000
 _HIGH_NIBBLE = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
@@ -729,17 +734,16 @@ def signature_pairs(
 
     - ``"auto"`` (default): self-tuning. One small driver-side probe over
       the cached block frame (n_docs × (max_hamming+1) short rows) finds
-      the buckets whose occupancy exceeds
-      ``REFINE_AUTO_OCCUPANCY * (max_hamming + 1)`` AND whose
-      DISTINCT-signature count exceeds
-      ``REFINE_AUTO_DIVERSITY * (max_hamming + 1)`` (the measured
-      diverse-vs-duplicate signal: duplicate clusters are irreducible and
-      never engage). Refinement engages only when those buckets' summed
-      candidate mass Σ m(m−1)/2 exceeds ``REFINE_AUTO_CANDIDATES`` —
-      below that the split plan's fixed shuffle cost outweighs any verify
-      saving, and the EXACT unrefined plan runs instead (over the same
-      cache, so the probe pass is not wasted). Within-plan, exactly the
-      qualifying buckets refine.
+      the buckets past the per-bucket break-even — occupancy above
+      ``REFINE_AUTO_OCCUPANCY * (max_hamming + 1)`` AND average signature
+      multiplicity m/d under ``REFINE_AUTO_MAX_DUP_RATIO`` (the measured
+      diverse-vs-duplicate signal: identical-signature duplicate clusters
+      are irreducible and never engage). Refinement engages only when
+      those buckets' summed candidate mass Σ m(m−1)/2 exceeds
+      ``REFINE_AUTO_CANDIDATES`` — below that the split plan's fixed
+      shuffle cost outweighs any verify saving, and the EXACT unrefined
+      plan runs instead (over the same cache, so the probe pass is not
+      wasted). Within-plan, exactly the qualifying buckets refine.
     - ``int k``: manual override — refine every bucket with occupancy
       > k regardless of diversity (the r6 gate query pins k=1 to force
       the 100×-scale path at sf0.1).
@@ -787,7 +791,7 @@ def signature_pairs(
 
         refine = refine_over
         auto_cond = (F.col("__bdf") > REFINE_AUTO_OCCUPANCY * n_seg) & (
-            F.col("__bdist") > REFINE_AUTO_DIVERSITY * n_seg
+            F.col("__bdist") * REFINE_AUTO_MAX_DUP_RATIO > F.col("__bdf")
         )
         if refine == "auto":
             # Driver-side adaptivity: the refinement's split plan carries

@@ -1668,7 +1668,8 @@ def test_signature_pairs_auto_refinement(spark, monkeypatch):
     must engage the split plan and stay byte-identical; and a
     duplicate-cluster corpus (identical signatures — the measured 1.17×
     anti-win) must NOT engage even when occupancy and mass qualify,
-    because the diversity guard sees one distinct signature."""
+    because the dup-ratio guard sees average multiplicity m/d ≫ the
+    REFINE_AUTO_MAX_DUP_RATIO bound."""
     import random
 
     rng = random.Random(7)
@@ -1698,7 +1699,6 @@ def test_signature_pairs_auto_refinement(spark, monkeypatch):
     # force engagement: every threshold floored — the hot bucket (the
     # corpus-wide shared segment, occupancy 40, 40 distinct sigs) refines
     monkeypatch.setattr(dedup, "REFINE_AUTO_OCCUPANCY", 1)
-    monkeypatch.setattr(dedup, "REFINE_AUTO_DIVERSITY", 1)
     monkeypatch.setattr(dedup, "REFINE_AUTO_CANDIDATES", 1)
     hot_df = dedup.signature_pairs(
         sigs, id_col="doc_id", sig_col="s", n_bits=64,

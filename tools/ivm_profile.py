@@ -2,18 +2,20 @@
 
 Runs the standard customer⋈orders CDC round (the ivm_join_cdc shape) at a
 given scale factor with ``metricsPath`` set, then derives the
-regime-normalized per-slice cost model the driver wall-clock totals can't
-show: seconds per slice vs slice change-bytes and rows_out, plus the
-governor rung distribution. BASELINE.md records the fitted invariant; a
-driver-side ivm_* drift (e.g. r6's join_cdc 16.9→20.2 s) is attributable
-in one look by re-running this at the same sf and comparing the
-machinery floor (intercept) and marginal byte cost (slope) — a host
-regime shift moves BOTH proportionally; a plan/protocol regression moves
-one.
+regime-normalized per-slice cost profile the driver wall-clock totals
+can't show. Two cost classes exist by construction: the FIRST slice per
+target takes the first-cycle single-write path (2 Spark jobs, cheapest
+commit in the protocol); every later slice pays the scope-diff rewrite
+(~5 jobs), machinery-bound and nearly byte-independent at test scales.
+BASELINE.md records both; a driver-side ivm_* drift (e.g. r6's join_cdc
+16.9→20.2 s) is attributable in one look by re-running this at the same
+sf: a host regime shift moves BOTH classes proportionally, a protocol/
+plan regression moves one class (or the rung distribution).
 
 Usage: python tools/ivm_profile.py [sf_dir ...]   (default sf0.001 sf0.1)
-Prints one JSON line per sf: {"sf_dir", "slices", "total_s",
-"floor_s_per_slice", "marginal_s_per_mb", "rungs", "rows_out"}.
+Prints one JSON line per sf: {"sf_dir", "slices": [per-slice records],
+"total_s", "bulk_slice_s", "churn_slice_s_median",
+"churn_slice_s_range", "rungs"}.
 """
 
 import json
@@ -78,28 +80,50 @@ def profile(spark, sf_dir: str) -> dict:
         )
     )
     w.run()
+    # micro-churn rounds of decreasing width → byte spread across slices
+    for mod in (7, 23, 101):
+        cct.merge(
+            cust.where(F.col("c_custkey") % mod == 3).select(
+                "c_custkey", "c_name", F.lit(f"M{mod}").alias("c_mktsegment")
+            )
+        )
+        w.run()
 
     mt = ChangeTable(spark, f"{base}/metrics")
-    recs = [r.asDict() for r in mt.snapshot().collect()]
-    xs = [(r["slice_bytes"] or 0) / 1e6 for r in recs]   # MB
-    ys = [r["seconds"] for r in recs]
-    n = len(xs)
-    # least-squares line: seconds = floor + marginal * MB
-    mx, my = sum(xs) / n, sum(ys) / n
-    denom = sum((x - mx) ** 2 for x in xs) or 1e-12
-    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
-    floor = my - slope * mx
+    recs = sorted(
+        (r.asDict() for r in mt.snapshot().collect()),
+        key=lambda r: r["seq"],
+    )
+    slices = [
+        {
+            "mb": round((r["slice_bytes"] or 0) / 1e6, 3),
+            "s": r["seconds"],
+            "rows_out": r["rows_out"],
+            "rung": r["rung"],
+        }
+        for r in recs
+    ]
+    # Two distinct cost classes (measured r7): the FIRST slice takes the
+    # first-cycle single-write fast path (2 jobs — the cheapest commit in
+    # the protocol, whatever its bytes), every later slice pays the
+    # scope-diff rewrite (~5 jobs), machinery-bound and nearly
+    # byte-independent at test scales. Report them separately — a
+    # per-MB regression across the classes is structurally negative and
+    # meaningless.
+    bulk, churn = slices[0], slices[1:]
+    churn_s = sorted(x["s"] for x in churn)
     rungs: dict = {}
     for r in recs:
         rungs[str(r["rung"])] = rungs.get(str(r["rung"]), 0) + 1
     return {
         "sf_dir": sf_dir,
-        "slices": n,
-        "total_s": round(sum(ys), 2),
-        "bytes_mb": round(sum(xs), 2),
-        "rows_out": sum(r["rows_out"] or 0 for r in recs),
-        "floor_s_per_slice": round(floor, 3),
-        "marginal_s_per_mb": round(slope, 4),
+        "slices": slices,
+        "total_s": round(sum(x["s"] for x in slices), 2),
+        "bulk_slice_s": bulk["s"],
+        "churn_slice_s_median": churn_s[len(churn_s) // 2] if churn_s else None,
+        "churn_slice_s_range": (
+            [churn_s[0], churn_s[-1]] if churn_s else None
+        ),
         "rungs": rungs,
     }
 
