@@ -74,6 +74,60 @@ def test_slice_metrics_recorded_and_flushed(spark, tmp_path):
     assert last["rows_out"] == 1 and last["rung"] == "broadcast"
 
 
+def test_metrics_flush_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r6: metric_ids are deterministic (run_id|idx|seq) and the
+    cursor advances only after the flush commits, so a run() retried
+    after a published-but-interrupted flush re-submits the same ids —
+    the MERGE-by-pk flush must absorb the retry instead of stacking
+    duplicate-key rows. Simulated by rolling the cursor back (exactly
+    the state a crash between commit and cursor update leaves)."""
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["id"],
+    )
+    mpath = str(tmp_path / "metrics")
+    w = (
+        Stream.fromChangeTable(src, "s")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(str(tmp_path / "view"))
+        .option("metricsPath", mpath)
+    )
+    src.merge(_rows(spark, [(1, "a"), (2, "b")]))
+    w.run()
+    mt = ChangeTable(spark, mpath)
+    assert mt.snapshot().count() == 1
+    # crash window: flush committed, cursor did not persist → re-flush
+    w._metrics_cursor = {}
+    w._flush_metrics(mpath)
+    snap = mt.snapshot()
+    assert snap.count() == 1  # merged, not duplicated
+    assert snap.select("metric_id").distinct().count() == 1
+
+
+def test_table_sink_batch_ids_increment(spark, tmp_path):
+    """ADVICE r6: table-sink stages count slices in progress.batch_id
+    too (previously only foreachBatch did, leaving batch_id=0 forever in
+    their metrics records)."""
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["id"],
+    )
+    w = (
+        Stream.fromChangeTable(src, "s")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(str(tmp_path / "view"))
+        .option("maxVersionsPerTrigger", 1)
+    )
+    for i in range(3):
+        src.merge(_rows(spark, [(i, f"v{i}")]))
+    w.run()
+    st = w.pipeline.stages[-1]
+    assert st.progress.batch_id == 3
+    assert [m["batch_id"] for m in st.metrics] == [1, 2, 3]
+
+
 def test_metrics_record_shuffle_rung(spark, tmp_path):
     """broadcastThreshold=0 + Bloom off ⇒ the recorded rung is the exact
     shuffle semi-join (the ladder's bottom), proving the metric reflects

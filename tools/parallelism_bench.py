@@ -42,8 +42,11 @@ def run(spark, sf_dir: str, topology: str, parallelism: int) -> dict:
         E._t(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % 4 == 0)
         .select(
-            F.monotonically_increasing_id().alias("l_id"),
-            "l_orderkey", "l_partkey", "l_quantity",
+            # deterministic row id; orderkey shares the b1 column name so
+            # the diamond's final join can use onKeys
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("l_id"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_partkey", "l_quantity",
         )
     )
     part = E._t(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -65,12 +68,7 @@ def run(spark, sf_dir: str, topology: str, parallelism: int) -> dict:
         ls = Stream.fromChangeTable(lct, "l").primaryKeys("l_id")
         ps = Stream.fromChangeTable(pct, "p").primaryKeys("p_partkey")
         b2 = ls.join(ps, "inner").on(ls["l_partkey"] == ps["p_partkey"])
-        builder = (
-            b1.join(b2.stage("b2"), "inner")
-            .on(b1["o_orderkey"] == b2["l_orderkey"])
-            .select(b1["o_orderkey"], b2["l_id"], b1["c_mktsegment"],
-                    b2["p_brand"], b2["l_quantity"])
-        )
+        builder = b1.join(b2.stage("b2"), "inner").onKeys("o_orderkey")
     else:
         builder = (
             b1.groupBy("c_mktsegment")
