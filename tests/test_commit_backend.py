@@ -259,6 +259,78 @@ def test_vanished_claim_reclaimed_by_foreigner_aborts(spark, tmp_path):
     ct.backend.remove(ct._claim_path(v))  # teardown: drop foreign claim
 
 
+def test_random_op_model_over_object_store(spark, tmp_path):
+    """The full model-based differential (merge/append/delete/compact/
+    restore/vacuum random sequence vs a dict model — the strongest
+    single-table semantics check in the suite) run over a LAGGED
+    object-store client: the whole writer surface, not just merge,
+    serializes and converges on a rename-less backend."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from .test_changelog_model import SCHEMA, _apply_merge, _rows, _snap
+
+    rng = random.Random(5)
+    df0 = spark.createDataFrame([], SCHEMA)
+    path = str(tmp_path / "objmodel")
+    ChangeTable.create(spark, path, df0.schema, ["id"], sequence_by=["seq"])
+    store = FakeObjectStore(lag=1)
+    ct = ChangeTable(spark, path, backend=store.client())
+    model: dict = {}
+    states = {0: dict(model)}
+    next_id = 100
+    vacuumed = False
+    ops = ["merge", "append", "delete", "compact", "restore",
+           "merge", "vacuum", "merge"]
+    rng.shuffle(ops)
+    for op in ops:
+        v_before = ct.version()
+        if op == "merge":
+            batch = []
+            for _ in range(rng.randrange(1, 4)):
+                if model and rng.random() < 0.5:
+                    i = rng.choice(sorted(model))
+                    batch.append((i, f"u{rng.randrange(1000)}",
+                                  round(rng.random() * 10, 2),
+                                  model[i][2] + rng.choice([-1, 0, 1, 2])))
+                else:
+                    batch.append((next_id, f"n{next_id}",
+                                  round(rng.random() * 10, 2),
+                                  rng.randrange(5)))
+                    next_id += 1
+            ct.merge(spark.createDataFrame(batch, SCHEMA))
+            _apply_merge(model, batch)
+        elif op == "append":
+            batch = [(next_id, f"a{next_id}", 1.0, 0)]
+            next_id += 1
+            ct.append(spark.createDataFrame(batch, SCHEMA))
+            for (i, n, a, s) in batch:
+                model[i] = (n, a, s)
+        elif op == "delete":
+            if not model:
+                continue
+            doomed = rng.sample(sorted(model), k=min(2, len(model)))
+            ct.delete_where(F.col("id").isin([int(d) for d in doomed]))
+            for d in doomed:
+                model.pop(d)
+        elif op == "compact":
+            ct.compact()
+        elif op == "restore":
+            lo = max(0, ct.version() - 1) if vacuumed else 0
+            target = rng.randrange(lo, ct.version() + 1)
+            ct.restore(target)
+            model = dict(states[target])
+        elif op == "vacuum":
+            ct.vacuum(retain_versions=3)
+            vacuumed = True
+        for v in range(v_before + 1, ct.version() + 1):
+            states[v] = dict(model)
+        assert _snap(ct) == _rows(model), f"divergence after {op}"
+    # a fresh POSIX-view reader sees the identical published state
+    assert _snap(ChangeTable(spark, path)) == _rows(model)
+
+
 def test_vanished_claim_unclaimed_is_retaken(spark, tmp_path):
     """The benign half: the claim vanished and NOBODY took it — the writer
     re-claims atomically and the commit proceeds."""
