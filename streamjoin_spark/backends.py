@@ -54,17 +54,28 @@ class CommitBackend:
     lock service, or the test suite's fake object store)."""
 
     def put_if_absent(self, path: str, payload: str) -> bool:
-        """Atomically create ``path`` with ``payload`` iff it does not
+        """Atomically create ``path`` WITH ``payload`` iff it does not
         exist. True when this call created it. Must evaluate against the
         store's AUTHORITATIVE state (S3 conditional PUT does; a cached
-        read does not)."""
+        read does not) and must be atomic WITH RESPECT TO CONTENT: a
+        bare O_EXCL-create-then-write leaves an empty claim if the writer
+        dies between the two syscalls, and an empty claim is
+        unparseable → unstealable → permanently wedges the slot (r7
+        review finding). POSIX spells content-atomic put-if-absent as
+        write-temp + hardlink (link(2) fails with EEXIST when the target
+        exists; the linked file already carries the full payload)."""
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", suffix=".tmp"
+        )
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.link(tmp, path)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        return True
+        finally:
+            os.unlink(tmp)
 
     def replace(self, path: str, payload: str) -> None:
         """All-or-nothing overwrite: readers see the old or the new body,

@@ -1146,14 +1146,15 @@ class ChangeTable:
         ``applied_marker=(stage_key, input_versions)``: exactly-once
         bookkeeping for IVM stages — the input watermark this slice
         consumed is recorded in table meta ATOMICALLY with the version
-        bump, so a crash between this commit and the stage's own
-        progress save is detectable on restart (``applied_through``):
-        the stage heals its watermark instead of re-applying the slice.
-        Required for correctness wherever the apply is not idempotent
-        (the additive aggregate fast path adds deltas to stored values —
-        a replay double-counts; found by the r7 pipeline kill-point
-        sweep); elsewhere it just saves a wasted recompute. No-op
-        commits record nothing (re-deriving a no-op is idempotent).
+        bump, so a slice RANGE that re-arrives (a crash between this
+        commit and the stage's progress save, or an intentional rebuild
+        from a fresh checkpoint) is detectable via ``applied_through``.
+        Consumers must treat it as a replay SIGNAL, never as a watermark
+        clamp (a clamp silently skips requested rebuilds): the aggregate
+        stage routes replayed ranges to its idempotent recompute path
+        instead of the additive fast path, whose stored ⊕ delta
+        double-counts on replay (found by the r7 kill-point sweep).
+        No-op commits record nothing (re-deriving a no-op is idempotent).
         """
         v = self._next_version()
         try:

@@ -744,6 +744,15 @@ def signature_pairs(
       shuffle cost outweighs any verify saving, and the EXACT unrefined
       plan runs instead (over the same cache, so the probe pass is not
       wasted). Within-plan, exactly the qualifying buckets refine.
+      Two deliberate costs of auto, for callers that compose plans
+      without executing them: construction runs ONE bounded Spark job
+      (the probe — for multimodal signatures that includes the upstream
+      decode pass; pass an int or ``None`` to keep construction fully
+      lazy), and the block frame stays cached for the session (the
+      probe's decode feeds the returned plan; tiny when the probe
+      declines — n_docs×(max_hamming+1) short rows — and needed by the
+      split plan when it engages; MEMORY_AND_DISK, evictable under
+      pressure).
     - ``int k``: manual override — refine every bucket with occupancy
       > k regardless of diversity (the r6 gate query pins k=1 to force
       the 100×-scale path at sf0.1).
@@ -805,12 +814,12 @@ def signature_pairs(
             # the occupancy and diversity thresholds. The probe's decode
             # pass is not wasted: the pair join reads the same cache.
             blocks = blocks.persist()
-            probe = blocks.groupBy("seg", "sv").agg(
+            auto_counts = blocks.groupBy("seg", "sv").agg(
                 F.count(F.lit(1)).alias("__bdf"),
                 F.countDistinct(sig_col).alias("__bdist"),
             )
             hot_mass = (
-                probe.where(auto_cond)
+                auto_counts.where(auto_cond)
                 .agg(
                     F.sum(
                         F.col("__bdf") * (F.col("__bdf") - 1) / F.lit(2.0)
@@ -834,18 +843,21 @@ def signature_pairs(
             # (the auto probe already persisted; don't double-mark)
             if refine_over != "auto":
                 blocks = blocks.persist()
-            n_cols = ["__bdf"]
-            aggs = [F.count(F.lit(1)).alias("__bdf")]
             if refine == "auto":
-                # keep the diversity guard in the plan too: duplicate
-                # clusters (low distinct-signature count) stay cold even
-                # when OTHER buckets of the same corpus engage
-                aggs.append(F.countDistinct(sig_col).alias("__bdist"))
-                n_cols.append("__bdist")
+                # the probe's OWN aggregate splits the plan — the engage
+                # decision and the in-plan hot/cold classification must
+                # stay in lockstep by construction, not by parallel
+                # definitions (the dup-ratio guard keeps duplicate
+                # clusters cold even when other buckets engage)
+                n_cols = ["__bdf", "__bdist"]
+                counts = auto_counts
                 hot_cond = auto_cond
             else:
+                n_cols = ["__bdf"]
+                counts = blocks.groupBy("seg", "sv").agg(
+                    F.count(F.lit(1)).alias("__bdf")
+                )
                 hot_cond = F.col("__bdf") > int(refine)
-            counts = blocks.groupBy("seg", "sv").agg(*aggs)
             sized = blocks.join(counts, ["seg", "sv"]).select(
                 id_col, sig_col, "seg", "sv", *n_cols
             )

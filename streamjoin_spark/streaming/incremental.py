@@ -115,8 +115,23 @@ class _Governor:
         self.scope_bloom_bits = int(o.get("scopeBloomBits", 17))
         # observability: the degradation-ladder rung the LAST scoped() call
         # took (broadcast | bloom+shuffle | shuffle) — copied into each
-        # slice's metrics record
-        self.last_rung: str | None = None
+        # slice's metrics record. THREAD-LOCAL: the one governor is shared
+        # by every pipeline stage, and stageParallelism drains same-level
+        # groups on a thread pool — a plain slot would let stage A's
+        # scoped() overwrite the rung stage B is about to record (r7
+        # review finding); each drain thread runs exactly one stage at a
+        # time, so thread-locality is precisely the needed scope.
+        import threading
+
+        self._rung_local = threading.local()
+
+    @property
+    def last_rung(self) -> str | None:
+        return getattr(self._rung_local, "value", None)
+
+    @last_rung.setter
+    def last_rung(self, value: str | None) -> None:
+        self._rung_local.value = value
 
     def chunk_end(self, ct: ChangeTable, v0: int, v1: int) -> tuple[int, int]:
         """(end_version, chunk_bytes): the largest end ≤ v1 keeping
@@ -412,27 +427,24 @@ def _stage_key(stage) -> str:
     return os.path.basename(stage.progress.path)
 
 
-def _heal_watermark(stage) -> None:
-    """Close the crash window between a PUBLISHED stage commit and the
-    stage's progress save: the commit carried an ``applied_through``
-    marker (written atomically with the version bump), so on restart the
-    stage clamps its watermark up to what the target already consumed
-    instead of replaying the slice. Replay is a CORRECTNESS hazard on the
-    additive aggregate path (stored ⊕ delta applied twice double-counts —
-    found by the r7 pipeline kill-point sweep) and a wasted recompute
-    everywhere else. Watermarks only ever advance here."""
+def _replay_floor(stage) -> int | None:
+    """Highest FIRST-input version the target has already consumed, from
+    the ``applied_through`` marker replace_keys records atomically with
+    each commit. A slice whose watermark sits BELOW this is a REPLAY —
+    either the crash window between a published commit and the stage's
+    progress save, or an intentional rebuild (deleted checkpoint /
+    startingVersion pin). Replay through the scope-diff recompute path is
+    idempotent AND realizes a rebuild correctly, so stages never clamp
+    their watermark from this (a clamp would silently skip a requested
+    rebuild — r7 review finding); the aggregate stage instead uses it to
+    suppress the NON-idempotent additive fast path on replayed ranges
+    (stored ⊕ delta applied twice double-counts — found by the r7
+    kill-point sweep)."""
     t = getattr(stage, "target", None)
     if t is None or not hasattr(t, "applied_through"):
-        return
+        return None
     applied = t.applied_through(_stage_key(stage))
-    if not applied or len(applied) != len(stage.progress.versions):
-        return
-    healed = [
-        max(int(a), int(b)) for a, b in zip(applied, stage.progress.versions)
-    ]
-    if healed != [int(x) for x in stage.progress.versions]:
-        stage.progress.versions = healed
-        stage.progress.save()
+    return int(applied[0]) if applied else None
 
 
 def _note_metrics(
@@ -596,9 +608,9 @@ class _JoinStage:
         t0 = time.monotonic()
         # the governor is SHARED across pipeline stages: clear its rung slot
         # so a slice that never calls scoped() records None, not the
-        # previous stage's ladder level
+        # previous stage's ladder level (slot is thread-local, so parallel
+        # level groups never cross-talk)
         self.governor.last_rung = None
-        _heal_watermark(self)
         v_from = list(self.progress.versions)
         tv0 = self.target.version()
         out = self.compute_slice()
@@ -712,7 +724,6 @@ class _UnionLegStage:
     def process(self) -> bool:
         t0 = time.monotonic()
         self.governor.last_rung = None  # shared governor: per-stage rung
-        _heal_watermark(self)
         ct = self.stream.change_table
         v0 = self.progress.versions[0]
         if ct.version() <= v0:
@@ -803,7 +814,6 @@ class _AggStage:
     def process(self) -> bool:
         t0 = time.monotonic()
         self.governor.last_rung = None  # shared governor: per-stage rung
-        _heal_watermark(self)  # additive path is NOT replay-idempotent
         src = self.gb.source
         ct = src.change_table
         v0 = self.progress.versions[0]
@@ -833,7 +843,15 @@ class _AggStage:
         # needs for externally precomputed state (single-writer pipelines:
         # the guard is inert, head never moves between pin and claim)
         tv0 = self.target.version()
-        if not self.additive:
+        # replay guard: a slice starting below the target's applied_through
+        # marker re-delivers inputs whose effect is ALREADY in the stored
+        # values — a crash between commit and progress save, or an
+        # intentional rebuild. stored ⊕ delta would double-count (found by
+        # the r7 kill-point sweep); the dirty-group recompute converges in
+        # both cases, so replayed ranges always take it.
+        replay = _replay_floor(self)
+        replayed = replay is not None and v0 < replay
+        if not self.additive or replayed:
             new_slice = recompute(affected)
         else:
             retract_imgs = images.where(F.col("_change_type").isin(UPDATE_PRE, DELETE))
@@ -1427,12 +1445,22 @@ class _WriterBase:
             mt = ChangeTable(spark, path)
         else:
             mt = ChangeTable.create(spark, path, df.schema, ["metric_id"])
-        # merge, not append: metric_ids are DETERMINISTIC (run_id|idx|seq)
-        # and the cursor advances only AFTER the commit returns, so a run()
-        # retried after a published-but-interrupted flush re-submits the
-        # same ids — MERGE by pk makes the retry idempotent (append would
-        # stack duplicate-key rows in a pk=metric_id table)
-        mt.merge(df)
+        # idempotent retry WITHOUT a merge rewrite: metric_ids are
+        # DETERMINISTIC (run_id|idx|seq) and the cursor advances only
+        # AFTER the commit returns, so a run() retried after a
+        # published-but-interrupted flush re-submits the same ids. A
+        # MERGE would make that a read+rewrite of every touched bucket —
+        # O(history) per flush on a long-lived pipeline. Instead: anti-join
+        # the (tiny, driver-built) staged frame against the existing ids
+        # — one column scan — and keep the O(batch) insert-only append.
+        if mt.version() > 0:
+            df = df.join(
+                mt.snapshot().select("metric_id"), "metric_id", "left_anti"
+            )
+            if df.isEmpty():
+                self._metrics_cursor.update(new_cursor)
+                return
+        mt.append(df)
         self._metrics_cursor.update(new_cursor)
 
     def toStream(self) -> Stream:

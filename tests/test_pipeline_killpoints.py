@@ -12,14 +12,19 @@ safety; this sweep proves the RUNTIME's exactly-once-across-stages claim
   version bump is not — still invisible (readers gate on meta);
 - ``pre_progress`` (_Progress.save): the stage's commit PUBLISHED but its
   watermark did not persist — the restarted writer re-derives the same
-  slice, and replace_keys' scope-diff reconciliation makes the re-apply
-  a no-op instead of a double-apply;
+  slice; replace_keys' scope-diff reconciliation makes the re-apply a
+  no-op for join/union stages, and the aggregate stage suppresses its
+  NON-idempotent additive fast path on ranges below the target's
+  ``applied_through`` marker (recorded atomically with each commit) so
+  the replay re-aggregates instead of double-adding;
 
 then restarts (fresh writer over the same path, persisted watermarks),
 drains, and differential-checks the target against the batch twin
 recomputed on the final snapshots. Each kill site is swept across
 multiple call ordinals so the kill lands in different stages / different
-CDC rounds.
+CDC rounds. The marker never CLAMPS a watermark: a fresh checkpoint /
+startingVersion pin below it is a rebuild REQUEST and must reprocess
+(test_fresh_checkpoint_rebuilds_instead_of_skipping).
 """
 
 import pyspark.sql.functions as F
@@ -146,3 +151,62 @@ def test_chained_pipeline_crash_resume(spark, tmp_path, monkeypatch, site, kill_
     # no residual backlog, no double-apply on an idle re-run
     assert w.run() == 0
     assert_same(w.toDF(), oracle())
+
+
+def test_fresh_checkpoint_rebuilds_instead_of_skipping(spark, tmp_path):
+    """r7 review finding: the applied_through marker must never CLAMP a
+    fresh watermark — a deleted checkpoint is a rebuild request. The
+    rebuild replays the whole history through the replay-safe recompute
+    path, which also REPAIRS a diverged target (here: a row corrupted
+    out-of-band), where a marker-clamp would have silently skipped
+    everything and kept the corruption."""
+    import os
+
+    cust_ct = ChangeTable.create(
+        spark, str(tmp_path / "cust"),
+        spark.createDataFrame([], CUST).schema, ["id"],
+    )
+    ord_ct = ChangeTable.create(
+        spark, str(tmp_path / "ord"),
+        spark.createDataFrame([], ORD).schema, ["oid"],
+    )
+    path = str(tmp_path / "totals")
+
+    def make_writer():
+        c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+        o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+        return (
+            c.join(o, "inner")
+            .on(c["id"] == o["cid"])
+            .groupBy("seg")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+            .writeToPath(path)
+        )
+
+    def oracle():
+        C, O = cust_ct.snapshot().alias("c"), ord_ct.snapshot().alias("o")
+        return (
+            C.join(O, F.col("c.id") == F.col("o.cid"))
+            .groupBy("seg")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cust_ct.merge(spark.createDataFrame(
+        [(1, "ann", "A"), (2, "bob", "B")], CUST))
+    ord_ct.merge(spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0), (12, 1, 2.0)], ORD))
+    w1 = make_writer()
+    w1.run()
+    assert_same(w1.toDF(), oracle())
+
+    # corrupt the managed target out-of-band, then request a rebuild by
+    # deleting the checkpoint (progress file)
+    tgt = ChangeTable(spark, path)
+    tgt.merge(spark.createDataFrame(
+        [("A", 999.0, 99)], "seg string, total double, n long"))
+    assert [r["total"] for r in tgt.snapshot().where("seg='A'").collect()] == [999.0]
+    os.remove(os.path.join(path, "_progress.json"))
+
+    w2 = make_writer()
+    assert w2.run() > 0  # reprocessed, not skipped
+    assert_same(w2.toDF(), oracle())  # corruption repaired by the rebuild
