@@ -1403,6 +1403,35 @@ class _WriterBase:
             self._flush_metrics(str(mp))
         return n
 
+    def rebuild(self) -> int:
+        """Reprocess the ENTIRE input history into the existing targets —
+        the first-class rendition of "delete the checkpoint": every
+        stage's watermark resets to its seed and the drain replays
+        through the replay-safe path (scope-diff recompute; the
+        aggregate stage's applied_through marker suppresses its additive
+        shortcut on replayed ranges), so a view whose content diverged —
+        an out-of-band write, a transform fixed upstream of a
+        ``startingVersion`` pin, a restored target — converges back to
+        its definition without dropping the table or its change history
+        (downstream consumers see a minimal compensating change feed,
+        not a truncation).
+
+        Requires the sources' change history to still be retained: a
+        replay range below a vacuumed source's ``change_floor`` raises
+        (the stale-watermark invariant — a partial rebuild must fail
+        loudly, never silently apply half the history). Returns the
+        number of stage slices that committed changes (0 = the view
+        already matched its definition)."""
+        pipeline = self.pipeline
+        for st in pipeline.stages:
+            p = getattr(st.progress, "path", None)
+            if p and os.path.exists(p):
+                os.remove(p)
+        # rebuild the pipeline object so every stage re-seeds from its
+        # source floor (startingVersion pins included)
+        self._pipeline = None
+        return self.run()
+
     METRICS_SCHEMA = (
         "metric_id string, stage string, target string, batch_id long, "
         "versions_from string, versions_to string, slice_bytes long, "

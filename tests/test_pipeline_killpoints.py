@@ -210,3 +210,13 @@ def test_fresh_checkpoint_rebuilds_instead_of_skipping(spark, tmp_path):
     w2 = make_writer()
     assert w2.run() > 0  # reprocessed, not skipped
     assert_same(w2.toDF(), oracle())  # corruption repaired by the rebuild
+
+    # the first-class API does the same without touching files by hand:
+    # corrupt again, rebuild(), converge — and an idle rebuild of a
+    # correct view commits nothing beyond reconciling no-ops
+    tgt2 = ChangeTable(spark, path)
+    tgt2.merge(spark.createDataFrame(
+        [("B", -1.0, 1)], "seg string, total double, n long"))
+    w2.rebuild()
+    assert_same(w2.toDF(), oracle())
+    assert w2.run() == 0  # rebuilt view is drained
