@@ -3454,6 +3454,74 @@ def q_ivm_metrics(spark, sf_dir):
     )
 
 
+def q_ivm_rebuild(spark, sf_dir):
+    """IVM e2e: ``writer.rebuild()`` repairs a DIVERGED maintained view in
+    place (r7 exactly-once machinery, gate-stamped r8). A join→agg view is
+    maintained through a CDC round (deletes exercised), then the target is
+    corrupted out-of-band TWO ways — an existing group's stored values
+    overwritten, and a phantom group inserted that the view's definition
+    never produces. rebuild() resets the stage watermarks and replays the
+    whole history through the replay-safe recompute path (the
+    applied_through floor suppresses the additive shortcut on every
+    replayed range — the r8 multi-chunk-regression fix), which both
+    restores the overwritten group and DELETES the phantom one (scope-diff
+    emits compensating deletes). Oracle: the aggregate of the sources'
+    final state — i.e. the repaired table, not the corruption."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_rebuild_")
+    cct = ChangeTable.create(
+        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+    )
+    oct_ = ChangeTable.create(
+        spark, f"{base}/o", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    cct.merge(cust)
+    oct_.merge(orders)
+    c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
+    o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
+    w = (
+        c.join(o, "inner")
+        .on(c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+            ).cast("double").alias("total_price"),
+        )
+        .writeToPath(f"{base}/state")
+    )
+    w.run()
+    oct_.delete_where("o_orderkey % 13 = 1")  # CDC round: pure retraction
+    w.run()
+    # corrupt the managed target out-of-band: clobber one real group,
+    # insert one phantom group
+    tgt = ChangeTable(spark, f"{base}/state")
+    tgt.merge(
+        spark.createDataFrame(
+            [("BUILDING", 1, 1.0), ("PHANTOM-SEGMENT", 99, 999.0)],
+            "c_mktsegment string, n_orders long, total_price double",
+        )
+    )
+    w.rebuild()
+    return w.toDF()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3604,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_metrics": q_ivm_metrics,
         "multimodal_image_neardup_refined": q_multimodal_image_neardup_refined,
         "ngram_decontaminate": q_ngram_decontaminate,
+        "ivm_rebuild": q_ivm_rebuild,
     }
 
 
@@ -6564,5 +6633,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
         FROM tr JOIN ev USING (shingle)
         GROUP BY tr.doc_id
+    """
+    # rebuild() converges the corrupted view back to its DEFINITION over
+    # the sources' final state — the oracle is that definition; neither
+    # the clobbered group value nor the phantom group appears
+    out["ivm_rebuild"] = """
+        WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+                   WHERE c_custkey % 4 = 0),
+        o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_custkey % 4 = 0 AND o_orderkey % 13 <> 1)
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM c JOIN o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
     """
     return out

@@ -27,6 +27,45 @@ HEADLINE = [
 ]
 
 
+def _host_sample() -> dict:
+    """One cheap host-regime snapshot: cumulative CPU ticks + steal ticks
+    (/proc/stat), 1-min loadavg, and the CPU PSI some-avg10. This VM sits
+    on shared hardware whose external-tenant load has inflated single
+    recordings ~10× with ZERO local processes (see BASELINE.md r6) — the
+    samples ride in the bench JSON so a regime shift is machine-readable
+    in the artifact itself instead of re-litigated narrative each round."""
+    s: dict = {}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        ticks = [int(x) for x in parts]
+        s["cpu_ticks"] = sum(ticks)
+        s["steal_ticks"] = ticks[7] if len(ticks) > 7 else 0
+    except OSError:
+        pass
+    try:
+        with open("/proc/loadavg") as f:
+            s["load1"] = float(f.read().split()[0])
+    except OSError:
+        pass
+    try:
+        with open("/proc/pressure/cpu") as f:
+            line = f.readline()  # "some avg10=0.00 avg60=..."
+        s["psi_cpu_some_avg10"] = float(line.split("avg10=")[1].split()[0])
+    except (OSError, IndexError, ValueError):
+        pass
+    return s
+
+
+def _steal_pct(s0: dict, s1: dict) -> float | None:
+    """Steal share of all CPU ticks elapsed between two samples."""
+    try:
+        dt = s1["cpu_ticks"] - s0["cpu_ticks"]
+        return round(100.0 * (s1["steal_ticks"] - s0["steal_ticks"]) / dt, 2) if dt > 0 else None
+    except KeyError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -76,16 +115,25 @@ def main() -> None:
     # with zero local load). The min of two spaced runs is a stable estimate
     # of the code's actual cost; it also absorbs first-query session warmup.
     timings: dict[str, float] = {}
+    host_queries: dict[str, dict] = {}
+    host_start = _host_sample()
     for attempt in range(2):
         for name in names:
             fn = qs[name]
+            h0 = _host_sample()
             t0 = time.monotonic()
             try:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 dt = round(time.monotonic() - t0, 3)
+                h1 = _host_sample()
                 if name not in timings or (0 <= dt < timings[name]) or timings[name] < 0:
                     timings[name] = dt
+                    host_queries[name] = {
+                        "steal_pct": _steal_pct(h0, h1),
+                        "load1": h1.get("load1"),
+                        "psi10": h1.get("psi_cpu_some_avg10"),
+                    }
                 # iterative-CC queries: stamp the round count so a slow
                 # recording is diagnosable as iteration-count variance vs
                 # host noise from the stderr log alone (VERDICT r4 #7)
@@ -110,12 +158,19 @@ def main() -> None:
     for name, best in list(timings.items()):
         if best >= 8.0:
             fn = qs[name]
+            h0 = _host_sample()
             t0 = time.monotonic()
             try:
                 fn(spark, sf_dir).count()
                 dt = round(time.monotonic() - t0, 3)
                 if dt < best:
                     timings[name] = dt
+                    h1 = _host_sample()
+                    host_queries[name] = {
+                        "steal_pct": _steal_pct(h0, h1),
+                        "load1": h1.get("load1"),
+                        "psi10": h1.get("psi_cpu_some_avg10"),
+                    }
                 print(f"# {name} (retry): {dt}s", file=sys.stderr, flush=True)
             except Exception:  # noqa: BLE001
                 pass
@@ -145,6 +200,20 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    host_end = _host_sample()
+    steals = [
+        h["steal_pct"] for h in host_queries.values()
+        if h.get("steal_pct") is not None
+    ]
+    host = {
+        "run_steal_pct": _steal_pct(host_start, host_end),
+        "load1_start": host_start.get("load1"),
+        "load1_end": host_end.get("load1"),
+        "psi10_start": host_start.get("psi_cpu_some_avg10"),
+        "psi10_end": host_end.get("psi_cpu_some_avg10"),
+        "query_steal_pct_max": max(steals) if steals else None,
+        "queries": host_queries,
+    }
     print(
         json.dumps(
             {
@@ -154,6 +223,7 @@ def main() -> None:
                 "queries": timings,
                 "ivm_queries": ivm_timings,
                 "sf": sf_val,
+                "host": host,
             }
         )
     )

@@ -34,6 +34,32 @@ published and its version-addressed artifacts are invisible orphans.
 The model suite (tests/test_commit_backend.py) proves both halves against a
 fake object store with no rename and lagging cross-client reads.
 
+Data-plane audit (r8) — every filesystem touch of the protocol, and why
+each either goes through the backend or is deliberately plain I/O:
+
+======================================  ==========================  =======
+call-site                               primitive                   why
+======================================  ==========================  =======
+meta read / every meta bump             backend.read / replace      the publish point — atomicity IS the contract
+claim files (claim/steal/release)       backend.put_if_absent /     OCC version-slot serialization
+                                        replace / remove
+create() initial meta                   backend.replace             the table's publish (readers gate on meta existing)
+manifest v{v}.json / t{v}.json writes   plain write                 version-addressed artifact inside a CLAIMED slot: invisible
+(_publish, create's v0/t0)                                          until the meta bump, torn/partial files idempotently
+                                                                    overwritten by the retry of the same commit; readers only
+                                                                    ever open v ≤ published head
+manifest / timestamp reads              plain read                  published artifacts are immutable-once-visible; covered by
+(snapshot, describe_history, ...)                                   the contract's monotonic-visibility requirement
+_Progress.save / load (IVM watermarks)  plain temp+rename / read    WRITER-LOCAL state with a single owner — never coordinates
+                                                                    writers; a lost/stale file is a rebuild request, made safe
+                                                                    by the applied_through replay floor (never a double-apply)
+vacuum walks (listdir/rmtree/remove)    plain, POSIX dir ops        maintenance of version-addressed artifacts strictly below
+                                                                    the retention floor, idempotent under crash/re-run, floor
+                                                                    published LAST via the backend; an object-store deployment
+                                                                    substitutes LIST + DELETE with the same idempotence argument
+parquet data/changes file-sets          Spark Hadoop FS             the data plane — Spark's committers, untouched by this layer
+======================================  ==========================  =======
+
 At 100 TB the protocol files are O(100 bytes) each and touched O(1) times
 per commit — backend choice is a correctness contract, never a throughput
 term; the data plane (parquet file-sets) goes through Spark's Hadoop
@@ -63,17 +89,45 @@ class CommitBackend:
         unparseable → unstealable → permanently wedges the slot (r7
         review finding). POSIX spells content-atomic put-if-absent as
         write-temp + hardlink (link(2) fails with EEXIST when the target
-        exists; the linked file already carries the full payload)."""
+        exists; the linked file already carries the full payload).
+
+        Filesystems that DISABLE hardlinks (some FUSE/object-store mounts,
+        ``nolink`` NFS configs) raise EPERM/ENOTSUP/EOPNOTSUPP/EACCES from
+        link(2); those fall back to O_EXCL create + write + fsync — still
+        an authoritative-state put-if-absent, re-accepting the documented
+        (and steal-recoverable: empty claims age out like any other via
+        the heartbeat steal) empty-claim crash window the hardlink path
+        closes (r8 review finding)."""
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(path) or ".", suffix=".tmp"
         )
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
-            os.link(tmp, path)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            except OSError as e:
+                import errno
+
+                if e.errno not in (
+                    errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP,
+                    errno.EACCES, errno.EXDEV, errno.EMLINK,
+                ):
+                    raise
+            # hardlink-free store: O_EXCL is still authoritative; fsync
+            # narrows (not closes) the create-vs-content window
+            try:
+                fd2 = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd2, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
             return True
-        except FileExistsError:
-            return False
         finally:
             os.unlink(tmp)
 

@@ -50,7 +50,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 import time
 import uuid
 from typing import Sequence
@@ -214,6 +213,7 @@ class ChangeTable:
         n_buckets: int = 32,
         generated_columns: dict[str, str] | None = None,
         constraints: dict[str, str] | None = None,
+        backend=None,
     ) -> "ChangeTable":
         """Create an empty change table (reference CREATE TABLE with CDF
         enabled, elzyme/joins.py:642-654). ``n_buckets`` sizes the
@@ -267,7 +267,7 @@ class ChangeTable:
         path = path.rstrip("/")
         if ChangeTable.exists(path):
             if not overwrite:
-                return ChangeTable(spark, path)
+                return ChangeTable(spark, path, backend=backend)
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "changes"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
@@ -287,11 +287,15 @@ class ChangeTable:
             "constraints": dict(constraints or {}),
             "schema": schema.jsonValue(),
         }
-        fd, tmp = tempfile.mkstemp(dir=path, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(path, META_FILE))
-        return ChangeTable(spark, path)
+        # the initial meta write is the table's PUBLISH (readers gate on
+        # meta existing) — it goes through the backend's atomic replace
+        # like every later meta bump, never a raw write (r8 audit)
+        from .backends import POSIX
+
+        (backend if backend is not None else POSIX).replace(
+            os.path.join(path, META_FILE), json.dumps(meta)
+        )
+        return ChangeTable(spark, path, backend=backend)
 
     # ------------------------------------------------------------------
     # manifest / partition helpers
@@ -915,7 +919,26 @@ class ChangeTable:
         # one target never clobber each other's markers
         for k, val in (meta_updates or {}).items():
             if isinstance(val, dict):
-                meta[k] = {**meta.get(k, {}), **val}
+                merged = {**meta.get(k, {}), **val}
+                if k == "applied_through":
+                    # the marker is a high-water mark and must NEVER
+                    # regress: a governor-chunked replay/rebuild commits
+                    # chunk [0..10] while the recorded floor is 50 — a
+                    # plain overwrite would drop the floor to 10 and the
+                    # NEXT chunk's v0 == floor check would re-enable the
+                    # additive fast path on a range whose effect is
+                    # already in the stored values (double-count; r8
+                    # review finding). Element-wise max keeps the floor
+                    # at 50 until the replay genuinely catches up.
+                    prev = meta.get(k, {})
+                    for sk, versions in val.items():
+                        old = prev.get(sk)
+                        if old is not None and len(old) == len(versions):
+                            merged[sk] = [
+                                max(int(a), int(b))
+                                for a, b in zip(old, versions)
+                            ]
+                meta[k] = merged
             else:
                 meta[k] = val
         meta["version"] = v

@@ -434,6 +434,44 @@ SIMHASH_BITS = 32
 REFINE_AUTO_OCCUPANCY = 2
 REFINE_AUTO_MAX_DUP_RATIO = 4
 REFINE_AUTO_CANDIDATES = 5_000_000
+
+# Cache lifecycle for the persisted block frames signature_pairs leaves
+# behind (the probe/split plan references them, so they cannot be
+# unpersisted at construction): a bounded FIFO registry. Eviction is
+# SAFE — unpersisting a frame a still-lazy plan references just makes
+# that plan recompute the signature derivation — so a long-lived service
+# calling signature_pairs repeatedly holds at most _SIG_CACHE_LIMIT
+# cached frames, and release_signature_caches() drops them all (e.g.
+# after the pair frames have materialized). r8 review finding.
+_SIG_CACHE_LIMIT = 8
+_SIG_CACHES: list = []
+
+
+def _register_sig_cache(df: DataFrame) -> None:
+    _SIG_CACHES.append(df)
+    while len(_SIG_CACHES) > _SIG_CACHE_LIMIT:
+        old = _SIG_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+
+
+def release_signature_caches() -> int:
+    """Unpersist every block frame signature_pairs has cached this
+    session; returns how many were released. Call after the pair frames
+    have materialized (or whenever memory matters more than re-deriving
+    signatures on a re-run)."""
+    n = 0
+    while _SIG_CACHES:
+        try:
+            _SIG_CACHES.pop().unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001
+            pass
+    return n
+
+
 _HIGH_NIBBLE = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
 
@@ -752,7 +790,11 @@ def signature_pairs(
       probe's decode feeds the returned plan; tiny when the probe
       declines — n_docs×(max_hamming+1) short rows — and needed by the
       split plan when it engages; MEMORY_AND_DISK, evictable under
-      pressure).
+      pressure). The cache is lifecycle-managed: at most
+      ``_SIG_CACHE_LIMIT`` block frames stay persisted (older ones are
+      unpersisted FIFO — their plans just recompute), and
+      ``release_signature_caches()`` drops them all once the pair
+      frames have materialized.
     - ``int k``: manual override — refine every bucket with occupancy
       > k regardless of diversity (the r6 gate query pins k=1 to force
       the 100×-scale path at sf0.1).
@@ -814,6 +856,7 @@ def signature_pairs(
             # the occupancy and diversity thresholds. The probe's decode
             # pass is not wasted: the pair join reads the same cache.
             blocks = blocks.persist()
+            _register_sig_cache(blocks)
             auto_counts = blocks.groupBy("seg", "sv").agg(
                 F.count(F.lit(1)).alias("__bdf"),
                 F.countDistinct(sig_col).alias("__bdist"),
@@ -843,6 +886,7 @@ def signature_pairs(
             # (the auto probe already persisted; don't double-mark)
             if refine_over != "auto":
                 blocks = blocks.persist()
+                _register_sig_cache(blocks)
             if refine == "auto":
                 # the probe's OWN aggregate splits the plan — the engage
                 # decision and the in-plan hot/cold classification must

@@ -447,6 +447,33 @@ def _replay_floor(stage) -> int | None:
     return int(applied[0]) if applied else None
 
 
+def _expected_keys(stage) -> DataFrame | None:
+    """The full key set the stage's definition can currently produce, in
+    target key space — used by rebuild()'s phantom prune. None when the
+    stage owns no managed target (foreachBatch) or its keys cannot be
+    enumerated from the sources. Broad by design: a row-local transform
+    may FILTER some of these keys out of the view, but filtered keys
+    appear in source history and the replay already reconciled them —
+    only keys absent here AND absent from history are phantoms."""
+    if isinstance(stage, _ForeachStage):
+        return None
+    if isinstance(stage, _AggStage):
+        src = stage.gb.source
+        snap = src.static(src.change_table.version())
+        return snap.select(*stage.group_cols).dropDuplicates(stage.group_cols)
+    if isinstance(stage, _JoinStage):
+        p = stage.preserved
+        if getattr(p, "change_table", None) is None:
+            return None
+        return p.static(p.change_table.version()).select(*stage.p_pks)
+    if isinstance(stage, _UnionLegStage):
+        s = stage.stream
+        if getattr(s, "change_table", None) is None:
+            return None
+        return s.static(s.change_table.version()).select(*stage.pks)
+    return None
+
+
 def _note_metrics(
     stage,
     t0: float,
@@ -1414,7 +1441,9 @@ class _WriterBase:
         ``startingVersion`` pin, a restored target — converges back to
         its definition without dropping the table or its change history
         (downstream consumers see a minimal compensating change feed,
-        not a truncation).
+        not a truncation). Keys the definition never produced (phantom
+        rows inserted out-of-band, invisible to every replayed scope)
+        are pruned by a final pass — see ``_prune_phantoms``.
 
         Requires the sources' change history to still be retained: a
         replay range below a vacuumed source's ``change_floor`` raises
@@ -1428,9 +1457,59 @@ class _WriterBase:
             if p and os.path.exists(p):
                 os.remove(p)
         # rebuild the pipeline object so every stage re-seeds from its
-        # source floor (startingVersion pins included)
+        # source floor (startingVersion pins included); bump the metrics
+        # generation — fresh stage objects restart their seq counters at
+        # 0, and without a new generation in metric_id the flush dedupe
+        # would drop every post-rebuild record as an already-flushed
+        # retry (r8 review finding)
         self._pipeline = None
-        return self.run()
+        if hasattr(self, "_metrics_gen"):
+            self._metrics_gen += 1
+        n = self.run()
+        # the replay converges every key that appears ANYWHERE in the
+        # sources' change history — but a row written out-of-band under a
+        # key the definition never produced is outside every replayed
+        # scope and would survive (found by the r8 ivm_rebuild gate
+        # query). Prune those phantoms explicitly, then drain once more
+        # so staging-table prunes propagate their compensating deletes
+        # downstream.
+        pruned = self._prune_phantoms()
+        if pruned:
+            n += self.run()
+        return n + pruned
+
+    def _prune_phantoms(self) -> int:
+        """Delete managed-target rows whose keys the pipeline definition
+        cannot produce. Expected keys per stage are deliberately BROAD
+        (the preserved side's / group-by's full current key set — a
+        transform may filter some of them out of the view, but those
+        keys appear in source history, so the replay has already
+        reconciled them); only keys outside the sources entirely are
+        phantoms. One key-projection anti-join per target, a commit only
+        when phantoms exist — rebuild-only cost, never on the hot path."""
+        committed = 0
+        by_target: dict[int, tuple] = {}
+        for st in self.pipeline.stages:
+            t = getattr(st, "target", None)
+            exp = _expected_keys(st)
+            if t is None or exp is None:
+                continue
+            by_target.setdefault(id(t), (t, []))[1].append(exp)
+        for t, exps in by_target.values():
+            keys = list(t.primary_keys)
+            expected = exps[0].select(*keys)
+            for e in exps[1:]:
+                expected = expected.unionByName(e.select(*keys))
+            phantoms = (
+                t.snapshot()
+                .select(*keys)
+                .join(expected.dropDuplicates(keys), keys, "left_anti")
+            )
+            if phantoms.isEmpty():
+                continue
+            t.replace_keys(phantoms, keys, t.snapshot().limit(0))
+            committed += 1
+        return committed
 
     METRICS_SCHEMA = (
         "metric_id string, stage string, target string, batch_id long, "
@@ -1448,16 +1527,29 @@ class _WriterBase:
 
         spark = self._spark()
         if not hasattr(self, "_metrics_cursor"):
-            self._metrics_cursor: dict[int, int] = {}
+            self._metrics_cursor: dict[tuple[int, int], int] = {}
             self._metrics_run_id = _uuid.uuid4().hex[:12]
+            self._metrics_gen = 0
+            # flush high-water mark: advanced BEFORE the append commits
+            # (pessimistic), while the cursor advances AFTER — so ids that
+            # MAY already be in the table are exactly those at or below
+            # the hwm, and the dedupe scan runs only on an actual retry
+            self._metrics_hwm: dict[tuple[int, int], int] = {}
         rows, new_cursor = [], {}
         for idx, st in enumerate(self.pipeline.stages):
-            cur = self._metrics_cursor.get(id(st), -1)
+            # cursor keyed by (generation, stage ordinal), NOT id(st):
+            # rebuild() replaces the stage objects, and a recycled CPython
+            # id would silently inherit the dead stage's cursor; the
+            # generation also rides in metric_id so a rebuilt pipeline's
+            # restarted seq counters never collide with (and get dropped
+            # by) the anti-join against pre-rebuild rows (r8 review
+            # finding).
+            cur = self._metrics_cursor.get((self._metrics_gen, idx), -1)
             for rec in list(getattr(st, "metrics", []) or []):
                 if rec["seq"] <= cur:
                     continue
                 rows.append((
-                    f"{self._metrics_run_id}|{idx}|{rec['seq']}",
+                    f"{self._metrics_run_id}|{self._metrics_gen}|{idx}|{rec['seq']}",
                     rec["stage"], rec["target"], rec["batch_id"],
                     json.dumps(rec["versions_from"]),
                     json.dumps(rec["versions_to"]),
@@ -1466,7 +1558,7 @@ class _WriterBase:
                     rec["seconds"], rec["seq"],
                 ))
                 cur = rec["seq"]
-            new_cursor[id(st)] = cur
+            new_cursor[(self._metrics_gen, idx)] = cur
         if not rows:
             return
         df = spark.createDataFrame(rows, self.METRICS_SCHEMA)
@@ -1475,14 +1567,27 @@ class _WriterBase:
         else:
             mt = ChangeTable.create(spark, path, df.schema, ["metric_id"])
         # idempotent retry WITHOUT a merge rewrite: metric_ids are
-        # DETERMINISTIC (run_id|idx|seq) and the cursor advances only
+        # DETERMINISTIC (run_id|gen|idx|seq) and the cursor advances only
         # AFTER the commit returns, so a run() retried after a
         # published-but-interrupted flush re-submits the same ids. A
         # MERGE would make that a read+rewrite of every touched bucket —
-        # O(history) per flush on a long-lived pipeline. Instead: anti-join
-        # the (tiny, driver-built) staged frame against the existing ids
-        # — one column scan — and keep the O(batch) insert-only append.
-        if mt.version() > 0:
+        # O(history) per flush on a long-lived pipeline. The anti-join
+        # dedupe guard is itself a (projected) full-column scan of a
+        # table that grows one row per slice forever, so it runs ONLY
+        # when a duplicate is POSSIBLE: the staged frame contains a seq
+        # at or below the flush high-water mark (advanced before the
+        # append, where the cursor advances after — the crash window
+        # between them is exactly when hwm > cursor). The steady-state
+        # flush path is a pure O(batch) insert-only append, no snapshot
+        # read (r8: VERDICT task — O(history)/flush on months-lived
+        # pipelines).
+        possible_retry = any(
+            self._metrics_cursor.get(key, -1) < self._metrics_hwm.get(key, -1)
+            for key in new_cursor
+        )
+        for key, seq in new_cursor.items():
+            self._metrics_hwm[key] = max(self._metrics_hwm.get(key, -1), seq)
+        if possible_retry and mt.version() > 0:
             df = df.join(
                 mt.snapshot().select("metric_id"), "metric_id", "left_anti"
             )

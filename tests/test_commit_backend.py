@@ -242,6 +242,40 @@ def test_put_if_absent_is_authoritative(tmp_path):
     assert not b.put_if_absent(p, json.dumps({"token": "b"}))  # still loses
 
 
+def test_put_if_absent_hardlink_free_fallback(tmp_path, monkeypatch):
+    """r8 review finding: filesystems that disable hardlinks (FUSE /
+    object-store mounts, nolink NFS) raise EPERM from link(2); the
+    default backend must fall back to O_EXCL create+write+fsync instead
+    of turning every commit claim into a hard failure. Semantics under
+    the fallback: payload lands, loser still loses, no temp litter."""
+    import errno
+
+    real_link = os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted", dst)
+
+    monkeypatch.setattr(os, "link", no_link)
+    be = CommitBackend()
+    p = str(tmp_path / "claim_v1.json")
+    assert be.put_if_absent(p, '{"token": "a"}')
+    with open(p) as f:
+        assert json.load(f)["token"] == "a"
+    assert not be.put_if_absent(p, '{"token": "b"}')  # loser still loses
+    with open(p) as f:
+        assert json.load(f)["token"] == "a"  # winner's payload intact
+    assert [x for x in os.listdir(tmp_path) if x.endswith(".tmp")] == []
+
+    # an UNEXPECTED link errno still propagates (not silently swallowed)
+    def bad_link(src, dst, **kw):
+        raise OSError(errno.EIO, "I/O error", dst)
+
+    monkeypatch.setattr(os, "link", bad_link)
+    with pytest.raises(OSError):
+        CommitBackend().put_if_absent(str(tmp_path / "claim_v2.json"), "{}")
+    monkeypatch.setattr(os, "link", real_link)
+
+
 def test_vanished_claim_reclaimed_by_foreigner_aborts(spark, tmp_path):
     """ADVICE r6 (changelog.py _assert_claim): a missing claim at the
     write edge is re-taken only via put-if-absent; a foreign writer that

@@ -1723,3 +1723,36 @@ def test_signature_pairs_auto_refinement(spark, monkeypatch):
     )
     # all 50×49/2 identical-signature pairs at hamming 0
     assert dup_pairs.where(F.col("hamming") == 0).count() == 50 * 49 // 2
+
+
+def test_signature_cache_lifecycle(spark, monkeypatch):
+    """r8 review finding: signature_pairs("auto") persists the block frame
+    for the session; repeated calls in a long-lived service must not
+    accumulate cached frames without bound. The registry holds at most
+    _SIG_CACHE_LIMIT frames (older ones unpersist FIFO — safe: their
+    plans just recompute), release_signature_caches() drops them all,
+    and results are identical before and after release."""
+    dedup.release_signature_caches()  # other tests may have left caches
+    sigs = spark.createDataFrame(
+        [(i, format(i * 2654435761 % (1 << 64), "064b")) for i in range(30)],
+        "doc_id long, s string",
+    )
+    monkeypatch.setattr(dedup, "_SIG_CACHE_LIMIT", 3)
+    dfs = [
+        dedup.signature_pairs(
+            sigs, id_col="doc_id", sig_col="s", n_bits=64,
+            max_hamming=4, refine_over="auto",
+        )
+        for _ in range(5)
+    ]
+    # bounded: 5 calls, at most 3 cached frames alive
+    assert len(dedup._SIG_CACHES) == 3
+    assert all(b.is_cached for b in dedup._SIG_CACHES)
+    want = {(r["doc_a"], r["doc_b"]) for r in dfs[0].collect()}
+
+    released = dedup.release_signature_caches()
+    assert released == 3
+    assert dedup._SIG_CACHES == []
+    # evicted/released plans still evaluate correctly (recompute)
+    for df in dfs[1:]:
+        assert {(r["doc_a"], r["doc_b"]) for r in df.collect()} == want

@@ -1,21 +1,31 @@
-"""Per-slice IVM cost profile from the metricsPath table (VERDICT r6 task 5).
+"""Per-slice IVM cost profile from the metricsPath table (VERDICT r6 task 5;
+r8: join/agg/chain shapes + multi-decade runs for the IVM scaling law).
 
-Runs the standard customer⋈orders CDC round (the ivm_join_cdc shape) at a
-given scale factor with ``metricsPath`` set, then derives the
-regime-normalized per-slice cost profile the driver wall-clock totals
-can't show. Two cost classes exist by construction: the FIRST slice per
-target takes the first-cycle single-write path (2 Spark jobs, cheapest
-commit in the protocol); every later slice pays the scope-diff rewrite
-(~5 jobs), machinery-bound and nearly byte-independent at test scales.
-BASELINE.md records both; a driver-side ivm_* drift (e.g. r6's join_cdc
-16.9→20.2 s) is attributable in one look by re-running this at the same
-sf: a host regime shift moves BOTH classes proportionally, a protocol/
-plan regression moves one class (or the rung distribution).
+Runs a churn-heavy customer⋈orders CDC round at a given scale factor with
+``metricsPath`` set, then derives the regime-normalized per-slice cost
+profile the driver wall-clock totals can't show. Three shapes, matching
+the driver's ivm_* gate queries:
 
-Usage: python tools/ivm_profile.py [sf_dir ...]   (default sf0.001 sf0.1)
-Prints one JSON line per sf: {"sf_dir", "slices": [per-slice records],
-"total_s", "bulk_slice_s", "churn_slice_s_median",
-"churn_slice_s_range", "rungs"}.
+- ``join``  — c⋈o incremental join (the ivm_join_cdc shape)
+- ``agg``   — grouped count+sum over orders (the ivm_agg_cdc shape, with
+  the r7 replay-floor check on its commit path)
+- ``chain`` — join staged into a grouped agg (staging ChangeTable + two
+  stages, the ivm_chain_cdc cost structure)
+
+Two cost classes exist by construction: the FIRST slice per target takes
+the first-cycle single-write path (2 Spark jobs, cheapest commit in the
+protocol); every later slice pays the scope-diff rewrite (~5 jobs),
+machinery-bound and nearly byte-independent at test scales. BASELINE.md
+records both; a driver-side ivm_* drift (e.g. r6's join_cdc 16.9→20.2 s)
+is attributable in one look by re-running this at the same sf: a host
+regime shift moves BOTH classes proportionally, a protocol/plan
+regression moves one class (or the rung distribution).
+
+Usage: python tools/ivm_profile.py [--shapes join,agg,chain] [sf_dir ...]
+(default shapes: join; default sf_dirs: sf0.001 sf0.1)
+Prints one JSON line per (shape, sf): {"shape", "sf_dir", "slices":
+[per-slice records], "total_s", "bulk_slice_s", "churn_slice_s_median",
+"churn_slice_s_range", "rungs", "maintained_rows"}.
 """
 
 import json
@@ -26,7 +36,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def profile(spark, sf_dir: str) -> dict:
+def profile(spark, sf_dir: str, shape: str = "join") -> dict:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
@@ -53,12 +63,28 @@ def profile(spark, sf_dir: str) -> dict:
     oct_.merge(orders)
     c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
     o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
-    w = (
+    joined = (
         c.join(o, "inner")
         .on(c["c_custkey"] == o["o_custkey"])
         .select(c["c_custkey"], c["c_mktsegment"],
                 o["o_orderkey"], o["o_totalprice"])
-        .writeToPath(f"{base}/state")
+    )
+    if shape == "join":
+        w = joined
+    elif shape == "agg":
+        w = o.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    elif shape == "chain":
+        w = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    else:  # pragma: no cover - CLI guard
+        raise ValueError(f"unknown shape {shape!r}")
+    w = (
+        w.writeToPath(f"{base}/state")
         # several bounded slices instead of one bulk slice, so the fit
         # has points across the byte range
         .option("maxVersionsPerTrigger", 1)
@@ -116,6 +142,7 @@ def profile(spark, sf_dir: str) -> dict:
     for r in recs:
         rungs[str(r["rung"])] = rungs.get(str(r["rung"]), 0) + 1
     return {
+        "shape": shape,
         "sf_dir": sf_dir,
         "slices": slices,
         "total_s": round(sum(x["s"] for x in slices), 2),
@@ -125,19 +152,27 @@ def profile(spark, sf_dir: str) -> dict:
             [churn_s[0], churn_s[-1]] if churn_s else None
         ),
         "rungs": rungs,
+        "maintained_rows": ChangeTable(spark, f"{base}/state")
+        .snapshot().count(),
     }
 
 
 def main() -> None:
     from streamjoin_spark.session import get_spark
 
-    sf_dirs = sys.argv[1:] or [
+    args = list(sys.argv[1:])
+    shapes = ["join"]
+    if args and args[0] == "--shapes":
+        shapes = args[1].split(",")
+        args = args[2:]
+    sf_dirs = args or [
         "/root/testdata/sf0.001", "/root/testdata/sf0.1",
     ]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("ivm_profile", cpus=cpus, shuffle_partitions=cpus)
     for sf in sf_dirs:
-        print(json.dumps(profile(spark, sf)), flush=True)
+        for shape in shapes:
+            print(json.dumps(profile(spark, sf, shape)), flush=True)
 
 
 if __name__ == "__main__":
