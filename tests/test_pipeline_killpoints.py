@@ -27,6 +27,8 @@ startingVersion pin below it is a rebuild REQUEST and must reprocess
 (test_fresh_checkpoint_rebuilds_instead_of_skipping).
 """
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
