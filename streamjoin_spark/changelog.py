@@ -63,6 +63,17 @@ from .streams import CHANGE_TYPE, COMMIT_VERSION, DELETE, INSERT, UPDATE_POST, U
 META_FILE = "_changelog_meta.json"
 PART = "__part"
 
+# Small commits are repartitioned to one task (→ one file) per part before
+# the partitioned write: without it every write task emits a file per part
+# it touches (32 tasks × 8 parts = 256 tiny files for a kB-sized slice),
+# and every LATER snapshot/affected-part read pays that file count in
+# listing + task scheduling — measured r8: the rewritten-content write was
+# the single biggest job of an IVM churn slice (2.4 s of a 7 s slice) and
+# snapshot scans of a 37k-row table ran 30-62 tasks. Commits estimated
+# over this threshold keep the task-parallel write — compacting a multi-GB
+# slice through n_buckets single tasks would serialize a bulk load.
+COMPACT_WRITE_MAX_BYTES = 256 << 20
+
 
 class ConcurrentWriteError(RuntimeError):
     """Raised at the publish point when another writer moved the table
@@ -319,6 +330,19 @@ class ChangeTable:
         collect is a driver-safe tiny aggregate."""
         rows = self._with_part(df).select(PART).distinct().collect()
         return sorted(r[0] for r in rows)
+
+    @staticmethod
+    def _est_bytes(df: DataFrame) -> int | None:
+        """Catalyst plan-size estimate (driver-only, no action). For
+        parquet-scan-rooted plans this is the file-size sum — reliable for
+        the merge/delete rewrite gates; join-heavy plans can overestimate
+        wildly, which only declines compaction (safe direction)."""
+        try:
+            return int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — estimate is best-effort
+            return None
 
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         if not dirs:
@@ -646,6 +670,7 @@ class ChangeTable:
         op: str = "WRITE",
         content_in_changes: bool = False,
         meta_updates: dict | None = None,
+        compact: bool | None = None,
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -675,6 +700,12 @@ class ChangeTable:
         keeps manifest-referenced change part-dirs alive past change
         retention and records a ``change_floor`` so the feed still
         truncates to the retained window.
+
+        ``compact``: repartition the written frames to one file per part
+        (data) / a handful of files (flat changes) — see
+        ``COMPACT_WRITE_MAX_BYTES``. ``None`` auto-gates on the content's
+        plan-size estimate; callers with a better signal (replace_keys'
+        small-scope hint) pass it explicitly.
         """
         v = new_version
         self._assert_claim(v)  # abort pre-write if the slot was stolen
@@ -684,12 +715,24 @@ class ChangeTable:
             raise ValueError("a commit is either a rewrite or an append")
         if content_in_changes and (rewritten is not None or appended is not None):
             raise ValueError("content_in_changes commits carry only changes")
+        if compact is None:
+            # auto gate on the content's plan-size estimate (see
+            # COMPACT_WRITE_MAX_BYTES); unknown estimate → no compaction
+            est = self._est_bytes(
+                changes if content_in_changes
+                else (rewritten if rewritten is not None else appended)
+                or changes
+            )
+            compact = est is not None and est <= COMPACT_WRITE_MAX_BYTES
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         if content_in_changes:
             changes_rel = os.path.join("changes", f"c{v}")
             changes_abs = os.path.join(self.path, changes_rel)
+            frame = self._with_part(changes.select(*change_cols))
+            if compact:
+                frame = frame.repartition(self.n_buckets, F.col(PART))
             (
-                self._with_part(changes.select(*change_cols))
+                frame
                 .write.mode("overwrite")
                 .partitionBy(PART)
                 .parquet(changes_abs)
@@ -726,12 +769,16 @@ class ChangeTable:
                     .sortWithinPartitions(PART, *cluster_by)
                     .drop(*cluster_by)
                 )
+            elif compact:
+                out = out.repartition(self.n_buckets, F.col(PART))
             out.write.mode("overwrite").partitionBy(PART).parquet(commit_abs)
-        (
-            changes.select(*change_cols)
-            .write.mode("overwrite")
-            .parquet(changes_abs)
-        )
+        ch = changes.select(*change_cols)
+        if compact:
+            # change files are flat (rewrite layout): a handful of balanced
+            # files beats one-per-upstream-task for every later
+            # read_change_range of this commit
+            ch = ch.repartition(4, F.col(CHANGE_TYPE))
+        ch.write.mode("overwrite").parquet(changes_abs)
 
         manifest = dict(self._manifest(v - 1))
         if wrote_any and os.path.isdir(commit_abs):
@@ -1326,11 +1373,24 @@ class ChangeTable:
         try:
             # no-op batches must not commit: an empty commit would produce new
             # change files, re-trigger downstream stages, and loop forever.
-            if changes.isEmpty():
+            # Probe the cached diff with ONE predicate (any row that is not
+            # an unchanged matched pair) instead of isEmpty on the 4-way
+            # union — the union probe launches one job per branch (r8
+            # profile); this is a single scan of the same cache and
+            # materializes it for the writes below all the same.
+            if diff.where(
+                ~(n_present & o_present
+                  & data_struct(N).eqNullSafe(data_struct(O)))
+            ).isEmpty():
                 return v - 1
+            # compaction keyed off the caller's small-scope signal, not the
+            # auto plan-size gate: the recomputed slice is a join-heavy plan
+            # whose Catalyst size estimate overshoots by orders of magnitude
+            # and would decline compaction for every IVM churn slice
             self._write_commit(v, changes, rewritten=new_content,
                                rewritten_parts=parts, op=op,
-                               meta_updates=meta_updates)
+                               meta_updates=meta_updates,
+                               compact=hint_broadcast)
             return v
         finally:
             old_scope.unpersist()
