@@ -3522,6 +3522,108 @@ def q_ivm_rebuild(spark, sf_dir):
     return w.toDF()
 
 
+def q_ivm_governor_rungs(spark, sf_dir):
+    """IVM e2e under DEGRADED governor rungs: same maintained-join shape
+    as ivm_join_cdc (different CDC mods) drained with
+    ``broadcastThreshold=1k`` — every slice's Δ/scope estimate is over
+    threshold, so the scope filter takes the Bloom pre-reduction and
+    exact shuffle semi-join tiers of `_Governor.scoped`'s ladder instead
+    of the broadcast fast path, and the Δ probe leg loses its broadcast
+    hint (streaming/incremental.py:172-243). The gate thus stamps what
+    tests/test_governor.py pins structurally: rung degradation is a pure
+    execution-strategy change — the maintained table is bit-identical to
+    the batch join of the final states. This is the 100 TB path: a bulk
+    backlog slice on a real cluster runs exactly these rungs (the r8
+    1000× profile's 582 MB bulk slice recorded rung=bloom+shuffle)."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_rungs_")
+    cct = ChangeTable.create(
+        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+    )
+    oct_ = ChangeTable.create(
+        spark, f"{base}/o", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    cct.merge(cust)
+    oct_.merge(orders)
+    c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
+    o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
+    w = (
+        c.join(o, "inner")
+        .on(c["c_custkey"] == o["o_custkey"])
+        .select(c["c_custkey"], c["c_mktsegment"],
+                o["o_orderkey"], o["o_totalprice"])
+        .writeToPath(f"{base}/state")
+        .option("broadcastThreshold", "1k")  # force the degraded rungs
+    )
+    w.run()
+    cct.merge(
+        cust.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", "c_name", F.lit("RESEG").alias("c_mktsegment")
+        )
+    )
+    oct_.delete_where("o_orderkey % 11 = 0")
+    oct_.merge(
+        orders.where(F.col("o_orderkey") % 23 == 3).select(
+            (F.col("o_orderkey") + F.lit(20000000)).alias("o_orderkey"),
+            "o_custkey", "o_totalprice",
+        )
+    )
+    w.run()
+    return w.toDF()
+
+
+def q_ivm_optimize_vacuum(spark, sf_dir):
+    """Table-maintenance surface under the gate: a table built from three
+    fragmenting APPENDs (insert-only single-write commits, one dir per
+    part each), churned by a MERGE update + DELETE, then
+    ``compact(zorder_by=...)`` (OPTIMIZE ZORDER analog — consolidates
+    every part to one z-clustered file-set, zero change rows) and
+    ``vacuum(retain_versions=2)`` (drops the superseded pre-compaction
+    dirs and bumps change_floor). The snapshot after both must equal the
+    plain SQL over the final state — maintenance never changes content
+    (reference: Delta OPTIMIZE/VACUUM semantics the engine mirrors;
+    changelog.py compact/vacuum)."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_optvac_")
+    ct = ChangeTable.create(
+        spark, f"{base}/t", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    for m in (0, 1, 2):  # three fragmenting appends, disjoint key classes
+        ct.append(orders.where(F.col("o_orderkey") % 3 == m))
+    ct.merge(
+        orders.where(F.col("o_orderkey") % 19 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.lit("X-OPT").alias("o_orderpriority"), "o_totalprice",
+        )
+    )
+    ct.delete_where("o_orderkey % 13 = 1")
+    ct.compact(zorder_by=["o_custkey", "o_orderkey"])
+    ct.vacuum(retain_versions=2)
+    return ct.snapshot()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3673,6 +3775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_neardup_refined": q_multimodal_image_neardup_refined,
         "ngram_decontaminate": q_ngram_decontaminate,
         "ivm_rebuild": q_ivm_rebuild,
+        "ivm_governor_rungs": q_ivm_governor_rungs,
+        "ivm_optimize_vacuum": q_ivm_optimize_vacuum,
     }
 
 
@@ -6648,5 +6752,28 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS total_price
         FROM c JOIN o ON o.o_custkey = c.c_custkey
         GROUP BY 1
+    """
+    out["ivm_governor_rungs"] = """
+        WITH final_c AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'RESEG'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer),
+        final_o AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 4 = 0 AND o_orderkey % 11 <> 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 23 = 3)
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM final_c c JOIN final_o o ON c.c_custkey = o.o_custkey
+    """
+    out["ivm_optimize_vacuum"] = """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 19 = 0 THEN 'X-OPT'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 = 0 AND o_orderkey % 13 <> 1
     """
     return out
