@@ -718,11 +718,10 @@ class ChangeTable:
         if compact is None:
             # auto gate on the content's plan-size estimate (see
             # COMPACT_WRITE_MAX_BYTES); unknown estimate → no compaction
-            est = self._est_bytes(
-                changes if content_in_changes
-                else (rewritten if rewritten is not None else appended)
-                or changes
-            )
+            content_for_est = rewritten if rewritten is not None else appended
+            if content_in_changes or content_for_est is None:
+                content_for_est = changes
+            est = self._est_bytes(content_for_est)
             compact = est is not None and est <= COMPACT_WRITE_MAX_BYTES
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         if content_in_changes:
@@ -730,7 +729,7 @@ class ChangeTable:
             changes_abs = os.path.join(self.path, changes_rel)
             frame = self._with_part(changes.select(*change_cols))
             if compact:
-                frame = frame.repartition(self.n_buckets, F.col(PART))
+                frame = frame.repartition(min(self.n_buckets, 32), F.col(PART))
             (
                 frame
                 .write.mode("overwrite")
@@ -770,7 +769,10 @@ class ChangeTable:
                     .drop(*cluster_by)
                 )
             elif compact:
-                out = out.repartition(self.n_buckets, F.col(PART))
+                out = out.repartition(min(self.n_buckets, 32), F.col(PART))
+                # hash collisions may co-locate two parts in one task —
+                # still exactly one file per part dir (partitionBy splits
+                # per task), while capping task count for wide-bucket tables
             out.write.mode("overwrite").partitionBy(PART).parquet(commit_abs)
         ch = changes.select(*change_cols)
         if compact:
