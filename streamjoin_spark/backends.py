@@ -94,10 +94,11 @@ class CommitBackend:
         Filesystems that DISABLE hardlinks (some FUSE/object-store mounts,
         ``nolink`` NFS configs) raise EPERM/ENOTSUP/EOPNOTSUPP/EACCES from
         link(2); those fall back to O_EXCL create + write + fsync — still
-        an authoritative-state put-if-absent, re-accepting the documented
-        (and steal-recoverable: empty claims age out like any other via
-        the heartbeat steal) empty-claim crash window the hardlink path
-        closes (r8 review finding)."""
+        an authoritative-state put-if-absent, re-accepting the empty-claim
+        crash window the hardlink path closes (r8 review finding). That
+        window is steal-recoverable: an unparseable claim body ages out
+        on the file's ``mtime`` (see :meth:`mtime` and
+        changelog._try_claim) instead of wedging the slot."""
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(path) or ".", suffix=".tmp"
         )
@@ -157,6 +158,20 @@ class CommitBackend:
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def mtime(self, path: str) -> float | None:
+        """Last-modified wall-clock of ``path``, or None if absent (or the
+        store cannot answer). Object stores map this to the object's
+        LastModified. Used as the staleness fallback for claims whose
+        BODY is unreadable: the hardlink-free put_if_absent path can
+        crash between O_EXCL create and write, leaving an empty claim
+        with no parseable heartbeat — without an mtime the slot would
+        wedge permanently (the r7 finding re-opened by the r8 fallback;
+        _try_claim closes it by aging unparseable claims on mtime)."""
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
 
 
 #: process-wide default — POSIX semantics (local filesystems, HDFS-class

@@ -778,8 +778,10 @@ class ChangeTable:
         if compact:
             # change files are flat (rewrite layout): a handful of balanced
             # files beats one-per-upstream-task for every later
-            # read_change_range of this commit
-            ch = ch.repartition(4, F.col(CHANGE_TYPE))
+            # read_change_range of this commit. Round-robin, NOT keyed on
+            # the ≤4-value change type — an insert-heavy slice would hash
+            # every row into one task (r8 review finding)
+            ch = ch.repartition(4)
         ch.write.mode("overwrite").parquet(changes_abs)
 
         manifest = dict(self._manifest(v - 1))
@@ -833,7 +835,17 @@ class ChangeTable:
         try:
             claim = json.loads(raw)
         except ValueError:
-            return False  # foreign claimant mid-write: re-poll
+            # unreadable body: a foreign claimant mid-write (re-poll), OR
+            # a writer that died inside the hardlink-free fallback's
+            # create-vs-content window, leaving an empty claim with no
+            # heartbeat to age. Age those on the FILE's mtime instead —
+            # without this the slot wedges permanently (r8 review
+            # finding); an unknown mtime stays a conservative re-poll.
+            mt = self.backend.mtime(p)
+            if mt is not None and time.time() - mt > self._claim_stale_s:
+                self.backend.replace(p, payload)
+                return True
+            return False
         if claim.get("token") == self._writer_token:
             return True
         if time.time() - float(claim.get("ts", 0)) > self._claim_stale_s:
@@ -1388,11 +1400,24 @@ class ChangeTable:
             # compaction keyed off the caller's small-scope signal, not the
             # auto plan-size gate: the recomputed slice is a join-heavy plan
             # whose Catalyst size estimate overshoots by orders of magnitude
-            # and would decline compaction for every IVM churn slice
-            self._write_commit(v, changes, rewritten=new_content,
-                               rewritten_parts=parts, op=op,
-                               meta_updates=meta_updates,
-                               compact=hint_broadcast)
+            # and would decline compaction for every IVM churn slice. The
+            # scope hint alone is not sufficient either (r8 review
+            # finding): a small broadcastable scope whose keys hash into
+            # every bucket of a large table rewrites ~all its parts — gate
+            # additionally on the affected parts' file bytes (cur_parts is
+            # scan-rooted, so the estimate is the exact on-disk sum), or a
+            # multi-GB rewrite would serialize through ≤32 tasks.
+            rewrite_est = self._est_bytes(cur_parts)
+            self._write_commit(
+                v, changes, rewritten=new_content,
+                rewritten_parts=parts, op=op,
+                meta_updates=meta_updates,
+                compact=(
+                    hint_broadcast
+                    and rewrite_est is not None
+                    and rewrite_est <= COMPACT_WRITE_MAX_BYTES
+                ),
+            )
             return v
         finally:
             old_scope.unpersist()

@@ -447,9 +447,14 @@ def _replay_floor(stage) -> int | None:
     return int(applied[0]) if applied else None
 
 
-def _expected_keys(stage) -> DataFrame | None:
-    """The full key set the stage's definition can currently produce, in
-    target key space — used by rebuild()'s phantom prune. None when the
+def _expected_keys(stage) -> tuple[tuple[str, ...], DataFrame] | None:
+    """(key_columns, frame) of the full key set the stage's definition can
+    currently produce — IN THE STAGE'S OWN RECONCILE KEY SPACE (the same
+    columns its replace_keys scopes carry: the preserved side's pks for a
+    join, the group columns for an aggregate, the leg pks for a union
+    leg — NOT the target's composed primary keys, which for a join
+    include the other side's columns that no source snapshot has; r8
+    review finding). Used by rebuild()'s phantom prune. None when the
     stage owns no managed target (foreachBatch) or its keys cannot be
     enumerated from the sources. Broad by design: a row-local transform
     may FILTER some of these keys out of the view, but filtered keys
@@ -460,17 +465,20 @@ def _expected_keys(stage) -> DataFrame | None:
     if isinstance(stage, _AggStage):
         src = stage.gb.source
         snap = src.static(src.change_table.version())
-        return snap.select(*stage.group_cols).dropDuplicates(stage.group_cols)
+        cols = list(stage.group_cols)
+        return tuple(cols), snap.select(*cols).dropDuplicates(cols)
     if isinstance(stage, _JoinStage):
         p = stage.preserved
         if getattr(p, "change_table", None) is None:
             return None
-        return p.static(p.change_table.version()).select(*stage.p_pks)
+        cols = list(stage.p_pks)
+        return tuple(cols), p.static(p.change_table.version()).select(*cols)
     if isinstance(stage, _UnionLegStage):
         s = stage.stream
         if getattr(s, "change_table", None) is None:
             return None
-        return s.static(s.change_table.version()).select(*stage.pks)
+        cols = list(stage.pks)
+        return tuple(cols), s.static(s.change_table.version()).select(*cols)
     return None
 
 
@@ -1200,9 +1208,21 @@ def _build_pipeline(
     stages: list = []
     roots: list[ChangeTable] = []
     governor = _Governor(options)
+    # StagedStreams bound during THIS build pass: a staged input must get
+    # its upstream stage REBUILT on every pipeline (re)construction — a
+    # prior build (rebuild(), or a second writer over the same operator
+    # objects) leaves change_table set, and treating that as "already a
+    # root" silently drops the upstream stage: the join is never replayed,
+    # staging corruption survives rebuild(), and the writer stops
+    # maintaining the view afterwards (r8 review finding, reproduced).
+    # The set (not the binding) also keeps a diamond-shaped staged input
+    # consumed by two downstream stages from being built twice per pass.
+    bound_here: set[int] = set()
 
     def bind_input(stream: Stream, stage_dir: str) -> None:
-        if isinstance(stream, StagedStream) and stream.change_table is None:
+        if isinstance(stream, StagedStream):
+            if id(stream) in bound_here:
+                return
             # a user-pinned stagingPath wins over the default __stages/ slot
             # (reference explicit stagingPath, elzyme/joins.py:867-873)
             build(stream.parent, stream.staging_path or stage_dir, False)
@@ -1210,6 +1230,7 @@ def _build_pipeline(
             stream.change_table = ct
             stream._static_fn = ct.snapshot
             stream._stream_fn = ct.read_change_stream
+            bound_here.add(id(stream))
         elif stream.change_table is None:
             raise ValueError(
                 f"incremental mode needs ChangeTable-backed sources; "
@@ -1485,8 +1506,18 @@ class _WriterBase:
         transform may filter some of them out of the view, but those
         keys appear in source history, so the replay has already
         reconciled them); only keys outside the sources entirely are
-        phantoms. One key-projection anti-join per target, a commit only
-        when phantoms exist — rebuild-only cost, never on the hot path."""
+        phantoms.
+
+        A target row is a phantom iff NO stage expects it: stages
+        feeding one target are grouped by their reconcile key columns —
+        expected sets with the SAME columns union (multi-leg unions: a
+        row any leg expects survives), different column groups intersect
+        via chained anti-joins (a join target's row expected by the join
+        stage survives the union-leg group's verdict). Anti-joins are
+        null-safe: aggregate group keys and outer-join targets
+        legitimately carry NULL key parts. The final delete scopes the
+        doomed ROWS by the target's own primary keys — rebuild-only
+        cost, never on the hot path."""
         committed = 0
         by_target: dict[int, tuple] = {}
         for st in self.pipeline.stages:
@@ -1494,20 +1525,24 @@ class _WriterBase:
             exp = _expected_keys(st)
             if t is None or exp is None:
                 continue
-            by_target.setdefault(id(t), (t, []))[1].append(exp)
-        for t, exps in by_target.values():
-            keys = list(t.primary_keys)
-            expected = exps[0].select(*keys)
-            for e in exps[1:]:
-                expected = expected.unionByName(e.select(*keys))
-            phantoms = (
-                t.snapshot()
-                .select(*keys)
-                .join(expected.dropDuplicates(keys), keys, "left_anti")
-            )
-            if phantoms.isEmpty():
+            groups = by_target.setdefault(id(t), (t, {}))[1]
+            groups.setdefault(exp[0], []).append(exp[1])
+        for t, groups in by_target.values():
+            doomed = t.snapshot().alias("snap")
+            for cols, exps in groups.items():
+                expected = exps[0]
+                for e in exps[1:]:
+                    expected = expected.unionByName(e)
+                expected = expected.dropDuplicates(list(cols)).alias("exp")
+                doomed = doomed.join(
+                    expected, _null_safe_on("snap", "exp", cols), "left_anti"
+                ).alias("snap")
+            if doomed.isEmpty():
                 continue
-            t.replace_keys(phantoms, keys, t.snapshot().limit(0))
+            keys = list(t.primary_keys)
+            t.replace_keys(
+                doomed.select(*keys), keys, t.snapshot().limit(0)
+            )
             committed += 1
         return committed
 

@@ -510,3 +510,28 @@ def test_threaded_writers_overlapping_keys_seq_law(spark, tmp_path):
     ct = ChangeTable(spark, path)
     assert ct.version() == 6                      # all six commits landed
     assert _snap(ct) == [(1, "b5", 5.0, 5)]       # highest seq wins
+
+
+def test_unparseable_claim_ages_out_on_mtime(spark, tmp_path):
+    """r8: the hardlink-free put_if_absent fallback can die between the
+    O_EXCL create and the payload write, leaving an EMPTY claim file with
+    no heartbeat to age — json-unparseable, so the body-based steal never
+    fires and the slot would wedge every future writer. _try_claim ages
+    unparseable claims on the FILE's mtime instead."""
+    import json
+    import os
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"])
+    ct.merge(df)
+    v = ct.version() + 1
+    claim = os.path.join(path, "manifests", f"claim_v{v}.json")
+    with open(claim, "w"):  # the crashed writer's empty claim
+        pass
+    fresh = ChangeTable(spark, path)
+    fresh._claim_stale_s = 0.0
+    fresh._claim_wait_s = 1.0
+    assert fresh._try_claim(v)  # stolen on mtime, not wedged
+    body = json.loads(open(claim).read())
+    assert body["token"] == fresh._writer_token

@@ -497,3 +497,113 @@ def test_fresh_checkpoint_rebuilds_instead_of_skipping(spark, tmp_path):
     w2.rebuild()
     assert_same(w2.toDF(), oracle())
     assert w2.run() == 0  # rebuilt view is drained
+
+
+def test_rebuild_replays_staged_stages_and_keeps_maintaining(spark, tmp_path):
+    """r8 review finding (reproduced): rebuilding a CHAINED pipeline must
+    rebuild the staged upstream stage too. The first build binds the
+    StagedStream to its staging ChangeTable; a rebuild that treats the
+    bound stream as a root (a) never replays the join — out-of-band
+    staging corruption survives into the final view — and (b) leaves the
+    writer blind to all further source CDC."""
+    cust_ct = ChangeTable.create(
+        spark, str(tmp_path / "cust"),
+        spark.createDataFrame([], CUST).schema, ["id"],
+    )
+    ord_ct = ChangeTable.create(
+        spark, str(tmp_path / "ord"),
+        spark.createDataFrame([], ORD).schema, ["oid"],
+    )
+    path = str(tmp_path / "totals")
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .select(c["id"], c["seg"], o["oid"], o["price"])
+        .groupBy("seg")
+        .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        .writeToPath(path)
+    )
+
+    def oracle():
+        C = cust_ct.snapshot().alias("c")
+        O = ord_ct.snapshot().alias("o")
+        return (
+            C.join(O, F.col("c.id") == F.col("o.cid"))
+            .groupBy("seg")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cust_ct.merge(spark.createDataFrame(
+        [(1, "ann", "A"), (2, "bob", "B")], CUST))
+    ord_ct.merge(spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0)], ORD))
+    w.run()
+    assert_same(w.toDF(), oracle())
+
+    # corrupt the STAGING table out-of-band: a phantom join row under keys
+    # no source produces
+    staging = ChangeTable(spark, f"{path}__stages/src")
+    staging.merge(spark.createDataFrame(
+        [(77, "PHANTOM", 777, 1000.0)],
+        "id long, seg string, oid long, price double",
+    ))
+    w.rebuild()
+    # the rebuilt pipeline kept BOTH stages and the phantom is gone
+    kinds = {type(st).__name__ for st in w.pipeline.stages}
+    assert "_JoinStage" in kinds and "_AggStage" in kinds, kinds
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().where("seg = 'PHANTOM'").isEmpty()
+
+    # the SAME writer object still maintains the view after rebuild()
+    ord_ct.merge(spark.createDataFrame([(12, 1, 100.0)], ORD))
+    assert w.run() > 0
+    assert_same(w.toDF(), oracle())
+
+
+def test_rebuild_prunes_phantom_on_pure_join_target(spark, tmp_path):
+    """r8 review finding (reproduced): _prune_phantoms anti-joined on the
+    join target's COMPOSED primary keys while the expected-key frame
+    carried only the preserved side's — every rebuild() of a
+    join-materialization pipeline raised UNRESOLVED_COLUMN after the full
+    replay. The prune now works in each stage's own reconcile key space."""
+    cust_ct = ChangeTable.create(
+        spark, str(tmp_path / "cust"),
+        spark.createDataFrame([], CUST).schema, ["id"],
+    )
+    ord_ct = ChangeTable.create(
+        spark, str(tmp_path / "ord"),
+        spark.createDataFrame([], ORD).schema, ["oid"],
+    )
+    path = str(tmp_path / "pairs")
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    w = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .select(c["id"], c["seg"], o["oid"], o["price"])
+        .writeToPath(path)
+    )
+    cust_ct.merge(spark.createDataFrame(
+        [(1, "ann", "A"), (2, "bob", "B")], CUST))
+    ord_ct.merge(spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0)], ORD))
+    w.run()
+
+    tgt = ChangeTable(spark, path)
+    tgt.merge(spark.createDataFrame(
+        [(99, "PHANTOM", 999, 0.0)],
+        "id long, seg string, oid long, price double",
+    ))
+    w.rebuild()  # raised AnalysisException before the fix
+
+    def oracle():
+        C = cust_ct.snapshot().alias("c")
+        O = ord_ct.snapshot().alias("o")
+        return C.join(O, F.col("c.id") == F.col("o.cid")).select(
+            "c.id", "c.seg", "o.oid", "o.price"
+        )
+
+    assert_same(w.toDF(), oracle())
+    assert w.toDF().where("seg = 'PHANTOM'").isEmpty()

@@ -53,22 +53,26 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
     base = tempfile.mkdtemp(prefix="sj_ivm_profile_")
-    cct = ChangeTable.create(
-        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
-    )
     oct_ = ChangeTable.create(
         spark, f"{base}/o", orders.schema, ["o_orderkey"], n_buckets=8
     )
-    cct.merge(cust)
     oct_.merge(orders)
-    c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
     o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
-    joined = (
-        c.join(o, "inner")
-        .on(c["c_custkey"] == o["o_custkey"])
-        .select(c["c_custkey"], c["c_mktsegment"],
-                o["o_orderkey"], o["o_totalprice"])
-    )
+    # the customer table feeds only the join-bearing shapes — building it
+    # for 'agg' would add untimed bulk-load jobs to an attribution tool
+    cct = None
+    if shape in ("join", "chain"):
+        cct = ChangeTable.create(
+            spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+        )
+        cct.merge(cust)
+        c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
+        joined = (
+            c.join(o, "inner")
+            .on(c["c_custkey"] == o["o_custkey"])
+            .select(c["c_custkey"], c["c_mktsegment"],
+                    o["o_orderkey"], o["o_totalprice"])
+        )
     if shape == "join":
         w = joined
     elif shape == "agg":
@@ -92,12 +96,15 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
     )
     w.run()
     # the ivm_join_cdc churn round: updates fan out, deletes retract,
-    # clones insert
-    cct.merge(
-        cust.where(F.col("c_custkey") % 5 == 0).select(
-            "c_custkey", "c_name", F.lit("MOVED").alias("c_mktsegment")
+    # clones insert (customer churn only exists for the join-bearing
+    # shapes; for 'agg' those commits touched an unconsumed table and
+    # only wasted profile wall-clock)
+    if cct is not None:
+        cct.merge(
+            cust.where(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey", "c_name", F.lit("MOVED").alias("c_mktsegment")
+            )
         )
-    )
     oct_.delete_where("o_orderkey % 13 = 1")
     oct_.merge(
         orders.where(F.col("o_orderkey") % 17 == 2).select(
@@ -108,11 +115,13 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
     w.run()
     # micro-churn rounds of decreasing width → byte spread across slices
     for mod in (7, 23, 101):
-        cct.merge(
-            cust.where(F.col("c_custkey") % mod == 3).select(
-                "c_custkey", "c_name", F.lit(f"M{mod}").alias("c_mktsegment")
+        if cct is not None:
+            cct.merge(
+                cust.where(F.col("c_custkey") % mod == 3).select(
+                    "c_custkey", "c_name",
+                    F.lit(f"M{mod}").alias("c_mktsegment"),
+                )
             )
-        )
         w.run()
 
     mt = ChangeTable(spark, f"{base}/metrics")
