@@ -3624,6 +3624,81 @@ def q_ivm_optimize_vacuum(spark, sf_dir):
     return ct.snapshot()
 
 
+def q_ivm_union_cdc(spark, sf_dir):
+    """IVM e2e: ``.union()`` on a live join pipeline (reference
+    elzyme/joins.py:861-865) — the leg is an extra root feed maintaining
+    its own disjoint key-space of the shared target via its own
+    _UnionLegStage (streaming/incremental.py). CDC round touches BOTH
+    feeds: customers re-segment (join rows recompute), leg rows delete
+    (%9) and update (%21 → 'EXT2', re-inserting any %9-deleted among
+    them — merge runs after the delete). Key disjointness holds by
+    construction: join rows carry o_orderkey%4==0, leg rows %4==1.
+    Maintained table ≡ the batch join of final states UNION ALL the
+    leg's final state."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    join_orders = orders.where(F.col("o_orderkey") % 4 == 0)
+    # leg key disjointness is on the JOIN's reconcile scope too (the
+    # preserved side's c_custkey — a join-side slice replaces every target
+    # row under its affected c_custkeys), so the leg offsets c_custkey
+    # out of the customer key space, not just o_orderkey
+    leg_rows = orders.where(F.col("o_orderkey") % 4 == 1).select(
+        (F.col("o_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.lit("EXTERNAL").alias("c_mktsegment"),
+        "o_orderkey", "o_totalprice",
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_union_")
+    cct = ChangeTable.create(
+        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+    )
+    oct_ = ChangeTable.create(
+        spark, f"{base}/o", join_orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    lct = ChangeTable.create(
+        spark, f"{base}/leg", leg_rows.schema,
+        ["c_custkey", "o_orderkey"], n_buckets=8,
+    )
+    cct.merge(cust)
+    oct_.merge(join_orders)
+    lct.merge(leg_rows)
+    c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
+    o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
+    leg = Stream.fromChangeTable(lct, "leg").primaryKeys(
+        "c_custkey", "o_orderkey"
+    )
+    w = (
+        c.join(o, "inner")
+        .on(c["c_custkey"] == o["o_custkey"])
+        .select(c["c_custkey"], c["c_mktsegment"],
+                o["o_orderkey"], o["o_totalprice"])
+        .union(leg)
+        .writeToPath(f"{base}/state")
+    )
+    w.run()
+    cct.merge(
+        cust.where(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey", F.lit("MOVED6").alias("c_mktsegment")
+        )
+    )
+    lct.delete_where("o_orderkey % 9 = 1")
+    lct.merge(
+        leg_rows.where(F.col("o_orderkey") % 21 == 2).select(
+            "c_custkey", F.lit("EXT2").alias("c_mktsegment"),
+            "o_orderkey", "o_totalprice",
+        )
+    )
+    w.run()
+    return w.toDF()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_inner": q_join_inner,
@@ -3777,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_rebuild": q_ivm_rebuild,
         "ivm_governor_rungs": q_ivm_governor_rungs,
         "ivm_optimize_vacuum": q_ivm_optimize_vacuum,
+        "ivm_union_cdc": q_ivm_union_cdc,
     }
 
 
@@ -6775,5 +6851,25 @@ def oracle_sql() -> dict[str, str]:
                o_totalprice
         FROM orders
         WHERE o_orderkey % 4 = 0 AND o_orderkey % 13 <> 1
+    """
+    out["ivm_union_cdc"] = """
+        WITH final_c AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 6 = 0 THEN 'MOVED6'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer),
+        joined AS (
+            SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+            FROM final_c c JOIN orders o ON c.c_custkey = o.o_custkey
+            WHERE o.o_orderkey % 4 = 0),
+        leg AS (
+            SELECT o_custkey + 1000000 AS c_custkey,
+                   CASE WHEN o_orderkey % 21 = 2 THEN 'EXT2'
+                        ELSE 'EXTERNAL' END AS c_mktsegment,
+                   o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 4 = 1
+              AND (o_orderkey % 9 <> 1 OR o_orderkey % 21 = 2))
+        SELECT * FROM joined UNION ALL SELECT * FROM leg
     """
     return out

@@ -734,7 +734,14 @@ class _UnionLegStage:
     the leg's pinned snapshot filtered to those keys; ``replace_keys``
     reconciles. Leg primary keys must be named like the target's and carry
     values disjoint from the other legs' — the same contract the
-    reference's keyed MERGE imposes on a unioned pipeline."""
+    reference's keyed MERGE imposes on a unioned pipeline. Disjointness
+    must hold on the JOIN stage's reconcile scope specifically (the
+    preserved side's pks, not just the composed tuple): a join slice
+    replaces EVERY target row under its affected preserved keys — it has
+    to, or vanished-pair deletes would be missed — so a leg row sharing a
+    preserved-key value with live join rows would be wiped by the next
+    join slice touching that key (the ivm_union_cdc gate query offsets
+    its leg keys for exactly this reason)."""
 
     def __init__(
         self,
