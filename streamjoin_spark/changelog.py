@@ -1338,18 +1338,6 @@ class ChangeTable:
             self._apply_generated(new_rows).select(*self._data_cols()).persist()
         )
 
-        # ONE distinct-parts job over both frames (also materializes the
-        # two persists in the same pass)
-        parts = self._collect_parts(
-            old_scope.select(*self._data_cols())
-            .unionByName(new_rows.select(*self._data_cols()))
-        )
-        cur_parts = self._read_parts(manifest, parts)
-        survivors = cur_parts.alias(C).join(
-            scope.alias(K), scope_cond(C, K), "left_anti"
-        ).select(*self._data_cols())
-        new_content = survivors.unionByName(new_rows)
-
         # ONE full-outer diff join classifies inserts / deletes / updates —
         # three separate anti/inner joins would recompute the same
         # scope-sized match three times. Presence is tracked by explicit
@@ -1385,18 +1373,50 @@ class ChangeTable:
             .unionByName(self._tag(deletes, DELETE, v))
         ).persist()
         try:
-            # no-op batches must not commit: an empty commit would produce new
-            # change files, re-trigger downstream stages, and loop forever.
-            # Probe the cached diff with ONE predicate (any row that is not
-            # an unchanged matched pair) instead of isEmpty on the 4-way
-            # union — the union probe launches one job per branch (r8
-            # profile); this is a single scan of the same cache and
-            # materializes it for the writes below all the same.
-            if diff.where(
-                ~(n_present & o_present
-                  & data_struct(N).eqNullSafe(data_struct(O)))
-            ).isEmpty():
+            # ONE aggregate over the cached diff answers both protocol
+            # questions (r8: this was two actions — a distinct-parts
+            # collect plus a no-op probe — each launching its own job
+            # cascade): (a) the distinct part ids of old_scope ∪ new_rows
+            # — the diff's full outer contains every row of both, and a
+            # matched UPDATE pair can span TWO parts when partition_by is
+            # a non-key column that changed, so both sides' part ids are
+            # collected; (b) whether any row is not an unchanged matched
+            # pair (the no-op test). Bounded by 2·n_buckets values —
+            # driver-safe.
+            pb_cols = self.partition_by or self.primary_keys
+
+            def part_over(q):
+                return F.pmod(
+                    F.xxhash64(*[F.col(f"{q}.`{c}`") for c in pb_cols]),
+                    F.lit(self.n_buckets),
+                )
+
+            probe = diff.agg(
+                F.collect_set(
+                    F.when(n_present, part_over(N))
+                ).alias("pn"),
+                F.collect_set(
+                    F.when(o_present, part_over(O))
+                ).alias("po"),
+                F.max(
+                    F.when(
+                        ~(n_present & o_present
+                          & data_struct(N).eqNullSafe(data_struct(O))),
+                        1,
+                    ).otherwise(0)
+                ).alias("has_change"),
+            ).collect()[0]
+            # no-op batches must not commit: an empty commit would produce
+            # new change files, re-trigger downstream stages, and loop
+            # forever.
+            if not probe["has_change"]:
                 return v - 1
+            parts = sorted(set(probe["pn"]) | set(probe["po"]))
+            cur_parts = self._read_parts(manifest, parts)
+            survivors = cur_parts.alias(C).join(
+                scope.alias(K), scope_cond(C, K), "left_anti"
+            ).select(*self._data_cols())
+            new_content = survivors.unionByName(new_rows)
             # compaction keyed off the caller's small-scope signal, not the
             # auto plan-size gate: the recomputed slice is a join-heavy plan
             # whose Catalyst size estimate overshoots by orders of magnitude
