@@ -3529,7 +3529,7 @@ def q_ivm_governor_rungs(spark, sf_dir):
     threshold, so the scope filter takes the Bloom pre-reduction and
     exact shuffle semi-join tiers of `_Governor.scoped`'s ladder instead
     of the broadcast fast path, and the Δ probe leg loses its broadcast
-    hint (streaming/incremental.py:172-243). The gate thus stamps what
+    hint (``_Governor.scoped`` / ``_Governor.hint``). The gate thus stamps what
     tests/test_governor.py pins structurally: rung degradation is a pure
     execution-strategy change — the maintained table is bit-identical to
     the batch join of the final states. This is the 100 TB path: a bulk

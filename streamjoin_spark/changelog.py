@@ -344,6 +344,26 @@ class ChangeTable:
         except Exception:  # noqa: BLE001 — estimate is best-effort
             return None
 
+    @classmethod
+    def _est_bytes_if_scan(cls, df: DataFrame) -> int | None:
+        """Plan-size estimate ONLY for scan-rooted plans (no join /
+        aggregate / cached-relation node in the optimized plan) — the one
+        shape where Catalyst's estimate is the on-disk byte sum. Join- and
+        agg-heavy plans (every IVM slice) overestimate by orders of
+        magnitude, so they return None = "unknown": gates must treat None
+        as pass, never as decline (r8 ADVICE — an externally precomputed
+        multi-GB scan-rooted frame under a small key scope must not ride
+        the small-scope hint into a serialized compacted write, while an
+        overestimating IVM slice must keep its compaction)."""
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            s = plan.toString()
+            if "Join" in s or "Aggregate" in s or "InMemoryRelation" in s:
+                return None
+            return int(plan.stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — estimate is best-effort
+            return None
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         if not dirs:
             return self.spark.createDataFrame([], self.schema())
@@ -1334,6 +1354,12 @@ class ChangeTable:
         old_scope = cur_all.alias(C).join(
             scope.alias(K), scope_cond(C, K), "left_semi"
         ).select(*self._data_cols()).persist()
+        # probe the INCOMING frame's size before persist wraps it: a
+        # scan-rooted multi-GB new_rows (externally precomputed bulk
+        # replace) must veto the small-scope compaction hint below, or the
+        # write serializes through ≤32 tasks; join-heavy IVM slices return
+        # None here (unknown = pass — their estimates overshoot wildly)
+        new_est = self._est_bytes_if_scan(new_rows)
         new_rows = (
             self._apply_generated(new_rows).select(*self._data_cols()).persist()
         )
@@ -1436,6 +1462,7 @@ class ChangeTable:
                     hint_broadcast
                     and rewrite_est is not None
                     and rewrite_est <= COMPACT_WRITE_MAX_BYTES
+                    and (new_est is None or new_est <= COMPACT_WRITE_MAX_BYTES)
                 ),
             )
             return v

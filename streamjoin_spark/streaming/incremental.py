@@ -1232,6 +1232,25 @@ def _build_pipeline(
                 return
             # a user-pinned stagingPath wins over the default __stages/ slot
             # (reference explicit stagingPath, elzyme/joins.py:867-873)
+            slot = (stream.staging_path or stage_dir).rstrip("/")
+            if (
+                stream.change_table is not None
+                and stream.change_table.path != slot
+            ):
+                # the StagedStream was already bound by a DIFFERENT writer's
+                # build (its staging table lives under that writer's
+                # __stages/ slot): rebinding here would silently redirect
+                # the first writer's already-built stages to this writer's
+                # staging table — operator graphs are single-writer. Share
+                # the UPSTREAM operator between writers instead, or pin a
+                # common .stagingPath() on the staged input.
+                raise ValueError(
+                    f"staged input of {stream.name!r} is already bound to "
+                    f"{stream.change_table.path!r} by another writer; this "
+                    f"build would stage it at {slot!r}. Operator graphs "
+                    "are single-writer — give each writer its own staged "
+                    "operator objects, or pin a shared stagingPath."
+                )
             build(stream.parent, stream.staging_path or stage_dir, False)
             ct = stages[-1].target
             stream.change_table = ct

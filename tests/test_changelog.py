@@ -758,3 +758,28 @@ def test_small_commit_writes_compact_files(spark, tmp_path):
     # correctness on the compacted layout
     snap = {r["id"]: r["name"] for r in ct.snapshot().collect()}
     assert len(snap) == n and snap[0] == "upd" and snap[1] == "name1"
+
+
+def test_est_bytes_canary_on_parquet_scan(spark, tmp_path):
+    """Canary for the private Catalyst stats accessor (_est_bytes rides
+    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()): it
+    must return a positive number on a parquet-scan plan, or a Spark
+    upgrade has silently disabled write compaction (the auto-gate treats
+    None as "don't compact") — fail loudly here instead."""
+    p = str(tmp_path / "scan")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    scan = spark.read.parquet(p)
+    est = ChangeTable._est_bytes(scan)
+    assert est is not None and est > 0, (
+        "Catalyst plan-size estimate broke: write compaction is silently "
+        f"disabled (got {est!r})"
+    )
+    # the scan-rooted variant agrees on a pure scan...
+    scan_est = ChangeTable._est_bytes_if_scan(scan)
+    assert scan_est == est
+    # ...and returns None (= unknown, gates must pass) on join/agg plans,
+    # whose estimates overshoot by orders of magnitude
+    joined = scan.alias("a").join(scan.alias("b"), "id")
+    assert ChangeTable._est_bytes_if_scan(joined) is None
+    agged = scan.groupBy("id").count()
+    assert ChangeTable._est_bytes_if_scan(agged) is None

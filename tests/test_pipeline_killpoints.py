@@ -607,3 +607,40 @@ def test_rebuild_prunes_phantom_on_pure_join_target(spark, tmp_path):
 
     assert_same(w.toDF(), oracle())
     assert w.toDF().where("seg = 'PHANTOM'").isEmpty()
+
+
+def test_second_writer_over_same_staged_operators_raises(spark, tmp_path):
+    """r8 ADVICE: bind_input rebinds a shared StagedStream's change_table
+    on every build, so a SECOND writer built over the same operator
+    objects would silently redirect the first writer's already-built
+    stages to its own staging table. Operator graphs are single-writer —
+    the second build must raise, not corrupt."""
+    cust_ct = ChangeTable.create(
+        spark, str(tmp_path / "cust"),
+        spark.createDataFrame([], CUST).schema, ["id"],
+    )
+    ord_ct = ChangeTable.create(
+        spark, str(tmp_path / "ord"),
+        spark.createDataFrame([], ORD).schema, ["oid"],
+    )
+    c = Stream.fromChangeTable(cust_ct, "c").primaryKeys("id")
+    o = Stream.fromChangeTable(ord_ct, "o").primaryKeys("oid")
+    agg = (
+        c.join(o, "inner")
+        .on(c["id"] == o["cid"])
+        .select(c["id"], c["seg"], o["oid"], o["price"])
+        .groupBy("seg")
+        .agg(F.sum("price").alias("total"))
+    )
+    cust_ct.merge(spark.createDataFrame([(1, "ann", "A")], CUST))
+    ord_ct.merge(spark.createDataFrame([(10, 1, 5.0)], ORD))
+    w1 = agg.writeToPath(str(tmp_path / "t1"))
+    w1.run()
+    w2 = agg.writeToPath(str(tmp_path / "t2"))
+    with pytest.raises(ValueError, match="already bound"):
+        w2.run()
+    # the first writer is undisturbed: still bound to ITS staging table
+    # and still maintaining
+    ord_ct.merge(spark.createDataFrame([(11, 1, 7.0)], ORD))
+    w1.run()
+    assert {r["total"] for r in w1.toDF().collect()} == {12.0}
