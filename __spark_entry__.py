@@ -3624,6 +3624,50 @@ def q_ivm_optimize_vacuum(spark, sf_dir):
     return ct.snapshot()
 
 
+def q_ivm_rebucket(spark, sf_dir):
+    """Online re-bucketing under the gate (r9): ``compact(n_buckets=N)``
+    re-tiers a grown table's copy-on-write granularity as a zero-change-row
+    OPTIMIZE commit whose new bucket count rides the same atomic meta bump
+    — the un-freeze of the creation-time ``n_buckets`` (the engine's own
+    layout knob; Delta has no analog, Iceberg's bucket-transform evolution
+    is the nearest public story). The cycle interleaves both directions
+    (4 → 16 up-tier after a fragmenting bulk+append, 16 → 8 down-tier
+    after churn) with MERGE-update, DELETE and a final vacuum; the
+    snapshot must equal plain SQL over the simulated final state —
+    re-bucketing never changes content, and writers after it hash into
+    the new bucket space (changelog.py ``compact``; sub-part COW stats
+    re-attach on every rewritten dir)."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 2)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_rebucket_")
+    ct = ChangeTable.create(
+        spark, f"{base}/t", orders.schema, ["o_orderkey"], n_buckets=4
+    )
+    ct.merge(orders.where(F.col("o_orderkey") % 3 != 2))   # bulk load
+    ct.append(orders.where(F.col("o_orderkey") % 3 == 2))  # fragmenting leg
+    ct.compact(n_buckets=16)                               # up-tier
+    assert ct.n_buckets == 16
+    ct.merge(
+        orders.where(F.col("o_orderkey") % 17 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.lit("REBKT").alias("o_orderpriority"), "o_totalprice",
+        )
+    )
+    ct.delete_where("o_orderkey % 11 = 3")
+    ct.compact(n_buckets=8)                                # down-tier
+    assert ct.n_buckets == 8
+    ct.vacuum(retain_versions=2)
+    return ct.snapshot()
+
+
 def q_ivm_union_cdc(spark, sf_dir):
     """IVM e2e: ``.union()`` on a live join pipeline (reference
     elzyme/joins.py:861-865) — the leg is an extra root feed maintaining
@@ -3853,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_governor_rungs": q_ivm_governor_rungs,
         "ivm_optimize_vacuum": q_ivm_optimize_vacuum,
         "ivm_union_cdc": q_ivm_union_cdc,
+        "ivm_rebucket": q_ivm_rebucket,
     }
 
 
@@ -6871,5 +6916,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey % 4 = 1
               AND (o_orderkey % 9 <> 1 OR o_orderkey % 21 = 2))
         SELECT * FROM joined UNION ALL SELECT * FROM leg
+    """
+    out["ivm_rebucket"] = """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'REBKT'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 = 2 AND o_orderkey % 11 <> 3
     """
     return out

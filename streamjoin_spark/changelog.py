@@ -22,13 +22,20 @@ Copy-on-write physics (the 100 TB story):
 - Rows are hash-assigned to ``n_buckets`` parts on the partition columns
   (``partition_by`` if set, else the primary keys). A snapshot version is a
   *manifest*: part id → list of immutable data dirs, exactly Delta's
-  file-level metadata in miniature.
+  file-level metadata in miniature. Each dir entry carries per-column
+  min/max/has-null stats on the key columns, harvested from the parquet
+  FOOTERS at commit time (driver-side metadata reads, zero Spark jobs) —
+  the Delta-log per-file stats analog.
 - **Appends are O(batch)**: the new file-set is added to each touched
   part's dir list; nothing is read or rewritten.
-- **Merges/replaces are O(affected parts)**: only parts containing matched
-  keys are consolidated into a new dir; all other parts carry their dir
-  lists forward untouched — the same bounded rewrite as a partition-pruned
-  Delta MERGE (reference pruning: elzyme/joins.py:619-632, 676-682).
+- **Merges/replaces are O(scope-intersecting files)** — sub-part
+  copy-on-write (r9): within each affected part, only dirs whose key-stat
+  ranges intersect the batch's key bounds are read and consolidated;
+  stat-disjoint dirs carry forward in the manifest untouched, so a churn
+  commit's write amplification scales with the DELTA, not the bucket
+  size. This is the same bounded rewrite as a file-pruned Delta MERGE
+  (reference pruning: elzyme/joins.py:619-632, 676-682); parts are the
+  coarse tier, footer stats the fine tier.
 - ``changes/`` is append-only and consumed by the Structured Streaming
   file source, giving real microbatch semantics (new commit ⇒ new files ⇒
   new microbatch) with no custom receiver.
@@ -62,6 +69,149 @@ from .streams import CHANGE_TYPE, COMMIT_VERSION, DELETE, INSERT, UPDATE_POST, U
 
 META_FILE = "_changelog_meta.json"
 PART = "__part"
+
+# manifest dir-entry stats: only JSON-round-trippable scalar types whose
+# Python ordering matches Spark's column ordering participate (UTF-8 byte
+# order == code-point order for strings; bool is an int subclass).
+# Timestamps/decimals/binary simply carry no stats — sound, never wrong.
+_STATS_TYPES = (int, float, str)
+
+# scopes at or under this many keys are collected driver-side so pruning
+# tests each VALUE against a dir's [min, max] (bisect per entry) instead
+# of the scope's single global interval — a churn slice touching keys
+# {5, 19000} must not un-prune every dir in between. Bounded collect:
+# 64k scalar keys is single-digit MBs, well under what the caller's
+# broadcast hint already asserts fits the driver (the IVM governor
+# broadcasts far bigger scopes).
+_SCOPE_VALUES_MAX = 65_536
+
+# compacted writes sort each part by the stats columns and split files at
+# this row count, so a CONSOLIDATED part becomes several files with tight
+# DISJOINT key ranges — the granularity future churn commits prune and
+# carry forward at (Delta's optimized-write + per-file-stats pairing).
+# ~50-500 MB per file at typical row widths.
+SPLIT_ROWS_PER_FILE = 512_000
+
+# a dir with more files than this gets ONE merged-stats entry instead of
+# per-file entries — manifest-size guard for giant unsplit bulk writes
+_ENTRY_FILES_MAX = 1024
+
+
+def _entry_dir(e) -> str:
+    """A manifest dir entry is either a plain rel-path string (pre-r9
+    layout, or a dir whose files carry no usable stats) or a dict
+    ``{"d": rel_path, "s": {col: [min, max, has_null]}}``."""
+    return e["d"] if isinstance(e, dict) else e
+
+
+def _entry_excluded(e, bounds: dict | None) -> bool:
+    """True iff the entry's footer stats PROVE no key tuple within
+    ``bounds`` ({col: (min, max, has_null)}) can have a row in this dir.
+    Sound, never complete: missing stats, missing columns, or
+    cross-engine-incomparable types all read as "may contain". Per
+    column: a non-null scope value can only match inside the dir's
+    [min, max] (nulls never equal non-nulls under eqNullSafe); a null
+    scope value only matches if the dir has nulls. Any single column
+    proving disjointness excludes the dir."""
+    stats = e.get("s") if isinstance(e, dict) else None
+    if not stats or not bounds:
+        return False
+    for c, sb in bounds.items():
+        ds = stats.get(c)
+        if ds is None:
+            continue
+        s_lo, s_hi, s_null = sb[0], sb[1], sb[2]
+        s_vals = sb[3] if len(sb) > 3 else None
+        d_lo, d_hi, d_null = ds
+        try:
+            nonnull_overlap = (
+                s_lo is not None
+                and d_lo is not None
+                and not (s_lo > d_hi or s_hi < d_lo)
+            )
+            if nonnull_overlap and s_vals is not None:
+                # small scope: exact value-vs-range test (bisect on the
+                # sorted value list) — scattered keys whose global
+                # interval spans the dir can still miss it
+                import bisect  # noqa: PLC0415 - stdlib, hot driver loop
+
+                i = bisect.bisect_left(s_vals, d_lo)
+                nonnull_overlap = i < len(s_vals) and s_vals[i] <= d_hi
+        except TypeError:  # cross-type comparison — assume overlap
+            nonnull_overlap = True
+        null_overlap = bool(s_null) and (d_null is None or bool(d_null))
+        if not (nonnull_overlap or null_overlap):
+            return True
+    return False
+
+
+def _dir_stats(abs_path: str, cols: Sequence[str]) -> dict | None:
+    """Per-path (min, max, has_null) for each stats column, folded from
+    the parquet FOOTERS — driver-side metadata reads only, no Spark job,
+    no data pages (the Delta transaction-log per-file stats analog, built
+    the way Delta builds them: from the writer's own footer statistics).
+    ``abs_path`` may be a directory (stats merged across its files) or a
+    single parquet file. Truncated binary stats are still sound bounds
+    (parquet rounds min down / max up). A column missing usable stats in
+    ANY row group drops out; returns None when nothing usable remains."""
+    import pyarrow.parquet as pq  # noqa: PLC0415 - driver-only probe
+
+    want = set(cols)
+    acc: dict[str, list] = {}
+    dead: set[str] = set()
+    found = False
+    if os.path.isfile(abs_path):
+        walk = [(os.path.dirname(abs_path), (), [os.path.basename(abs_path)])]
+    else:
+        walk = os.walk(abs_path)
+    for root, _dirs, files in walk:
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            found = True
+            try:
+                md = pq.read_metadata(os.path.join(root, fn))
+            except Exception:  # noqa: BLE001 — stats are best-effort
+                return None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for j in range(rgm.num_columns):
+                    colmeta = rgm.column(j)
+                    name = colmeta.path_in_schema
+                    if name not in want or name in dead:
+                        continue
+                    st = colmeta.statistics
+                    if st is None or not st.has_min_max:
+                        dead.add(name)
+                        acc.pop(name, None)
+                        continue
+                    mn, mx = st.min, st.max
+                    if not (
+                        isinstance(mn, _STATS_TYPES)
+                        and isinstance(mx, _STATS_TYPES)
+                    ):
+                        dead.add(name)
+                        acc.pop(name, None)
+                        continue
+                    # None null_count = unknown → conservative True
+                    hn = st.null_count is None or st.null_count > 0
+                    cur = acc.get(name)
+                    if cur is None:
+                        acc[name] = [mn, mx, hn]
+                        continue
+                    try:
+                        if mn < cur[0]:
+                            cur[0] = mn
+                        if mx > cur[1]:
+                            cur[1] = mx
+                    except TypeError:
+                        dead.add(name)
+                        acc.pop(name, None)
+                        continue
+                    cur[2] = cur[2] or hn
+    if not found or not acc:
+        return None
+    return acc
 
 # Small commits are repartitioned to one task (→ one file) per part before
 # the partitioned write: without it every write task emits a file per part
@@ -314,16 +464,161 @@ class ChangeTable:
     def _manifest_path(self, v: int) -> str:
         return os.path.join(self.path, "manifests", f"v{v}.json")
 
-    def _manifest(self, v: int) -> dict[str, list[str]]:
+    def _manifest(self, v: int) -> dict[str, list]:
+        """part id → list of dir entries (plain rel-path strings or
+        stats-carrying dicts — see ``_entry_dir``)."""
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def _part_expr(self):
-        cols = self.partition_by or self.primary_keys
-        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.n_buckets))
+    def _stats_cols(self) -> list[str]:
+        """Columns whose per-dir min/max land in the manifest: the primary
+        keys (what merge/replace scopes probe on) plus the partition
+        columns (what part assignment hashes on)."""
+        cols = list(self.primary_keys)
+        for c in self.partition_by:
+            if c not in cols:
+                cols.append(c)
+        return cols
 
-    def _with_part(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(PART, self._part_expr())
+    def _stats_entry(self, rel: str):
+        """Manifest entry for a freshly written path (dir or file): rel
+        path + footer stats when any stats column yielded usable bounds,
+        else the plain string (keeps legacy shape and manifest size when
+        stats would never prune)."""
+        s = _dir_stats(os.path.join(self.path, rel), self._stats_cols())
+        return {"d": rel, "s": s} if s else rel
+
+    def _entries_for(self, rel_dir: str) -> list:
+        """Manifest entries for a freshly written part dir — PER FILE when
+        the dir holds several parquet files (the sub-part COW granularity:
+        compacted rewrites sort by the stats columns and split at
+        ``SPLIT_ROWS_PER_FILE``, so each file carries a tight, disjoint
+        key range and future commits rewrite only scope-intersecting
+        FILES); one merged-stats dir entry for single-file dirs and for
+        pathologically wide unsplit writes (``_ENTRY_FILES_MAX`` manifest
+        guard). This is exactly Delta's add-file granularity: the
+        manifest tracks files within a part, per-file min/max stats from
+        the footers."""
+        abs_dir = os.path.join(self.path, rel_dir)
+        try:
+            files = sorted(
+                f for f in os.listdir(abs_dir) if f.endswith(".parquet")
+            )
+        except OSError:
+            files = []
+        if 1 < len(files) <= _ENTRY_FILES_MAX:
+            return [
+                self._stats_entry(os.path.join(rel_dir, f)) for f in files
+            ]
+        return [self._stats_entry(rel_dir)]
+
+    @staticmethod
+    def _prunable(manifest: dict) -> bool:
+        """Sub-part pruning can only save work when some part has MORE
+        than one dir (there must be something to carry forward) — the
+        gate that keeps fully-compacted tables (the IVM steady state,
+        one consolidated dir per part) paying ZERO extra actions for the
+        stats machinery."""
+        return any(len(es) > 1 for es in manifest.values())
+
+    def _scope_bounds(
+        self, frame: DataFrame, key_cols, small: bool = True
+    ) -> dict | None:
+        """Per-column (min, max, has_null[, value list]) of a write's key
+        scope — ONE tiny all-to-one aggregate (partial-agg reduce,
+        O(scope) scan), the probe side of sub-part pruning. ``small``
+        (the caller's broadcast-size hint) additionally folds a
+        size-capped ``collect_set`` into the SAME action: when the
+        distinct key count fits ``_SCOPE_VALUES_MAX`` the COMPLETE value
+        list rides along (slicing to MAX+1 detects overflow — an
+        incomplete list would be unsound and is discarded); scattered
+        keys then prune by exact membership instead of one global
+        interval. Only columns that are also stats columns participate;
+        pruning on a SUBSET of the scope's key columns stays sound (a
+        dir that cannot match on one column cannot match the tuple).
+        Returns None (= prune nothing) when no column qualifies or the
+        probe fails."""
+        stats_cols = set(self._stats_cols())
+        cols = [c for c in key_cols if c in stats_cols]
+        if not cols:
+            return None
+        aggs = []
+        for i, c in enumerate(cols):
+            col = F.col(f"`{c}`")
+            aggs.append(F.min(col).alias(f"lo{i}"))
+            aggs.append(F.max(col).alias(f"hi{i}"))
+            aggs.append(F.max(col.isNull().cast("int")).alias(f"nl{i}"))
+            if small:
+                # collect_set drops nulls; partial aggregation bounds the
+                # executor-side set by the caller-asserted small scope
+                aggs.append(
+                    F.slice(
+                        F.collect_set(col), 1, _SCOPE_VALUES_MAX + 1
+                    ).alias(f"vs{i}")
+                )
+        try:
+            row = frame.agg(*aggs).collect()[0]
+        except Exception:  # noqa: BLE001 — pruning is best-effort
+            return None
+        out = {}
+        for i, c in enumerate(cols):
+            lo, hi = row[f"lo{i}"], row[f"hi{i}"]
+            if lo is not None and not isinstance(lo, _STATS_TYPES):
+                continue  # type never comparable against JSON stats
+            vals = None
+            if small:
+                vs = row[f"vs{i}"]
+                if vs is not None and 0 < len(vs) <= _SCOPE_VALUES_MAX:
+                    vals = tuple(sorted(vs))
+            out[c] = (lo, hi, bool(row[f"nl{i}"]), vals)
+        return out or None
+
+    def _read_pruned(
+        self,
+        manifest: dict,
+        bounds: dict | None,
+        part_ids: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Read the manifest's dirs (optionally restricted to given
+        parts), skipping every dir whose footer stats prove it disjoint
+        from ``bounds`` — the file-pruning tier under the part-pruning
+        tier. ``bounds=None`` disables pruning (plain part read)."""
+        want = None if part_ids is None else {str(p) for p in part_ids}
+        dirs = [
+            _entry_dir(e)
+            for p, es in manifest.items()
+            if want is None or p in want
+            for e in es
+            if not _entry_excluded(e, bounds)
+        ]
+        return self._read_dirs(dirs)
+
+    def _carry_forward(
+        self, manifest: dict, bounds: dict | None, part_ids: Sequence[int]
+    ) -> dict[str, list]:
+        """The manifest entries a rewrite commit KEEPS per affected part:
+        exactly the dirs ``_read_pruned`` skipped, so read set ∪ carry
+        set = the part's full dir list under the same bounds."""
+        if not bounds:
+            return {}
+        return {
+            str(p): [
+                e
+                for e in manifest.get(str(p), ())
+                if _entry_excluded(e, bounds)
+            ]
+            for p in part_ids
+        }
+
+    def _part_expr(self, n_buckets: int | None = None):
+        cols = self.partition_by or self.primary_keys
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols]),
+            F.lit(n_buckets or self.n_buckets),
+        )
+
+    def _with_part(self, df: DataFrame, n_buckets: int | None = None) -> DataFrame:
+        return df.withColumn(PART, self._part_expr(n_buckets))
 
     def _collect_parts(self, df: DataFrame) -> list[int]:
         """Distinct part ids of a frame — bounded by n_buckets, so the
@@ -372,9 +667,7 @@ class ChangeTable:
 
     def _read_parts(self, manifest: dict, part_ids: Sequence[int]) -> DataFrame:
         """Pruned read: only the data dirs of the given parts."""
-        want = {str(p) for p in part_ids}
-        dirs = [d for p, ds in manifest.items() if p in want for d in ds]
-        return self._read_dirs(dirs)
+        return self._read_pruned(manifest, None, part_ids)
 
     # ------------------------------------------------------------------
     # readers
@@ -384,7 +677,9 @@ class ChangeTable:
         elzyme/streams.py:118-124)."""
         v = self.version() if version is None else version
         manifest = self._manifest(v)
-        return self._read_dirs([d for ds in manifest.values() for d in ds])
+        return self._read_dirs(
+            [_entry_dir(e) for es in manifest.values() for e in es]
+        )
 
     def change_floor(self) -> int:
         """Oldest version whose change range is still readable — bumped by
@@ -691,6 +986,8 @@ class ChangeTable:
         content_in_changes: bool = False,
         meta_updates: dict | None = None,
         compact: bool | None = None,
+        carry_forward: dict[str, list] | None = None,
+        part_n_buckets: int | None = None,
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -726,6 +1023,13 @@ class ChangeTable:
         ``COMPACT_WRITE_MAX_BYTES``. ``None`` auto-gates on the content's
         plan-size estimate; callers with a better signal (replace_keys'
         small-scope hint) pass it explicitly.
+
+        ``carry_forward``: sub-part copy-on-write — per rewritten part,
+        the manifest entries to KEEP alongside the new consolidated dir
+        (the stat-disjoint dirs the writer's pruned read skipped; the
+        writer guarantees read set ∪ carry set covers the part). Absent
+        → the part's old dirs are fully superseded (pre-r9 semantics).
+        Every fresh dir entry picks up footer stats via ``_stats_entry``.
         """
         v = new_version
         self._assert_claim(v)  # abort pre-write if the slot was stolen
@@ -749,10 +1053,15 @@ class ChangeTable:
             changes_abs = os.path.join(self.path, changes_rel)
             frame = self._with_part(changes.select(*change_cols))
             if compact:
-                frame = frame.repartition(min(self.n_buckets, 32), F.col(PART))
+                # sort by the stats columns inside each part so split
+                # files carry tight disjoint key ranges (sub-part COW)
+                frame = frame.repartition(
+                    min(self.n_buckets, 32), F.col(PART)
+                ).sortWithinPartitions(PART, *self._stats_cols())
             (
                 frame
                 .write.mode("overwrite")
+                .option("maxRecordsPerFile", SPLIT_ROWS_PER_FILE)
                 .partitionBy(PART)
                 .parquet(changes_abs)
             )
@@ -762,7 +1071,9 @@ class ChangeTable:
                     continue
                 p = d.split("=", 1)[1]
                 manifest.setdefault(p, [])
-                manifest[p].append(os.path.join(changes_rel, d))
+                manifest[p].extend(
+                    self._entries_for(os.path.join(changes_rel, d))
+                )
             self._publish(v, manifest, op, meta_updates=meta_updates)
             return
         # Two actions per rewrite commit (data dirs + change files). A
@@ -777,7 +1088,8 @@ class ChangeTable:
         changes_abs = os.path.join(self.path, "changes", f"c{v}")
         if wrote_any:
             out = self._with_part(
-                content.select(*self._data_cols(), *cluster_by)
+                content.select(*self._data_cols(), *cluster_by),
+                n_buckets=part_n_buckets,
             )
             if cluster_by:
                 # one task per part, rows z-sorted inside it → every file's
@@ -789,11 +1101,18 @@ class ChangeTable:
                     .drop(*cluster_by)
                 )
             elif compact:
-                out = out.repartition(min(self.n_buckets, 32), F.col(PART))
+                out = out.repartition(
+                    min(part_n_buckets or self.n_buckets, 32), F.col(PART)
+                ).sortWithinPartitions(PART, *self._stats_cols())
                 # hash collisions may co-locate two parts in one task —
-                # still exactly one file per part dir (partitionBy splits
-                # per task), while capping task count for wide-bucket tables
-            out.write.mode("overwrite").partitionBy(PART).parquet(commit_abs)
+                # still one file-RUN per part dir (partitionBy splits per
+                # task; maxRecordsPerFile splits big parts into sorted
+                # files with tight disjoint key ranges — the sub-part COW
+                # granularity), while capping task count for wide-bucket
+                # tables
+            out.write.mode("overwrite").option(
+                "maxRecordsPerFile", SPLIT_ROWS_PER_FILE
+            ).partitionBy(PART).parquet(commit_abs)
         ch = changes.select(*change_cols)
         if compact:
             # change files are flat (rewrite layout): a handful of balanced
@@ -814,11 +1133,18 @@ class ChangeTable:
         else:
             on_disk = set()
         for p in rewritten_parts:
-            manifest.pop(str(p), None)  # consolidated: old dirs superseded
+            # consolidated: old dirs superseded, minus the stat-disjoint
+            # dirs the writer's pruned read never touched (sub-part COW)
+            kept = list((carry_forward or {}).get(str(p), ()))
+            if kept:
+                manifest[str(p)] = kept
+            else:
+                manifest.pop(str(p), None)
         for p in on_disk:
-            entry = os.path.join(commit_rel, f"{PART}={p}")
             manifest.setdefault(p, [])
-            manifest[p].append(entry)
+            manifest[p].extend(
+                self._entries_for(os.path.join(commit_rel, f"{PART}={p}"))
+            )
         self._publish(v, manifest, op, meta_updates=meta_updates)
 
     # ------------------------------------------------------------------
@@ -1146,10 +1472,20 @@ class ChangeTable:
             return v
 
         # locate affected parts: staged rows' own parts + parts of current
-        # rows with the same PKs (found via a pruned-by-nothing key probe —
-        # at scale this is the same "find matching files" scan Delta MERGE
-        # does, with the staged side broadcast)
-        cur_all = self.snapshot(v - 1)
+        # rows with the same PKs (found via a key probe over the
+        # FILE-PRUNED snapshot — at scale this is the same "find matching
+        # files" scan Delta MERGE does, with the staged side broadcast and
+        # footer stats skipping every dir whose PK range is disjoint from
+        # the batch's)
+        bounds = (
+            self._scope_bounds(
+                staged.select(*self.primary_keys), self.primary_keys,
+                small=hint_broadcast,
+            )
+            if self._prunable(manifest)
+            else None
+        )
+        cur_all = self._read_pruned(manifest, bounds)
         S, C = "staged", "cur"
         probe = staged.alias(S)
         if hint_broadcast:
@@ -1161,7 +1497,7 @@ class ChangeTable:
             staged.select(*self._data_cols())
             .unionByName(cur_matching.select(*self._data_cols()))
         )
-        cur = self._read_parts(manifest, parts)
+        cur = self._read_pruned(manifest, bounds, parts)
 
         sdf, cdf = staged.alias(S), cur.alias(C)
         pk_cond = self._pk_cond(S, C)
@@ -1198,8 +1534,11 @@ class ChangeTable:
             .unionByName(self._tag(preimages, UPDATE_PRE, v))
             .unionByName(self._tag(postimages, UPDATE_POST, v))
         )
-        self._write_commit(v, changes, rewritten=new_content,
-                           rewritten_parts=parts, op="MERGE")
+        self._write_commit(
+            v, changes, rewritten=new_content, rewritten_parts=parts,
+            op="MERGE",
+            carry_forward=self._carry_forward(manifest, bounds, parts),
+        )
         applied.unpersist()
         staged.unpersist()
         return v
@@ -1337,11 +1676,22 @@ class ChangeTable:
                 return v
             finally:
                 new_rows.unpersist()
-        cur_all = self.snapshot(v - 1)
         key_cols = list(key_cols)
         scope = scope_keys.select(*key_cols).dropDuplicates(key_cols)
+        # sub-part COW: the scope's key bounds (one tiny aggregate) prune
+        # the snapshot read AND split each affected part's dirs into
+        # rewrite vs carry-forward — a churn commit rewrites only the
+        # files that can hold scoped keys, not the whole hash bucket.
+        # Skipped entirely (zero extra actions) when every part is a
+        # single consolidated dir — nothing to carry forward then.
+        bounds = (
+            self._scope_bounds(scope, key_cols, small=hint_broadcast)
+            if self._prunable(manifest)
+            else None
+        )
         if hint_broadcast:
             scope = F.broadcast(scope)
+        cur_all = self._read_pruned(manifest, bounds)
 
         def scope_cond(a: str, b: str):
             cond = None
@@ -1438,7 +1788,7 @@ class ChangeTable:
             if not probe["has_change"]:
                 return v - 1
             parts = sorted(set(probe["pn"]) | set(probe["po"]))
-            cur_parts = self._read_parts(manifest, parts)
+            cur_parts = self._read_pruned(manifest, bounds, parts)
             survivors = cur_parts.alias(C).join(
                 scope.alias(K), scope_cond(C, K), "left_anti"
             ).select(*self._data_cols())
@@ -1458,6 +1808,7 @@ class ChangeTable:
                 v, changes, rewritten=new_content,
                 rewritten_parts=parts, op=op,
                 meta_updates=meta_updates,
+                carry_forward=self._carry_forward(manifest, bounds, parts),
                 compact=(
                     hint_broadcast
                     and rewrite_est is not None
@@ -1486,12 +1837,32 @@ class ChangeTable:
             cur_all = self.snapshot(v - 1)
             doomed = cur_all.where(condition).persist()
             parts = self._collect_parts(doomed)
-            remaining = self._read_parts(manifest, parts).where(
+            # sub-part COW: every condition-matching row is in ``doomed``,
+            # so a dir whose PK stats are disjoint from doomed's PK bounds
+            # holds no matching row — all its rows survive; carry it
+            # forward instead of rewriting (sound without PK uniqueness:
+            # membership in doomed is by condition, bounds cover them all)
+            # interval-only bounds (small=False): a bulk delete's doomed
+            # set can be table-sized — a collect_set over it would be the
+            # executor-memory hazard; deletes are usually range-shaped
+            # (retention horizons), which intervals prune well
+            bounds = (
+                self._scope_bounds(
+                    doomed.select(*self.primary_keys), self.primary_keys,
+                    small=False,
+                )
+                if self._prunable(manifest)
+                else None
+            )
+            remaining = self._read_pruned(manifest, bounds, parts).where(
                 ~condition | condition.isNull()
             )
             changes = self._tag(doomed, DELETE, v)
-            self._write_commit(v, changes, rewritten=remaining,
-                               rewritten_parts=parts, op="DELETE")
+            self._write_commit(
+                v, changes, rewritten=remaining, rewritten_parts=parts,
+                op="DELETE",
+                carry_forward=self._carry_forward(manifest, bounds, parts),
+            )
             doomed.unpersist()
             return v
         except BaseException:
@@ -1519,15 +1890,45 @@ class ChangeTable:
         keep_from = max(0, v - int(retain_versions) + 1)
         referenced: set[str] = set()
         for mv in range(keep_from, v + 1):
-            for dirs in self._manifest(mv).values():
-                referenced.update(dirs)
+            for entries in self._manifest(mv).values():
+                referenced.update(_entry_dir(e) for e in entries)
 
         removed = {
             "data_dirs": 0,
+            "data_files": 0,
             "change_dirs": 0,
             "change_part_dirs": 0,
+            "change_files": 0,
             "manifests": 0,
         }
+
+        def prune_part_dir(rel: str, abs_dir: str) -> tuple[bool, int]:
+            """File-granular retention inside one part dir: keep the dir
+            whole when referenced as a dir, else keep only referenced
+            FILES (manifests may reference per-file entries since r9,
+            plus each kept file's .crc sidecar). Returns (dir removed,
+            files removed)."""
+            if rel in referenced:
+                return False, 0
+            names = list(os.listdir(abs_dir))
+            kept = {
+                f for f in names if os.path.join(rel, f) in referenced
+            }
+            if not kept:
+                shutil.rmtree(abs_dir)
+                return True, 0
+            sidecars = {f".{f}.crc" for f in kept}
+            dropped = 0
+            for f in names:
+                if f in kept or f in sidecars:
+                    continue
+                fp = os.path.join(abs_dir, f)
+                if os.path.isfile(fp):
+                    os.remove(fp)
+                    if f.endswith(".parquet"):
+                        dropped += 1
+            return False, dropped
+
         data_root = os.path.join(self.path, "data")
         for commit_dir in sorted(os.listdir(data_root)):
             commit_abs = os.path.join(data_root, commit_dir)
@@ -1537,9 +1938,11 @@ class ChangeTable:
                 if not part_dir.startswith(f"{PART}="):
                     continue
                 rel = os.path.join("data", commit_dir, part_dir)
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(commit_abs, part_dir))
-                    removed["data_dirs"] += 1
+                gone, files = prune_part_dir(
+                    rel, os.path.join(commit_abs, part_dir)
+                )
+                removed["data_dirs"] += int(gone)
+                removed["data_files"] += files
             if not any(d.startswith(f"{PART}=") for d in os.listdir(commit_abs)):
                 shutil.rmtree(commit_abs)
 
@@ -1564,14 +1967,15 @@ class ChangeTable:
             kept = 0
             for pd in part_dirs:
                 rel = os.path.join("changes", change_dir, pd)
-                if rel in referenced:
-                    kept += 1
-                else:
-                    shutil.rmtree(os.path.join(commit_abs, pd))
+                gone, files = prune_part_dir(rel, os.path.join(commit_abs, pd))
+                removed["change_files"] += files
+                if gone:
                     # partial prunes of a live single-write dir are real
                     # cleanup work — count them so retention telemetry
                     # reflects what vacuum actually deleted
                     removed["change_part_dirs"] += 1
+                else:
+                    kept += 1
             if kept == 0:
                 shutil.rmtree(commit_abs)
                 removed["change_dirs"] += 1
@@ -1597,12 +2001,23 @@ class ChangeTable:
         return removed
 
     def max_dirs_per_part(self) -> int:
-        """Fragmentation probe: the longest per-part dir list in the current
-        manifest. Append-only commits grow this by one per touched part
-        (replace/merge commits consolidate their parts back to one), so it
-        is the OPTIMIZE trigger metric — file-count growth, not bytes."""
+        """Fragmentation probe: the most COMMIT DIRS referenced by any one
+        part in the current manifest (per-file entries of one dir count
+        once — the trigger metric stays commit-granular). Append-only
+        commits grow this by one per touched part, and (since sub-part
+        COW) replace/merge commits add their new consolidated dir while
+        stat-disjoint dirs/files carry forward — so churn also fragments,
+        bounded by ``maybe_compact``. Fragmentation is the deliberate
+        price of delta-proportional write amplification (exactly Delta's
+        trade, which is why OPTIMIZE exists there)."""
         m = self._manifest(self.version())
-        return max((len(d) for d in m.values()), default=0)
+        def ndirs(entries) -> int:
+            dirs = set()
+            for e in entries:
+                d = _entry_dir(e)
+                dirs.add(os.path.dirname(d) if d.endswith(".parquet") else d)
+            return len(dirs)
+        return max((ndirs(es) for es in m.values()), default=0)
 
     def maybe_compact(self, max_dirs_per_part: int = 64) -> bool:
         """Auto-OPTIMIZE policy: compact when any part's dir list exceeds
@@ -1616,7 +2031,12 @@ class ChangeTable:
             return True
         return False
 
-    def compact(self, zorder_by: Sequence[str] = (), curve: str = "z") -> int:
+    def compact(
+        self,
+        zorder_by: Sequence[str] = (),
+        curve: str = "z",
+        n_buckets: int | None = None,
+    ) -> int:
         """Consolidate every part to a single file-set (the OPTIMIZE analog:
         bounds manifest growth after many appends). Emits no change rows.
 
@@ -1629,7 +2049,21 @@ class ChangeTable:
         key never reaches disk; content and change feed are unaffected,
         so downstream incremental consumers are not disturbed.
         ``curve="hilbert"`` (2 columns only) clusters on the Hilbert key
-        instead — unit-step locality, the liquid-clustering-style sort."""
+        instead — unit-step locality, the liquid-clustering-style sort.
+
+        ``n_buckets``: ONLINE RE-BUCKETING (r9) — rewrite the table into a
+        new copy-on-write granularity in the same zero-change-row commit,
+        un-freezing the creation-time bucket count: a table that grew 100×
+        re-tiers to the documented sizing rule (one bucket ≈ a few GB)
+        without a copy job or downstream disturbance. The new count rides
+        the SAME atomic meta bump as the version (crash-retry reruns under
+        the old count until publish; version-pinned reads of older
+        manifests list their dirs explicitly, so they never re-hash).
+        Delta has no analog (hash-bucketing is the engine's own layout);
+        the closest public story is Iceberg's bucket-transform evolution,
+        which also rewrites on OPTIMIZE."""
+        if n_buckets is not None and int(n_buckets) < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         v = self._next_version()
         try:
             cur = self.snapshot(v - 1)
@@ -1648,15 +2082,24 @@ class ChangeTable:
                         f"curve must be 'z' or 'hilbert', got {curve!r}"
                     )
                 cluster_by = ("__zkey",)
+            rebucket = n_buckets is not None and int(n_buckets) != self.n_buckets
             all_parts = [int(p) for p in self._manifest(v - 1)]
             empty_changes = self.spark.createDataFrame([], self.change_schema())
+            if cluster_by:
+                op = "OPTIMIZE ZORDER"
+            elif rebucket:
+                op = "OPTIMIZE REBUCKET"
+            else:
+                op = "OPTIMIZE"
             self._write_commit(
                 v,
                 empty_changes,
                 rewritten=cur,
                 rewritten_parts=all_parts,
                 cluster_by=cluster_by,
-                op="OPTIMIZE ZORDER" if cluster_by else "OPTIMIZE",
+                op=op,
+                part_n_buckets=int(n_buckets) if rebucket else None,
+                meta_updates={"n_buckets": int(n_buckets)} if rebucket else None,
             )
             return v
         except BaseException:

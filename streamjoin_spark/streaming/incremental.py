@@ -1475,6 +1475,7 @@ class _WriterBase:
         mp = self._options.get("metricsPath")
         if mp:
             self._flush_metrics(str(mp))
+            self._purge_metrics(str(mp))
         return n
 
     def rebuild(self) -> int:
@@ -1576,7 +1577,7 @@ class _WriterBase:
         "metric_id string, stage string, target string, batch_id long, "
         "versions_from string, versions_to string, slice_bytes long, "
         "rung string, committed_version long, rows_out long, "
-        "seconds double, seq long"
+        "seconds double, seq long, flushed_ts double"
     )
 
     def _flush_metrics(self, path: str) -> None:
@@ -1596,6 +1597,9 @@ class _WriterBase:
             # MAY already be in the table are exactly those at or below
             # the hwm, and the dedupe scan runs only on an actual retry
             self._metrics_hwm: dict[tuple[int, int], int] = {}
+        flush_ts = time.time()  # one wall-clock stamp per flush batch —
+        # the metricsRetainSeconds horizon column (age of the RECORDING,
+        # deliberately not of the slice: retention is about table growth)
         rows, new_cursor = [], {}
         for idx, st in enumerate(self.pipeline.stages):
             # cursor keyed by (generation, stage ordinal), NOT id(st):
@@ -1616,7 +1620,7 @@ class _WriterBase:
                     json.dumps(rec["versions_to"]),
                     rec["slice_bytes"], rec["rung"],
                     rec["committed_version"], rec["rows_out"],
-                    rec["seconds"], rec["seq"],
+                    rec["seconds"], rec["seq"], flush_ts,
                 ))
                 cur = rec["seq"]
             new_cursor[(self._metrics_gen, idx)] = cur
@@ -1655,8 +1659,41 @@ class _WriterBase:
             if df.isEmpty():
                 self._metrics_cursor.update(new_cursor)
                 return
-        mt.append(df)
+        # merge_schema: a pre-r9 metrics table lacks flushed_ts — widen it
+        # (old rows read back null; retention treats unknown age as
+        # expired, see _purge_metrics)
+        mt.append(df, merge_schema=True)
         self._metrics_cursor.update(new_cursor)
+
+    def _purge_metrics(self, path: str) -> None:
+        """Retention for the metrics table (``metricsRetainSeconds``
+        writer option): delete metric rows older than the horizon —
+        without it the table grows one row per slice forever (r8 VERDICT
+        task 7). Amortized like vacuumRetain: at most one purge per
+        quarter-horizon of wall clock, and the delete only commits when
+        expired rows exist (probed with one bounded aggregate on a
+        table this policy keeps small). Rows from before the flushed_ts
+        column existed have unknown age and expire immediately — opting
+        into retention asserts nothing downstream needs them. Never set
+        the horizon below the pipeline's longest conceivable run gap:
+        the flush dedupe anti-join only consults rows a crash-retry
+        could re-submit, which are seconds old, so any sane horizon
+        (hours+) leaves exactly-once intact."""
+        keep = self._options.get("metricsRetainSeconds")
+        if not keep or not ChangeTable.exists(path):
+            return
+        now = time.time()
+        if now - getattr(self, "_metrics_last_purge", 0.0) < float(keep) / 4:
+            return
+        self._metrics_last_purge = now
+        mt = ChangeTable(self._spark(), path)
+        horizon = now - float(keep)
+        cond = F.col("flushed_ts").isNull() | (F.col("flushed_ts") < horizon)
+        if "flushed_ts" not in mt.schema().fieldNames():
+            return  # nothing flushed since the column landed — no ages known
+        if mt.snapshot().where(cond).isEmpty():
+            return  # no expired rows: skip the empty delete commit
+        mt.delete_where(cond)
 
     def toStream(self) -> Stream:
         """The result as a Stream for ad-hoc chaining/reads."""

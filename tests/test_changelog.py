@@ -514,8 +514,10 @@ def test_insert_only_commits_write_once(spark, tmp_path):
 
     assert not os.path.exists(os.path.join(path, "data", "c1"))
     assert not os.path.exists(os.path.join(path, "data", "c2"))
+    from streamjoin_spark.changelog import _entry_dir
+
     manifest = ct._manifest(2)
-    entries = [d for ds in manifest.values() for d in ds]
+    entries = [_entry_dir(e) for ds in manifest.values() for e in ds]
     assert entries and all(e.startswith("changes") for e in entries)
 
     # both surfaces read correctly from the shared files
@@ -783,3 +785,49 @@ def test_est_bytes_canary_on_parquet_scan(spark, tmp_path):
     assert ChangeTable._est_bytes_if_scan(joined) is None
     agged = scan.groupBy("id").count()
     assert ChangeTable._est_bytes_if_scan(agged) is None
+
+
+def test_compact_rebucket_online(spark, tmp_path):
+    """Online re-bucketing (r9): compact(n_buckets=N) re-tiers a grown
+    table's copy-on-write granularity in one zero-change-row commit —
+    content identical, feed untouched, old pinned snapshots readable,
+    later writes hash into the new bucket space."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i), 1) for i in range(200)],
+        "id long, name string, amount double, seq int",
+    )
+    path = str(tmp_path / "t")
+    ct = ChangeTable.create(spark, path, df.schema, ["id"], n_buckets=2)
+    ct.merge(df)
+    before = sorted(tuple(r) for r in ct.snapshot().collect())
+    feed_before = ct.read_change_feed().count()
+
+    v = ct.compact(n_buckets=8)
+    assert ct.n_buckets == 8
+    m = ct._manifest(v)
+    assert len(m) > 2  # data actually spread into the wider bucket space
+    assert sorted(tuple(r) for r in ct.snapshot().collect()) == before
+    assert ct.read_change_feed().count() == feed_before  # no change rows
+    # pinned pre-rebucket snapshot still reads (dirs listed explicitly)
+    assert sorted(tuple(r) for r in ct.snapshot(1).collect()) == before
+    # history carries the operation tag
+    ops = {r["version"]: r["operation"]
+           for r in ct.describe_history().collect()}
+    assert ops[v] == "OPTIMIZE REBUCKET"
+
+    # later writes hash into the new space and stay correct
+    ct.merge(spark.createDataFrame(
+        [(5, "upd", 1.0, 2), (500, "new", 2.0, 1)],
+        "id long, name string, amount double, seq int",
+    ))
+    snap = {r["id"]: r["name"] for r in ct.snapshot().collect()}
+    assert snap[5] == "upd" and snap[500] == "new" and len(snap) == 201
+
+    # a fresh instance reads the bumped bucket count from meta
+    ct2 = ChangeTable(spark, path)
+    assert ct2.n_buckets == 8
+
+    # shrinking works too (consolidation for an over-bucketed small table)
+    ct.compact(n_buckets=2)
+    assert ct.n_buckets == 2
+    assert {r["id"] for r in ct.snapshot().collect()} == set(range(200)) | {500}

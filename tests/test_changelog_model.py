@@ -80,7 +80,7 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
         return out
 
     ops = ["merge", "merge", "append", "delete", "compact", "restore",
-           "merge", "vacuum", "merge", "delete"]
+           "merge", "vacuum", "merge", "delete", "rebucket"]
     rng.shuffle(ops)
     for op in ops:
         v_before = ct.version()
@@ -106,6 +106,10 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
                 model.pop(d)
         elif op == "compact":
             ct.compact()
+        elif op == "rebucket":
+            # online re-bucketing interleaved with every other writer op:
+            # pure layout change, the model is untouched by construction
+            ct.compact(n_buckets=rng.choice([2, 4, 8, 16]))
         elif op == "restore":
             # restore only to a retained version (vacuum drops manifests)
             lo = max(0, ct.version() - 1) if vacuumed else 0

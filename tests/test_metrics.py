@@ -267,3 +267,60 @@ def test_metrics_flush_in_continuous_start_mode(spark, tmp_path):
     assert len(recs) >= 1
     assert {r["rows_out"] for r in recs} == {2}
     assert all(r["rung"] == "broadcast" for r in recs)
+
+
+def test_metrics_retention_ages_out_old_rows(spark, tmp_path):
+    """r8 VERDICT task 7: metricsRetainSeconds expires metric rows past
+    the wall-clock horizon (delete_where on flushed_ts, amortized) while
+    the flush/dedupe path keeps appending new slices untouched."""
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([], DOC).schema, ["id"],
+    )
+    mpath = str(tmp_path / "metrics")
+    w = (
+        Stream.fromChangeTable(src, "s")
+        .primaryKeys("id")
+        .to(lambda df: df)
+        .writeToPath(str(tmp_path / "view"))
+        .option("metricsPath", mpath)
+        .option("metricsRetainSeconds", 3600)
+    )
+    src.merge(_rows(spark, [(1, "a"), (2, "b")]))
+    w.run()
+    mt = ChangeTable(spark, mpath)
+    first = mt.snapshot().collect()
+    assert len(first) == 1 and first[0]["flushed_ts"] is not None
+
+    # within the horizon nothing expires (purge probe runs, deletes none)
+    w._metrics_last_purge = 0.0
+    w._purge_metrics(mpath)
+    assert mt.snapshot().count() == 1
+
+    # age the horizon to ~zero: the old row expires
+    w._options["metricsRetainSeconds"] = 1e-9
+    w._metrics_last_purge = 0.0
+    import time as _time
+
+    _time.sleep(0.01)  # ensure flushed_ts < now - 1e-9
+    w._purge_metrics(mpath)
+    assert mt.snapshot().count() == 0
+
+    # flush path unaffected: a new slice lands with a fresh stamp, and
+    # the retry-dedupe bookkeeping still advances
+    w._options["metricsRetainSeconds"] = 3600
+    src.merge(_rows(spark, [(3, "c")]))
+    w.run()
+    rows = mt.snapshot().collect()
+    assert len(rows) == 1 and rows[0]["rows_out"] == 1
+    assert rows[0]["flushed_ts"] is not None
+
+    # pre-r9 tables (no flushed_ts column) evolve on the next flush and
+    # unknown-age rows expire once retention is on — simulated by
+    # nulling the stamp through a raw update
+    mt.merge(
+        mt.snapshot().withColumn("flushed_ts", F.lit(None).cast("double"))
+    )
+    w._metrics_last_purge = 0.0
+    w._purge_metrics(mpath)
+    assert mt.snapshot().count() == 0

@@ -123,18 +123,57 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
                 )
             )
         w.run()
+    # LOCALIZED churn (r9): update the bottom ~1% of the key range — the
+    # common production shape (recent-key updates). Sub-part COW should
+    # make this slice's written bytes scale with Δ, not bucket size:
+    # files whose key range sits above the horizon carry forward.
+    o_hi = orders.agg(F.max("o_orderkey")).collect()[0][0] or 0
+    oct_.merge(
+        orders.where(F.col("o_orderkey") <= o_hi / 100).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") * 1.01).alias("o_totalprice"),
+        )
+    )
+    w.run()
 
     mt = ChangeTable(spark, f"{base}/metrics")
     recs = sorted(
         (r.asDict() for r in mt.snapshot().collect()),
         key=lambda r: r["seq"],
     )
+    def _written_mb(table_path: str, v) -> float | None:
+        """On-disk bytes this commit WROTE (data + change files of
+        version v) — the write-amplification currency of the sub-part
+        COW law (driver-side walk, no Spark job)."""
+        if v is None:
+            return None
+        total = 0
+        for sub in ("data", "changes"):
+            d = os.path.join(table_path, sub, f"c{int(v)}")
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, fn))
+        return round(total / 1e6, 3)
+
+    # metric records name their target table; map names back to paths so
+    # written_mb attributes to the right table (staging stages included)
+    table_paths: dict[str, str] = {}
+    for root, dirs, files in os.walk(base):
+        if "_changelog_meta.json" in files:
+            table_paths[os.path.basename(root)] = root
+            dirs[:] = []
+
     slices = [
         {
             "mb": round((r["slice_bytes"] or 0) / 1e6, 3),
             "s": r["seconds"],
             "rows_out": r["rows_out"],
             "rung": r["rung"],
+            "written_mb": _written_mb(
+                table_paths.get(r["target"], f"{base}/state"),
+                r["committed_version"],
+            ),
         }
         for r in recs
     ]
