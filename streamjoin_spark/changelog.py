@@ -89,8 +89,9 @@ _SCOPE_VALUES_MAX = 65_536
 # this row count, so a CONSOLIDATED part becomes several files with tight
 # DISJOINT key ranges — the granularity future churn commits prune and
 # carry forward at (Delta's optimized-write + per-file-stats pairing).
-# ~50-500 MB per file at typical row widths.
-SPLIT_ROWS_PER_FILE = 512_000
+# 128k rows ≈ 10-130 MB per file at typical row widths; _ENTRY_FILES_MAX
+# merges the manifest entry when a pathological width would explode it.
+SPLIT_ROWS_PER_FILE = 128_000
 
 # a dir with more files than this gets ONE merged-stats entry instead of
 # per-file entries — manifest-size guard for giant unsplit bulk writes
@@ -213,16 +214,31 @@ def _dir_stats(abs_path: str, cols: Sequence[str]) -> dict | None:
         return None
     return acc
 
-# Small commits are repartitioned to one task (→ one file) per part before
-# the partitioned write: without it every write task emits a file per part
-# it touches (32 tasks × 8 parts = 256 tiny files for a kB-sized slice),
-# and every LATER snapshot/affected-part read pays that file count in
-# listing + task scheduling — measured r8: the rewritten-content write was
-# the single biggest job of an IVM churn slice (2.4 s of a 7 s slice) and
-# snapshot scans of a 37k-row table ran 30-62 tasks. Commits estimated
-# over this threshold keep the task-parallel write — compacting a multi-GB
-# slice through n_buckets single tasks would serialize a bulk load.
+# Small commits are repartitioned to one task (→ one sorted file-run) per
+# part before the partitioned write: without it every write task emits a
+# file per part it touches (32 tasks × 8 parts = 256 tiny files for a
+# kB-sized slice), and every LATER snapshot/affected-part read pays that
+# file count in listing + task scheduling — measured r8: the rewritten-
+# content write was the single biggest job of an IVM churn slice (2.4 s
+# of a 7 s slice) and snapshot scans of a 37k-row table ran 30-62 tasks.
+# The gate is PER WRITE TASK since r9 (floored at the r8 total): the
+# compacted write runs min(n_buckets, 32) tasks, so what must stay
+# bounded is bytes sorted per task, not total bytes — a 600 MB rewrite
+# through 8 bucket-tasks is 75 MB/task and well worth the sorted, split,
+# stat-tight layout (without it, tables past 256 MB never got sorted
+# files and sub-part pruning could not engage exactly where the rewrite
+# bytes hurt most). Commits over the limit keep the task-parallel
+# unsorted write — compacting a multi-GB bulk load through n_buckets
+# single tasks would serialize it.
 COMPACT_WRITE_MAX_BYTES = 256 << 20
+COMPACT_WRITE_MAX_BYTES_PER_TASK = 128 << 20
+
+
+def _compact_limit(n_buckets: int) -> int:
+    return max(
+        COMPACT_WRITE_MAX_BYTES,
+        COMPACT_WRITE_MAX_BYTES_PER_TASK * min(int(n_buckets), 32),
+    )
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -542,35 +558,41 @@ class ChangeTable:
         cols = [c for c in key_cols if c in stats_cols]
         if not cols:
             return None
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__n")]
         for i, c in enumerate(cols):
             col = F.col(f"`{c}`")
             aggs.append(F.min(col).alias(f"lo{i}"))
             aggs.append(F.max(col).alias(f"hi{i}"))
             aggs.append(F.max(col.isNull().cast("int")).alias(f"nl{i}"))
-            if small:
-                # collect_set drops nulls; partial aggregation bounds the
-                # executor-side set by the caller-asserted small scope
-                aggs.append(
-                    F.slice(
-                        F.collect_set(col), 1, _SCOPE_VALUES_MAX + 1
-                    ).alias(f"vs{i}")
-                )
         try:
             row = frame.agg(*aggs).collect()[0]
         except Exception:  # noqa: BLE001 — pruning is best-effort
             return None
+        # value lists only when the scope is PROVEN small: the second
+        # (bounded) collect is cheap by definition then, and big scopes
+        # never pay set-accumulation anywhere — a collect_set folded into
+        # the first agg would build the FULL set executor-side before any
+        # cap applies (measured at 1000×: it was the churn-median
+        # regression, millions of keys accumulated per slice)
+        vals_rows = None
+        if small and 0 < row["__n"] <= _SCOPE_VALUES_MAX:
+            try:
+                vals_rows = frame.select(
+                    *[F.col(f"`{c}`") for c in cols]
+                ).collect()
+            except Exception:  # noqa: BLE001
+                vals_rows = None
         out = {}
         for i, c in enumerate(cols):
             lo, hi = row[f"lo{i}"], row[f"hi{i}"]
             if lo is not None and not isinstance(lo, _STATS_TYPES):
                 continue  # type never comparable against JSON stats
             vals = None
-            if small:
-                vs = row[f"vs{i}"]
-                if vs is not None and 0 < len(vs) <= _SCOPE_VALUES_MAX:
-                    vals = tuple(sorted(vs))
-            out[c] = (lo, hi, bool(row[f"nl{i}"]), vals)
+            if vals_rows is not None and lo is not None:
+                # lo passed the type gate, so every value is comparable
+                vals = tuple(sorted({r[i] for r in vals_rows
+                                     if r[i] is not None}))
+            out[c] = (lo, hi, bool(row[f"nl{i}"]), vals or None)
         return out or None
 
     def _read_pruned(
@@ -1046,7 +1068,9 @@ class ChangeTable:
             if content_in_changes or content_for_est is None:
                 content_for_est = changes
             est = self._est_bytes(content_for_est)
-            compact = est is not None and est <= COMPACT_WRITE_MAX_BYTES
+            compact = est is not None and est <= _compact_limit(
+                part_n_buckets or self.n_buckets
+            )
         change_cols = self._data_cols() + [CHANGE_TYPE, COMMIT_VERSION]
         if content_in_changes:
             changes_rel = os.path.join("changes", f"c{v}")
@@ -1812,8 +1836,9 @@ class ChangeTable:
                 compact=(
                     hint_broadcast
                     and rewrite_est is not None
-                    and rewrite_est <= COMPACT_WRITE_MAX_BYTES
-                    and (new_est is None or new_est <= COMPACT_WRITE_MAX_BYTES)
+                    and rewrite_est <= _compact_limit(self.n_buckets)
+                    and (new_est is None
+                         or new_est <= _compact_limit(self.n_buckets))
                 ),
             )
             return v

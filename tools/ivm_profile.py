@@ -132,6 +132,27 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
         orders.where(F.col("o_orderkey") <= o_hi / 100).select(
             "o_orderkey", "o_custkey",
             (F.col("o_totalprice") * 1.01).alias("o_totalprice"),
+        ),
+        # at 1000× this batch is ~1M rows — a broadcast probe build OOMs
+        # the shared single-JVM heap; the shuffled semi-join probe is the
+        # right physics for a bulk-width batch anyway
+        hint_broadcast=False,
+    )
+    w.run()
+    # CUSTKEY-localized churn (r9): orders of the bottom ~1% of the
+    # customer key range — the reconcile scope of every downstream slice
+    # (join stages replace by preserved-side c_custkey; the agg shape
+    # groups by o_custkey) is then LOCALIZED in the target's leading sort
+    # key, so sub-part COW should cut the slice's written bytes toward
+    # the Δ floor: target files above the horizon carry forward. This is
+    # the r8 VERDICT write-amplification scenario made measurable on the
+    # TARGET side (the o_orderkey-localized round above demonstrates the
+    # source side).
+    c_hi = orders.agg(F.max("o_custkey")).collect()[0][0] or 0
+    oct_.merge(
+        orders.where(F.col("o_custkey") <= c_hi / 100).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") * 1.001).alias("o_totalprice"),
         )
     )
     w.run()
@@ -156,23 +177,16 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
                         total += os.path.getsize(os.path.join(root, fn))
         return round(total / 1e6, 3)
 
-    # metric records name their target table; map names back to paths so
-    # written_mb attributes to the right table (staging stages included)
-    table_paths: dict[str, str] = {}
-    for root, dirs, files in os.walk(base):
-        if "_changelog_meta.json" in files:
-            table_paths[os.path.basename(root)] = root
-            dirs[:] = []
-
     slices = [
         {
             "mb": round((r["slice_bytes"] or 0) / 1e6, 3),
             "s": r["seconds"],
             "rows_out": r["rows_out"],
             "rung": r["rung"],
+            # the metric record's target field IS the table path, so
+            # written bytes attribute correctly to staging stages too
             "written_mb": _written_mb(
-                table_paths.get(r["target"], f"{base}/state"),
-                r["committed_version"],
+                r["target"] or f"{base}/state", r["committed_version"]
             ),
         }
         for r in recs
