@@ -93,9 +93,15 @@ _SCOPE_VALUES_MAX = 65_536
 # merges the manifest entry when a pathological width would explode it.
 SPLIT_ROWS_PER_FILE = 128_000
 
-# a dir with more files than this gets ONE merged-stats entry instead of
-# per-file entries — manifest-size guard for giant unsplit bulk writes
+# per-file manifest entries only up to this many files per dir —
+# manifest-size guard for pathological widths (sorted splits land far
+# below it; see _entries_for for the unsorted-write path)
 _ENTRY_FILES_MAX = 1024
+
+# footer-read cap for UNSORTED dirs (one merged-stats entry): unsorted
+# task-parallel files have overlapping ranges that barely prune, so the
+# commit path won't pay more than this many serial metadata reads for them
+_STATS_FILES_MAX_UNSORTED = 64
 
 
 def _entry_dir(e) -> str:
@@ -146,7 +152,9 @@ def _entry_excluded(e, bounds: dict | None) -> bool:
     return False
 
 
-def _dir_stats(abs_path: str, cols: Sequence[str]) -> dict | None:
+def _dir_stats(
+    abs_path: str, cols: Sequence[str], max_files: int | None = None
+) -> dict | None:
     """Per-path (min, max, has_null) for each stats column, folded from
     the parquet FOOTERS — driver-side metadata reads only, no Spark job,
     no data pages (the Delta transaction-log per-file stats analog, built
@@ -154,13 +162,19 @@ def _dir_stats(abs_path: str, cols: Sequence[str]) -> dict | None:
     ``abs_path`` may be a directory (stats merged across its files) or a
     single parquet file. Truncated binary stats are still sound bounds
     (parquet rounds min down / max up). A column missing usable stats in
-    ANY row group drops out; returns None when nothing usable remains."""
+    ANY row group drops out; returns None when nothing usable remains.
+    ``max_files`` caps the driver-side footer reads — a dir with more
+    parquet files returns None (no stats) instead of paying thousands of
+    serial metadata reads on the commit path (r9 review finding: the
+    unsorted task-parallel bulk layout can emit hundreds of files whose
+    overlapping ranges would barely prune anyway)."""
     import pyarrow.parquet as pq  # noqa: PLC0415 - driver-only probe
 
     want = set(cols)
     acc: dict[str, list] = {}
     dead: set[str] = set()
     found = False
+    seen_files = 0
     if os.path.isfile(abs_path):
         walk = [(os.path.dirname(abs_path), (), [os.path.basename(abs_path)])]
     else:
@@ -169,6 +183,9 @@ def _dir_stats(abs_path: str, cols: Sequence[str]) -> dict | None:
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue
+            seen_files += 1
+            if max_files is not None and seen_files > max_files:
+                return None
             found = True
             try:
                 md = pq.read_metadata(os.path.join(root, fn))
@@ -496,25 +513,31 @@ class ChangeTable:
                 cols.append(c)
         return cols
 
-    def _stats_entry(self, rel: str):
+    def _stats_entry(self, rel: str, max_files: int | None = None):
         """Manifest entry for a freshly written path (dir or file): rel
         path + footer stats when any stats column yielded usable bounds,
         else the plain string (keeps legacy shape and manifest size when
         stats would never prune)."""
-        s = _dir_stats(os.path.join(self.path, rel), self._stats_cols())
+        s = _dir_stats(
+            os.path.join(self.path, rel), self._stats_cols(),
+            max_files=max_files,
+        )
         return {"d": rel, "s": s} if s else rel
 
-    def _entries_for(self, rel_dir: str) -> list:
+    def _entries_for(self, rel_dir: str, sorted_write: bool = True) -> list:
         """Manifest entries for a freshly written part dir — PER FILE when
-        the dir holds several parquet files (the sub-part COW granularity:
-        compacted rewrites sort by the stats columns and split at
-        ``SPLIT_ROWS_PER_FILE``, so each file carries a tight, disjoint
-        key range and future commits rewrite only scope-intersecting
-        FILES); one merged-stats dir entry for single-file dirs and for
-        pathologically wide unsplit writes (``_ENTRY_FILES_MAX`` manifest
-        guard). This is exactly Delta's add-file granularity: the
-        manifest tracks files within a part, per-file min/max stats from
-        the footers."""
+        a SORTED write left several parquet files (the sub-part COW
+        granularity: compacted rewrites sort by the stats columns and
+        split at ``SPLIT_ROWS_PER_FILE``, so each file carries a tight,
+        disjoint key range and future commits rewrite only
+        scope-intersecting FILES); one merged-stats dir entry for
+        single-file dirs and for UNSORTED task-parallel writes, whose
+        per-file ranges overlap and would barely prune — those also cap
+        their footer reads (``_STATS_FILES_MAX_UNSORTED``) so a
+        many-hundred-file bulk commit never pays thousands of serial
+        driver-side metadata reads (r9 review finding). This is Delta's
+        add-file granularity: the manifest tracks files within a part,
+        min/max stats from the footers."""
         abs_dir = os.path.join(self.path, rel_dir)
         try:
             files = sorted(
@@ -522,11 +545,17 @@ class ChangeTable:
             )
         except OSError:
             files = []
-        if 1 < len(files) <= _ENTRY_FILES_MAX:
+        if sorted_write and 1 < len(files) <= _ENTRY_FILES_MAX:
             return [
                 self._stats_entry(os.path.join(rel_dir, f)) for f in files
             ]
-        return [self._stats_entry(rel_dir)]
+        return [
+            self._stats_entry(
+                rel_dir,
+                max_files=None if sorted_write
+                else _STATS_FILES_MAX_UNSORTED,
+            )
+        ]
 
     @staticmethod
     def _prunable(manifest: dict) -> bool:
@@ -569,17 +598,26 @@ class ChangeTable:
         except Exception:  # noqa: BLE001 — pruning is best-effort
             return None
         # value lists only when the scope is PROVEN small: the second
-        # (bounded) collect is cheap by definition then, and big scopes
-        # never pay set-accumulation anywhere — a collect_set folded into
-        # the first agg would build the FULL set executor-side before any
-        # cap applies (measured at 1000×: it was the churn-median
-        # regression, millions of keys accumulated per slice)
+        # collect is cheap by definition then, and big scopes never pay
+        # set-accumulation anywhere — a collect_set folded into the first
+        # agg would build the FULL set executor-side before any cap
+        # applies (measured at 1000×: it was the churn-median regression,
+        # millions of keys accumulated per slice). The collect itself is
+        # limit-capped at MAX+1 regardless of what the count said: the
+        # frame re-evaluates between the two actions, and an incomplete
+        # value list would be UNSOUND (files holding uncollected keys
+        # would be excluded) — cap overflow discards the list, never
+        # truncates it.
         vals_rows = None
         if small and 0 < row["__n"] <= _SCOPE_VALUES_MAX:
             try:
-                vals_rows = frame.select(
-                    *[F.col(f"`{c}`") for c in cols]
-                ).collect()
+                vals_rows = (
+                    frame.select(*[F.col(f"`{c}`") for c in cols])
+                    .limit(_SCOPE_VALUES_MAX + 1)
+                    .collect()
+                )
+                if len(vals_rows) > _SCOPE_VALUES_MAX:
+                    vals_rows = None
             except Exception:  # noqa: BLE001
                 vals_rows = None
         out = {}
@@ -589,9 +627,17 @@ class ChangeTable:
                 continue  # type never comparable against JSON stats
             vals = None
             if vals_rows is not None and lo is not None:
-                # lo passed the type gate, so every value is comparable
-                vals = tuple(sorted({r[i] for r in vals_rows
-                                     if r[i] is not None}))
+                # lo passed the type gate, so every value is comparable —
+                # except NaN, which Python cannot order (sorted() places
+                # it arbitrarily and bisect then excludes files that DO
+                # hold scoped keys — reproduced r9 review finding) and
+                # which Spark treats as equal to NaN in join keys: a
+                # NaN-carrying scope must never exclude by values (the
+                # interval path stays safe on its own — Spark's max
+                # returns NaN, and NaN comparisons read as overlap)
+                vs = {r[i] for r in vals_rows if r[i] is not None}
+                if not any(isinstance(x, float) and x != x for x in vs):
+                    vals = tuple(sorted(vs))
             out[c] = (lo, hi, bool(row[f"nl{i}"]), vals or None)
         return out or None
 
@@ -1096,7 +1142,9 @@ class ChangeTable:
                 p = d.split("=", 1)[1]
                 manifest.setdefault(p, [])
                 manifest[p].extend(
-                    self._entries_for(os.path.join(changes_rel, d))
+                    self._entries_for(
+                        os.path.join(changes_rel, d), sorted_write=compact
+                    )
                 )
             self._publish(v, manifest, op, meta_updates=meta_updates)
             return
@@ -1167,7 +1215,10 @@ class ChangeTable:
         for p in on_disk:
             manifest.setdefault(p, [])
             manifest[p].extend(
-                self._entries_for(os.path.join(commit_rel, f"{PART}={p}"))
+                self._entries_for(
+                    os.path.join(commit_rel, f"{PART}={p}"),
+                    sorted_write=bool(compact or cluster_by),
+                )
             )
         self._publish(v, manifest, op, meta_updates=meta_updates)
 
@@ -2110,12 +2161,13 @@ class ChangeTable:
             rebucket = n_buckets is not None and int(n_buckets) != self.n_buckets
             all_parts = [int(p) for p in self._manifest(v - 1)]
             empty_changes = self.spark.createDataFrame([], self.change_schema())
+            op = "OPTIMIZE"
             if cluster_by:
-                op = "OPTIMIZE ZORDER"
-            elif rebucket:
-                op = "OPTIMIZE REBUCKET"
-            else:
-                op = "OPTIMIZE"
+                op += " ZORDER"
+            if rebucket:
+                # always visible in history, combined with zorder or not —
+                # an operator auditing a layout shift must see the re-tier
+                op += " REBUCKET"
             self._write_commit(
                 v,
                 empty_changes,
