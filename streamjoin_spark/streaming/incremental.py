@@ -1498,7 +1498,15 @@ class _WriterBase:
         (the stale-watermark invariant — a partial rebuild must fail
         loudly, never silently apply half the history). Returns the
         number of stage slices that committed changes (0 = the view
-        already matched its definition)."""
+        already matched its definition).
+
+        Cost envelope (measured, SCALING.md r9 / SOAK_r9): this is the
+        REPAIR path — O(history bytes replayed + source snapshots), not
+        O(Δ). On the soak table it grew 1.3 s at 100 commits → 4.6 s at
+        1000 (governed chunks keep slice count flat; bytes dominate).
+        Budget a rebuild like a bulk re-load of the view, never like a
+        churn slice; ``_expected_keys`` additionally scans every source
+        snapshot for the phantom prune."""
         pipeline = self.pipeline
         for st in pipeline.stages:
             p = getattr(st.progress, "path", None)

@@ -266,3 +266,27 @@ def test_nan_scope_key_never_excludes_files(spark, tmp_path, monkeypatch):
     by_name = {r["name"] for r in snap}
     assert "k150-upd" in by_name and "nan-upd" in by_name
     assert "n150" not in by_name and "n500" not in by_name
+
+
+def test_unsorted_write_entries_capped(spark, tmp_path):
+    """Unsorted task-parallel writes get ONE merged-stats dir entry (their
+    overlapping per-file ranges barely prune) and _dir_stats refuses to
+    walk more footers than the cap — a many-hundred-file bulk commit must
+    not pay thousands of serial driver-side metadata reads."""
+    p = str(tmp_path / "many")
+    spark.range(300).repartition(3).write.parquet(p)  # 3 files
+    assert _dir_stats(p, ["id"]) is not None
+    assert _dir_stats(p, ["id"], max_files=2) is None  # over cap → no stats
+
+    df = spark.range(1000).selectExpr("id", "concat('n', id) AS name")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=2
+    )
+    ct.merge(df)
+    # an unsorted write's entry emission: merged dir entry, never per-file
+    entry0 = _entry_dir(ct._manifest(1)["0"][0])
+    part_dir = (
+        os.path.dirname(entry0) if entry0.endswith(".parquet") else entry0
+    )
+    entries = ct._entries_for(part_dir, sorted_write=False)
+    assert len(entries) == 1
