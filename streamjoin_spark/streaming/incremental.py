@@ -1241,15 +1241,14 @@ def _build_pipeline(
                 # build (its staging table lives under that writer's
                 # __stages/ slot): rebinding here would silently redirect
                 # the first writer's already-built stages to this writer's
-                # staging table — operator graphs are single-writer. Share
-                # the UPSTREAM operator between writers instead, or pin a
-                # common .stagingPath() on the staged input.
+                # staging table — operator graphs are single-writer.
                 raise ValueError(
                     f"staged input of {stream.name!r} is already bound to "
                     f"{stream.change_table.path!r} by another writer; this "
                     f"build would stage it at {slot!r}. Operator graphs "
-                    "are single-writer — give each writer its own staged "
-                    "operator objects, or pin a shared stagingPath."
+                    "are single-writer — build each writer over its own "
+                    "operator objects (construct the join/agg chain once "
+                    "per writer)."
                 )
             build(stream.parent, stream.staging_path or stage_dir, False)
             ct = stages[-1].target
