@@ -3668,6 +3668,87 @@ def q_ivm_rebucket(spark, sf_dir):
     return ct.snapshot()
 
 
+def q_ivm_read_where(spark, sf_dir):
+    """Reader-side data skipping end-to-end (r10): ``read_where`` — the
+    exact scoped read over the changelog substrate
+    (changelog.ChangeTable.read_where / snapshot_pruned). A bounded key
+    scope restricts the read to the scope's owning hash parts (the part
+    ids ride the bounds probe's value collect) and, within them, to the
+    split files whose footer key stats intersect the scope — the read
+    twin of the r9 sub-part copy-on-write, what Delta serves from its
+    transaction-log data skipping. The cycle layers bulk merge, a churn
+    update and a delete first, so the scoped read must see the HEAD
+    state through a multi-dir manifest with carried-forward entries.
+    At 100 TB: a 64k-key probe against a 600 MB/bucket table opens ~one
+    split file per owning bucket instead of every file of every part."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 3)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_readwhere_")
+    ct = ChangeTable.create(
+        spark, f"{base}/t", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    ct.merge(orders)                                       # bulk load
+    ct.merge(                                              # localized churn
+        orders.where(F.col("o_orderkey") % 13 == 1).select(
+            "o_orderkey", "o_custkey",
+            F.lit("SCOPED").alias("o_orderpriority"), "o_totalprice",
+        )
+    )
+    ct.delete_where("o_orderkey % 19 = 7")
+    keys = orders.where(F.col("o_orderkey") % 7 == 2).select("o_orderkey")
+    return ct.read_where(keys, ["o_orderkey"])
+
+
+def q_ivm_zorder_read(spark, sf_dir):
+    """Post-ZORDER scoped reads (r10, VERDICT r9 task 5):
+    ``compact(zorder_by=...)`` records the clustered dimensions as
+    manifest STATS columns (changelog.compact → stats_cols_extra), so the
+    z-sorted files' tight footer hyper-rectangles prune scoped reads —
+    and scoped rewrites — on NON-key columns. ``read_where`` on
+    ``o_custkey`` (not the primary key: no part restriction possible,
+    pure file-stats pruning) after churn + ZORDER must return exactly the
+    scoped rows. Before r10 the manifest carried no stats on the zorder
+    dimensions and post-ZORDER tables could not prune on them at all."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 1)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_zorder_")
+    ct = ChangeTable.create(
+        spark, f"{base}/t", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    ct.merge(orders)
+    ct.merge(
+        orders.where(F.col("o_orderkey") % 23 == 5).select(
+            "o_orderkey", "o_custkey",
+            F.lit("ZORD").alias("o_orderpriority"), "o_totalprice",
+        )
+    )
+    ct.delete_where("o_orderkey % 31 = 9")
+    ct.compact(zorder_by=["o_custkey", "o_totalprice"])
+    assert ct.stats_extra_cols == ("o_custkey", "o_totalprice")
+    keys = (
+        orders.where(F.col("o_custkey") % 50 == 3)
+        .select("o_custkey")
+        .distinct()
+    )
+    return ct.read_where(keys, ["o_custkey"])
+
+
 def q_ivm_union_cdc(spark, sf_dir):
     """IVM e2e: ``.union()`` on a live join pipeline (reference
     elzyme/joins.py:861-865) — the leg is an extra root feed maintaining
@@ -3898,6 +3979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_optimize_vacuum": q_ivm_optimize_vacuum,
         "ivm_union_cdc": q_ivm_union_cdc,
         "ivm_rebucket": q_ivm_rebucket,
+        "ivm_read_where": q_ivm_read_where,
+        "ivm_zorder_read": q_ivm_zorder_read,
     }
 
 
@@ -6924,5 +7007,23 @@ def oracle_sql() -> dict[str, str]:
                o_totalprice
         FROM orders
         WHERE o_orderkey % 4 = 2 AND o_orderkey % 11 <> 3
+    """
+    out["ivm_read_where"] = """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 13 = 1 THEN 'SCOPED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 = 3 AND o_orderkey % 19 <> 7
+          AND o_orderkey % 7 = 2
+    """
+    out["ivm_zorder_read"] = """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 23 = 5 THEN 'ZORD'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 = 1 AND o_orderkey % 31 <> 9
+          AND o_custkey % 50 = 3
     """
     return out

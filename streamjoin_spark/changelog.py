@@ -187,46 +187,51 @@ def _dir_stats(
             if max_files is not None and seen_files > max_files:
                 return None
             found = True
+            # the WHOLE per-file fold is best-effort, not just the footer
+            # read: statistics accessors themselves can raise (e.g. a
+            # truncated binary min/max failing UTF-8 decode inside
+            # pyarrow) and must degrade to stats-less entries instead of
+            # failing the commit (r9 ADVICE)
             try:
                 md = pq.read_metadata(os.path.join(root, fn))
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for j in range(rgm.num_columns):
+                        colmeta = rgm.column(j)
+                        name = colmeta.path_in_schema
+                        if name not in want or name in dead:
+                            continue
+                        st = colmeta.statistics
+                        if st is None or not st.has_min_max:
+                            dead.add(name)
+                            acc.pop(name, None)
+                            continue
+                        mn, mx = st.min, st.max
+                        if not (
+                            isinstance(mn, _STATS_TYPES)
+                            and isinstance(mx, _STATS_TYPES)
+                        ):
+                            dead.add(name)
+                            acc.pop(name, None)
+                            continue
+                        # None null_count = unknown → conservative True
+                        hn = st.null_count is None or st.null_count > 0
+                        cur = acc.get(name)
+                        if cur is None:
+                            acc[name] = [mn, mx, hn]
+                            continue
+                        try:
+                            if mn < cur[0]:
+                                cur[0] = mn
+                            if mx > cur[1]:
+                                cur[1] = mx
+                        except TypeError:
+                            dead.add(name)
+                            acc.pop(name, None)
+                            continue
+                        cur[2] = cur[2] or hn
             except Exception:  # noqa: BLE001 — stats are best-effort
                 return None
-            for rg in range(md.num_row_groups):
-                rgm = md.row_group(rg)
-                for j in range(rgm.num_columns):
-                    colmeta = rgm.column(j)
-                    name = colmeta.path_in_schema
-                    if name not in want or name in dead:
-                        continue
-                    st = colmeta.statistics
-                    if st is None or not st.has_min_max:
-                        dead.add(name)
-                        acc.pop(name, None)
-                        continue
-                    mn, mx = st.min, st.max
-                    if not (
-                        isinstance(mn, _STATS_TYPES)
-                        and isinstance(mx, _STATS_TYPES)
-                    ):
-                        dead.add(name)
-                        acc.pop(name, None)
-                        continue
-                    # None null_count = unknown → conservative True
-                    hn = st.null_count is None or st.null_count > 0
-                    cur = acc.get(name)
-                    if cur is None:
-                        acc[name] = [mn, mx, hn]
-                        continue
-                    try:
-                        if mn < cur[0]:
-                            cur[0] = mn
-                        if mx > cur[1]:
-                            cur[1] = mx
-                    except TypeError:
-                        dead.add(name)
-                        acc.pop(name, None)
-                        continue
-                    cur[2] = cur[2] or hn
     if not found or not acc:
         return None
     return acc
@@ -360,6 +365,16 @@ class ChangeTable:
     @property
     def n_buckets(self) -> int:
         return int(self._meta.get("n_buckets", 32))
+
+    @property
+    def n_buckets_since(self) -> int:
+        """First version whose manifest parts are hashed under the CURRENT
+        ``n_buckets`` (bumped by online re-bucketing). Scoped reads of
+        versions at or past this may restrict to the scope keys' hash
+        parts; older pinned manifests were hashed under a different count,
+        so part restriction is skipped there (file-stats pruning still
+        applies)."""
+        return int(self._meta.get("n_buckets_since", 0))
 
     def version(self) -> int:
         # re-read: another process (a chained upstream query) may have
@@ -503,28 +518,59 @@ class ChangeTable:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
+    @property
+    def stats_extra_cols(self) -> tuple[str, ...]:
+        """Extra stats columns beyond pk+partition — recorded by
+        ``compact(zorder_by=...)`` (and settable via
+        ``set_stats_columns``) so post-ZORDER tables can prune scoped
+        rewrites AND scoped reads on the clustered dimensions."""
+        return tuple(self._meta.get("stats_cols_extra", ()))
+
+    def set_stats_columns(self, *cols: str) -> None:
+        """Declare extra manifest-stats columns (beyond pk + partition).
+        Future commits harvest footer min/max for them; pruning on any
+        subset of scope columns stays sound (missing stats read as "may
+        contain"), so existing entries need no rewrite. Metadata-only
+        atomic update, like schema evolution."""
+        known = set(self._data_cols())
+        bad = [c for c in cols if c not in known]
+        if bad:
+            raise ValueError(f"unknown stats column(s) {bad}")
+        meta = dict(self._read_meta())
+        merged = list(dict.fromkeys([*meta.get("stats_cols_extra", ()), *cols]))
+        meta["stats_cols_extra"] = merged
+        self._write_meta(meta)
+
     def _stats_cols(self) -> list[str]:
         """Columns whose per-dir min/max land in the manifest: the primary
-        keys (what merge/replace scopes probe on) plus the partition
-        columns (what part assignment hashes on)."""
+        keys (what merge/replace scopes probe on), the partition columns
+        (what part assignment hashes on), plus any declared extras
+        (z-order dimensions — see ``stats_extra_cols``)."""
         cols = list(self.primary_keys)
-        for c in self.partition_by:
+        for c in (*self.partition_by, *self.stats_extra_cols):
             if c not in cols:
                 cols.append(c)
         return cols
 
-    def _stats_entry(self, rel: str, max_files: int | None = None):
+    def _stats_entry(
+        self, rel: str, max_files: int | None = None,
+        stats_cols: Sequence[str] | None = None,
+    ):
         """Manifest entry for a freshly written path (dir or file): rel
         path + footer stats when any stats column yielded usable bounds,
         else the plain string (keeps legacy shape and manifest size when
         stats would never prune)."""
         s = _dir_stats(
-            os.path.join(self.path, rel), self._stats_cols(),
+            os.path.join(self.path, rel),
+            self._stats_cols() if stats_cols is None else list(stats_cols),
             max_files=max_files,
         )
         return {"d": rel, "s": s} if s else rel
 
-    def _entries_for(self, rel_dir: str, sorted_write: bool = True) -> list:
+    def _entries_for(
+        self, rel_dir: str, sorted_write: bool = True,
+        stats_cols: Sequence[str] | None = None,
+    ) -> list:
         """Manifest entries for a freshly written part dir — PER FILE when
         a SORTED write left several parquet files (the sub-part COW
         granularity: compacted rewrites sort by the stats columns and
@@ -547,13 +593,19 @@ class ChangeTable:
             files = []
         if sorted_write and 1 < len(files) <= _ENTRY_FILES_MAX:
             return [
-                self._stats_entry(os.path.join(rel_dir, f)) for f in files
+                self._stats_entry(os.path.join(rel_dir, f), stats_cols=stats_cols)
+                for f in files
             ]
         return [
             self._stats_entry(
                 rel_dir,
-                max_files=None if sorted_write
+                # footer-read cap in BOTH fallback arms: a sorted dir past
+                # _ENTRY_FILES_MAX would otherwise pay an unbounded serial
+                # metadata read for one merged entry (r9 ADVICE) — exactly
+                # the cost the unsorted cap exists to prevent
+                max_files=_ENTRY_FILES_MAX if sorted_write
                 else _STATS_FILES_MAX_UNSORTED,
+                stats_cols=stats_cols,
             )
         ]
 
@@ -567,7 +619,8 @@ class ChangeTable:
         return any(len(es) > 1 for es in manifest.values())
 
     def _scope_bounds(
-        self, frame: DataFrame, key_cols, small: bool = True
+        self, frame: DataFrame, key_cols, small: bool = True,
+        with_parts: bool = False,
     ) -> dict | None:
         """Per-column (min, max, has_null[, value list]) of a write's key
         scope — ONE tiny all-to-one aggregate (partial-agg reduce,
@@ -582,11 +635,20 @@ class ChangeTable:
         pruning on a SUBSET of the scope's key columns stays sound (a
         dir that cannot match on one column cannot match the tuple).
         Returns None (= prune nothing) when no column qualifies or the
-        probe fails."""
+        probe fails.
+
+        ``with_parts`` (scoped READS): additionally ride the value
+        collect with the scope's PART ids (the partition-column hash —
+        caller guarantees the partition columns are among ``frame``'s
+        columns), returning ``(bounds, parts)`` instead — rows for a key
+        tuple can only live in that tuple's hash part, so a small scope
+        restricts the read to its owning parts on top of file-stats
+        pruning. Parts are None when the value collect was skipped or
+        overflowed (unbounded scopes never pay a driver-side set)."""
         stats_cols = set(self._stats_cols())
         cols = [c for c in key_cols if c in stats_cols]
         if not cols:
-            return None
+            return (None, None) if with_parts else None
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, c in enumerate(cols):
             col = F.col(f"`{c}`")
@@ -596,7 +658,7 @@ class ChangeTable:
         try:
             row = frame.agg(*aggs).collect()[0]
         except Exception:  # noqa: BLE001 — pruning is best-effort
-            return None
+            return (None, None) if with_parts else None
         # value lists only when the scope is PROVEN small: the second
         # collect is cheap by definition then, and big scopes never pay
         # set-accumulation anywhere — a collect_set folded into the first
@@ -610,9 +672,12 @@ class ChangeTable:
         # truncates it.
         vals_rows = None
         if small and 0 < row["__n"] <= _SCOPE_VALUES_MAX:
+            sel = [F.col(f"`{c}`") for c in cols]
+            if with_parts:
+                sel.append(self._part_expr().alias("__pt"))
             try:
                 vals_rows = (
-                    frame.select(*[F.col(f"`{c}`") for c in cols])
+                    frame.select(*sel)
                     .limit(_SCOPE_VALUES_MAX + 1)
                     .collect()
                 )
@@ -620,6 +685,11 @@ class ChangeTable:
                     vals_rows = None
             except Exception:  # noqa: BLE001
                 vals_rows = None
+        parts = (
+            sorted({r["__pt"] for r in vals_rows})
+            if with_parts and vals_rows is not None
+            else None
+        )
         out = {}
         for i, c in enumerate(cols):
             lo, hi = row[f"lo{i}"], row[f"hi{i}"]
@@ -639,6 +709,8 @@ class ChangeTable:
                 if not any(isinstance(x, float) and x != x for x in vs):
                     vals = tuple(sorted(vs))
             out[c] = (lo, hi, bool(row[f"nl{i}"]), vals or None)
+        if with_parts:
+            return (out or None, parts)
         return out or None
 
     def _read_pruned(
@@ -717,12 +789,27 @@ class ChangeTable:
         as pass, never as decline (r8 ADVICE — an externally precomputed
         multi-GB scan-rooted frame under a small key scope must not ride
         the small-scope hint into a serialized compacted write, while an
-        overestimating IVM slice must keep its compaction)."""
+        overestimating IVM slice must keep its compaction).
+
+        Classification walks the plan TREE and matches node class names
+        (``nodeName``), never the rendered string — a column or file path
+        merely CONTAINING 'Join'/'Aggregate' must not silently drop the
+        veto (r9 ADVICE)."""
         try:
             plan = df._jdf.queryExecution().optimizedPlan()
-            s = plan.toString()
-            if "Join" in s or "Aggregate" in s or "InMemoryRelation" in s:
-                return None
+            stack = [plan]
+            while stack:
+                node = stack.pop()
+                name = str(node.nodeName())
+                if (
+                    "Join" in name
+                    or "Aggregate" in name
+                    or "InMemoryRelation" in name
+                ):
+                    return None
+                children = node.children()
+                for i in range(children.size()):
+                    stack.append(children.apply(i))
             return int(plan.stats().sizeInBytes())
         except Exception:  # noqa: BLE001 — estimate is best-effort
             return None
@@ -747,6 +834,100 @@ class ChangeTable:
         manifest = self._manifest(v)
         return self._read_dirs(
             [_entry_dir(e) for es in manifest.values() for e in es]
+        )
+
+    def snapshot_pruned(
+        self,
+        scope_keys: DataFrame,
+        key_cols: Sequence[str],
+        version: int | None = None,
+        small: bool = True,
+    ) -> DataFrame:
+        """File-pruned version-pinned read: every file/dir whose footer
+        stats prove it DISJOINT from ``scope_keys``' bounds on
+        ``key_cols`` is skipped at the manifest level — reader-side data
+        skipping, the read twin of the r9 rewrite pruning (Delta serves
+        the same from its transaction-log per-file stats). Returns a
+        SUPERSET of the scoped rows (pruning is sound, never complete):
+        callers must still apply their exact filter — ``read_where`` is
+        the exact public wrapper; the IVM runtime applies its
+        broadcast/bloom/shuffle semi-join ladder on top.
+
+        Cost: one tiny bounds aggregate over ``scope_keys`` (plus a
+        ≤64k-capped value collect when ``small``), skipped entirely —
+        zero extra actions — when every part is a single consolidated
+        dir (nothing to prune) or no key column carries stats. At 100 TB
+        this is what turns a Δ-of-64k-keys probe against a 600 MB/bucket
+        table into ~one split file per bucket instead of the bucket.
+
+        On top of the file tier, a ``small`` scope whose key columns
+        cover the partition columns also restricts the read to the
+        scope's OWNING hash parts (rows for a key tuple can only live in
+        that tuple's part) — the part ids ride the same value collect,
+        so the fully-compacted steady state (one dir per part, nothing
+        to file-prune) still skips every part the scope doesn't hash
+        into. Part restriction is skipped for versions pinned before an
+        online re-bucketing (``n_buckets_since``), whose manifests were
+        hashed under a different count.
+
+        Soundness requires the probe and the downstream consumers to see
+        ONE evaluation of ``scope_keys`` — nondeterministic frames must
+        be materialized first (the IVM runtime localCheckpoints its
+        affected-key scopes; see replace_keys for the write-side twin).
+        """
+        v = self.version() if version is None else version
+        manifest = self._manifest(v)
+        key_cols = list(key_cols)
+        pb = self.partition_by or self.primary_keys
+        want_parts = bool(
+            small
+            and pb
+            and v >= self.n_buckets_since
+            and all(c in key_cols for c in pb)
+        )
+        if not (want_parts or self._prunable(manifest)):
+            return self._read_pruned(manifest, None)
+        res = self._scope_bounds(
+            scope_keys.select(*key_cols), key_cols, small=small,
+            with_parts=want_parts,
+        )
+        bounds, parts = res if want_parts else (res, None)
+        if not self._prunable(manifest):
+            bounds = None  # single-dir parts: nothing to file-prune
+        return self._read_pruned(manifest, bounds, parts)
+
+    def read_where(
+        self,
+        scope_keys: DataFrame,
+        key_cols: Sequence[str],
+        version: int | None = None,
+        small: bool = True,
+    ) -> DataFrame:
+        """Exact scoped read: the snapshot rows whose ``key_cols`` tuple
+        appears in ``scope_keys`` (null-safe equality, Spark join-key
+        semantics) — ``snapshot_pruned`` for the file skipping plus the
+        exact semi-join filter. ``small`` hints that the key set fits a
+        broadcast (the default CDC-scope case); pass False for
+        table-sized scopes, which shuffle instead. The scope frame is
+        localCheckpointed so the pruning probe and the semi-join read
+        one materialization even for nondeterministic inputs."""
+        key_cols = list(key_cols)
+        keys = (
+            scope_keys.select(*key_cols)
+            .dropDuplicates(key_cols)
+            .localCheckpoint(eager=True)
+        )
+        snap = self.snapshot_pruned(keys, key_cols, version=version, small=small)
+        K, D = "k", "d"
+        cond = None
+        for c in key_cols:
+            e = F.col(f"{D}.`{c}`").eqNullSafe(F.col(f"{K}.`{c}`"))
+            cond = e if cond is None else (cond & e)
+        probe = F.broadcast(keys.alias(K)) if small else keys.alias(K)
+        return (
+            snap.alias(D)
+            .join(probe, cond, "left_semi")
+            .select([F.col(f"{D}.`{c}`").alias(c) for c in snap.columns])
         )
 
     def change_floor(self) -> int:
@@ -1056,6 +1237,7 @@ class ChangeTable:
         compact: bool | None = None,
         carry_forward: dict[str, list] | None = None,
         part_n_buckets: int | None = None,
+        stats_cols: Sequence[str] | None = None,
     ) -> None:
         """Commit protocol — every step before the meta bump is idempotent
         (pure overwrite of version-addressed paths), so a crash anywhere
@@ -1143,7 +1325,8 @@ class ChangeTable:
                 manifest.setdefault(p, [])
                 manifest[p].extend(
                     self._entries_for(
-                        os.path.join(changes_rel, d), sorted_write=compact
+                        os.path.join(changes_rel, d), sorted_write=compact,
+                        stats_cols=stats_cols,
                     )
                 )
             self._publish(v, manifest, op, meta_updates=meta_updates)
@@ -1218,6 +1401,7 @@ class ChangeTable:
                 self._entries_for(
                     os.path.join(commit_rel, f"{PART}={p}"),
                     sorted_write=bool(compact or cluster_by),
+                    stats_cols=stats_cols,
                 )
             )
         self._publish(v, manifest, op, meta_updates=meta_updates)
@@ -1530,8 +1714,20 @@ class ChangeTable:
         staged = (
             self._dedup_batch(self._apply_generated(batch))
             .select(*self._data_cols())
-            .persist()
         )
+        if manifest:
+            # ONE materialization of the staged batch (r9 VERDICT
+            # watch-item, same pin as _replace_body's scope): the bounds
+            # probe, the matching-parts probe, the diff join and the
+            # content write must all read identical rows — persist is
+            # best-effort (an evicted partition of a nondeterministic
+            # batch re-evaluates differently and the collected value
+            # list could then wrongly exclude files holding real keys).
+            # Same cost as the persist it replaces: the first action
+            # materialized the batch either way.
+            staged = staged.localCheckpoint(eager=True)
+        else:
+            staged = staged.persist()
         self._check_constraints(staged)
 
         if not manifest:
@@ -1752,7 +1948,22 @@ class ChangeTable:
             finally:
                 new_rows.unpersist()
         key_cols = list(key_cols)
-        scope = scope_keys.select(*key_cols).dropDuplicates(key_cols)
+        # ONE materialization of the key scope (r9 VERDICT watch-item):
+        # the bounds probe below takes two actions, and the semi/anti
+        # joins and the diff re-evaluate the scope again — a
+        # NONdeterministic scope frame (or a persist eviction of one)
+        # could yield a value list missing keys the joins later see,
+        # wrongly excluding files that hold them (the NaN bug's failure
+        # class through a different door). localCheckpoint pins every
+        # consumer to the same rows; it also evaluates the (often
+        # join-heavy, Δ-derived) scope plan ONCE instead of 3-5 times
+        # per slice. Cost bounded by the key set, which the governor
+        # already sized.
+        scope = (
+            scope_keys.select(*key_cols)
+            .dropDuplicates(key_cols)
+            .localCheckpoint(eager=True)
+        )
         # sub-part COW: the scope's key bounds (one tiny aggregate) prune
         # the snapshot read AND split each affected part's dirs into
         # rewrite vs carry-forward — a churn commit rewrites only the
@@ -2168,6 +2379,28 @@ class ChangeTable:
                 # always visible in history, combined with zorder or not —
                 # an operator auditing a layout shift must see the re-tier
                 op += " REBUCKET"
+            meta_updates: dict = {}
+            stats_cols = None
+            if rebucket:
+                meta_updates["n_buckets"] = int(n_buckets)
+                # scoped reads must not part-restrict pinned pre-rebucket
+                # manifests with the NEW hash — record where it starts
+                meta_updates["n_buckets_since"] = v
+            if zorder_by:
+                # the z-sorted files carry tight footer ranges on the
+                # clustered dimensions — record them as stats columns so
+                # THIS commit's entries (and every later one) harvest
+                # min/max for them, letting scoped rewrites and scoped
+                # reads prune on the zorder columns (r9 VERDICT task 5).
+                # The list rides the same atomic meta bump; entries built
+                # below get the widened set explicitly since the bump
+                # publishes after them.
+                merged = list(
+                    dict.fromkeys([*self.stats_extra_cols, *zorder_by])
+                )
+                if tuple(merged) != self.stats_extra_cols:
+                    meta_updates["stats_cols_extra"] = merged
+                stats_cols = list(dict.fromkeys([*self._stats_cols(), *merged]))
             self._write_commit(
                 v,
                 empty_changes,
@@ -2176,7 +2409,8 @@ class ChangeTable:
                 cluster_by=cluster_by,
                 op=op,
                 part_n_buckets=int(n_buckets) if rebucket else None,
-                meta_updates={"n_buckets": int(n_buckets)} if rebucket else None,
+                meta_updates=meta_updates or None,
+                stats_cols=stats_cols,
             )
             return v
         except BaseException:

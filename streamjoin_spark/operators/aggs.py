@@ -49,15 +49,17 @@ class ReduceRecipe:
 
 
 def _infer_recipe(agg_col: Column) -> ReduceRecipe | None:
-    """Built-in combine recipes inferred from the aggregate expression.
-
-    sum/count → additive; min/max → greatest/least against the target;
-    avg → decomposed into sum+count shadow columns by the incremental
-    writer. Inference keys off the expression string — for anything
-    unrecognized the user supplies ``.reduce()`` exactly as in the reference.
+    """Deliberately returns None: recipe-less aggregates are classified
+    STRUCTURALLY by the incremental writer (``_agg_kind`` walks the
+    ColumnNode tree — sum/count take the additive fast path, everything
+    else the always-correct dirty-group recompute). Do NOT implement
+    string-based inference here: classifying aggregates by their repr is
+    the known trap (``str(Column)`` drops DISTINCT in Spark 4 —
+    CLAUDE.md invariant). Users needing additive maintenance for a
+    custom aggregate supply ``.reduce()`` exactly as in the reference.
     """
-    # Resolved lazily by the incremental writer; the batch twin never needs
-    # recipes (it recomputes the full aggregate declaratively).
+    # The batch twin never needs recipes (it recomputes the full
+    # aggregate declaratively); the hook stays for API shape only.
     return None
 
 

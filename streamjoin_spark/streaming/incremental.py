@@ -623,15 +623,29 @@ class _JoinStage:
         )
         # the affected-key scope is Δ-derived and narrow (key columns only);
         # the slice's change bytes upper-bound the ΔP contribution and proxy
-        # the probe's (hot keys can widen it — the guard errs conservative)
+        # the probe's (hot keys can widen it — the guard errs conservative).
+        # localCheckpoint pins ONE evaluation of the (probe-join-carrying)
+        # scope plan: the pruned-read bounds probe below, the semi-join,
+        # and replace_keys' own scope actions would otherwise re-run the
+        # probe join 3-5× per slice — and soundness of footer-stats
+        # pruning requires every consumer to see the same keys.
         affected = self.governor.keys(
             affected.unionByName(probe), self.p_pks, slice_bytes
-        )
+        ).localCheckpoint(eager=True)
 
         # slice recomputation through the builder's own projection logic —
         # identical plan shape to the batch twin, just semi-filtered (with
-        # the governor's broadcast→bloom degradation ladder over threshold)
-        p_slice = self.governor.scoped(p_snap, affected, self.p_pks, slice_bytes)
+        # the governor's broadcast→bloom degradation ladder over threshold).
+        # The slice's OWN preserved-side read is file-pruned by the scope
+        # bounds (reader-side data skipping — r10): a localized-churn
+        # slice against a split table opens ~one file per part instead of
+        # scanning every file; the probe leg above keeps the full p_snap
+        # (its keys are only known AFTER it runs).
+        p_pruned = self.preserved.static_pruned(
+            min(pv1, dP_ct.version()), affected, self.p_pks,
+            small=self.governor.should_hint(slice_bytes),
+        )
+        p_slice = self.governor.scoped(p_pruned, affected, self.p_pks, slice_bytes)
         ldf, rdf = (p_slice, o_snap) if self.preserved is b.left else (o_snap, p_slice)
         # union legs are maintained by their own _UnionLegStage, keyed
         # disjointly — never re-appended to the join's recomputed slice
@@ -774,8 +788,16 @@ class _UnionLegStage:
         v1, nbytes = self.governor.chunk_end(ct, v0, ct.version())
         self._slice_bytes = nbytes  # surfaced via stageProgress()
         images = _change_images(self.stream, ct, v0 + 1, v1)
-        affected = self.governor.keys(images, self.pks, nbytes)
-        snap = self.stream.static(v1)
+        # one evaluation of the scope (cheap here — Δ-derived from a
+        # pinned change range — but the pruned read's bounds probe and
+        # replace_keys' scope actions all reuse it; see _JoinStage)
+        affected = self.governor.keys(images, self.pks, nbytes).localCheckpoint(
+            eager=True
+        )
+        small = self.governor.should_hint(nbytes)
+        # reader-side data skipping (r10): the slice reads only the files
+        # whose footer-stat key ranges intersect the affected scope
+        snap = self.stream.static_pruned(v1, affected, self.pks, small=small)
         # replace_keys projects onto the target schema itself (and computes
         # any generated columns) — don't pre-select here
         new_slice = _gate_expectations(
@@ -866,12 +888,26 @@ class _AggStage:
         self._slice_bytes = nbytes
 
         images = _change_images(src, ct, v0 + 1, v1)
-        # pre AND post images → covers rows moving between groups
+        # pre AND post images → covers rows moving between groups.
+        # localCheckpoint: one evaluation feeds the pruned reads' bounds
+        # probes, the semi-joins and replace_keys' scope actions (see
+        # _JoinStage — determinism is what keeps footer-stats pruning
+        # sound, reuse is what keeps it cheap)
         g = self.group_cols
-        affected = self.governor.keys(images, g, nbytes)
+        affected = self.governor.keys(images, g, nbytes).localCheckpoint(
+            eager=True
+        )
+        small = self.governor.should_hint(nbytes)
 
         def recompute(keys: DataFrame) -> DataFrame:
-            dirty = self.governor.scoped(src.static(v1), keys, g, nbytes)
+            # reader-side data skipping (r10): when the group columns are
+            # stats columns of the source (pk/partition/zorder-declared),
+            # the dirty-group rescan opens only stat-intersecting files;
+            # otherwise static_pruned degrades to the plain pinned read
+            # with zero extra actions
+            dirty = self.governor.scoped(
+                src.static_pruned(v1, keys, g, small=small), keys, g, nbytes
+            )
             out = dirty.groupBy(*g).agg(*self.gb.aggs)
             for fn in self.gb._maps:
                 out = fn(out)
@@ -903,7 +939,9 @@ class _AggStage:
                 # groups seeing any retraction re-aggregate from the snapshot
                 # (additive retraction is unsound for NULL-edge SUM and for
                 # recipe aggs like max); the insert-only majority stays O(Δ)
-                rkeys = self.governor.keys(retract_imgs, g)
+                rkeys = self.governor.keys(retract_imgs, g).localCheckpoint(
+                    eager=True
+                )
                 hinted_rkeys = self.governor.hint(rkeys, nbytes)
                 ins_affected = _anti_filter(affected, hinted_rkeys, g)
                 ins_images = _anti_filter(images, hinted_rkeys, g)
@@ -969,9 +1007,17 @@ class _AggStage:
         delta = pm.select(*gsel, *deltas)
 
         U, D = "stored", "delta"
+        nbytes = getattr(self, "_slice_bytes", 0)
+        # the stored-values read is keyed by the GROUP columns — exactly
+        # the target's primary keys, so footer-stats pruning applies in
+        # full: the additive path reads ~one split file per part for a
+        # localized Δ instead of the whole stored table (r10)
         stored = self.governor.scoped(
-            self.target.snapshot(target_version), affected, g,
-            getattr(self, "_slice_bytes", 0),
+            self.target.snapshot_pruned(
+                affected, g, version=target_version,
+                small=self.governor.should_hint(nbytes),
+            ),
+            affected, g, nbytes,
         )
         merged = stored.alias(U).join(
             self.governor.hint(
@@ -1040,6 +1086,7 @@ class IncrementalPipeline:
         roots: list[ChangeTable],
         stage_parallelism: int = 1,
         vacuum_retain: int | None = None,
+        auto_compact: int | None = None,
     ):
         self.spark = spark
         self.stages = stages
@@ -1057,6 +1104,17 @@ class IncrementalPipeline:
         # in-pipeline consumers are safe because a completed drain leaves
         # every watermark at its input's head.
         self.vacuum_retain = int(vacuum_retain) if vacuum_retain else None
+        # writer option ``autoCompact``: after each full drain, compact
+        # any managed stage target whose fragmentation (max commit dirs
+        # referenced by one part) exceeds the threshold — ``true`` uses
+        # maybe_compact's default (64), an integer sets it. The automated
+        # twin of vacuumRetain: fragmentation control was manual while
+        # retention was automated (r9 VERDICT task 6). Amortized by
+        # construction — the probe is one driver-side manifest read per
+        # drain, and the rewrite only fires when a part actually
+        # fragmented past the cap. Safe mid-pipeline: compaction emits
+        # zero change rows, so downstream watermarks advance unchanged.
+        self.auto_compact = auto_compact
 
     @staticmethod
     def _stage_inputs(st) -> list:
@@ -1165,8 +1223,10 @@ class IncrementalPipeline:
         twice the window, so steady-state drains pay no directory walks.
         Runs after the drain completes, when every in-pipeline watermark
         sits at its input's head, which is what makes dropping older
-        change ranges safe for the pipeline itself."""
-        if not self.vacuum_retain:
+        change ranges safe for the pipeline itself. ``autoCompact`` runs
+        FIRST: compaction supersedes fragmented dirs, so the vacuum that
+        follows can reclaim them as soon as they age out of the window."""
+        if not self.vacuum_retain and self.auto_compact is None:
             return
         seen: set[int] = set()
         for st in self.stages:
@@ -1174,7 +1234,11 @@ class IncrementalPipeline:
             if t is None or id(t) in seen:
                 continue
             seen.add(id(t))
-            if t.version() - t.change_floor() >= 2 * self.vacuum_retain:
+            if self.auto_compact is not None:
+                t.maybe_compact(max_dirs_per_part=int(self.auto_compact))
+            if self.vacuum_retain and (
+                t.version() - t.change_floor() >= 2 * self.vacuum_retain
+            ):
                 t.vacuum(retain_versions=self.vacuum_retain)
 
 
@@ -1385,10 +1449,17 @@ def _build_pipeline(
             t = getattr(st, "target", None)
             if t is not None and t.path == tgt:
                 st.merge_schema = True
+    ac = (options or {}).get("autoCompact")
+    if ac is not None:
+        # true → maybe_compact's default dir cap; an integer sets it;
+        # false/absent → manual compaction only
+        s = str(ac).strip().lower()
+        ac = None if s in ("false", "0", "") else (64 if s == "true" else int(s))
     return IncrementalPipeline(
         spark, stages, roots,
         stage_parallelism=int((options or {}).get("stageParallelism", 1)),
         vacuum_retain=(options or {}).get("vacuumRetain"),
+        auto_compact=ac,
     )
 
 
@@ -1690,10 +1761,23 @@ class _WriterBase:
         if not keep or not ChangeTable.exists(path):
             return
         now = time.time()
+        # amortization stamp lives in the METRICS TABLE's meta, not on the
+        # writer instance: the one-writer-object-per-run batch idiom would
+        # otherwise pay the snapshot probe action on every run() (r9
+        # ADVICE). In-memory stamp kept as a cheap first gate; losing the
+        # meta stamp to a racing flush's publish only costs one extra
+        # probe (the write is a plain metadata replace, not a commit).
         if now - getattr(self, "_metrics_last_purge", 0.0) < float(keep) / 4:
             return
-        self._metrics_last_purge = now
         mt = ChangeTable(self._spark(), path)
+        last = float(mt._read_meta().get("metrics_last_purge", 0.0) or 0.0)
+        if now - last < float(keep) / 4:
+            self._metrics_last_purge = last
+            return
+        self._metrics_last_purge = now
+        meta = dict(mt._read_meta())
+        meta["metrics_last_purge"] = now
+        mt._write_meta(meta)
         horizon = now - float(keep)
         cond = F.col("flushed_ts").isNull() | (F.col("flushed_ts") < horizon)
         if "flushed_ts" not in mt.schema().fieldNames():

@@ -387,6 +387,31 @@ class Stream:
         203-208)."""
         return self._apply_transforms(self._static_fn(version))
 
+    def static_pruned(
+        self,
+        version: int | None,
+        scope_keys: DataFrame,
+        key_cols: Sequence[str],
+        small: bool = True,
+    ) -> DataFrame:
+        """Version-pinned snapshot, file-pruned to a SUPERSET of the rows
+        whose ``key_cols`` tuple appears in ``scope_keys`` (reader-side
+        data skipping via the substrate's manifest footer stats —
+        ChangeTable.snapshot_pruned). Callers must still apply their
+        exact filter; the IVM runtime layers its broadcast/bloom/shuffle
+        semi-join ladder on top. Falls back to the plain ``static`` read
+        when the source has ``.to`` transforms (post-transform column
+        names cannot be soundly mapped onto the base table's footer
+        stats — a rename could alias a DIFFERENT base column and
+        wrongly exclude files) or the substrate lacks scoped reads
+        (static parquet/DataFrame sources, Delta adapter)."""
+        ct = self.change_table
+        if self._transforms or ct is None or not hasattr(ct, "snapshot_pruned"):
+            return self.static(version)
+        return self._apply_transforms(
+            ct.snapshot_pruned(scope_keys, key_cols, version=version, small=small)
+        )
+
     def stream(self) -> DataFrame:
         """The change-feed readStream (deletes ride along as ``_change_type =
         'delete'`` rows — unlike the reference, which silently drops deletes

@@ -292,14 +292,27 @@ def test_metrics_retention_ages_out_old_rows(spark, tmp_path):
     first = mt.snapshot().collect()
     assert len(first) == 1 and first[0]["flushed_ts"] is not None
 
+    def force_probe():
+        # the amortization stamp is persisted in the metrics table's
+        # META since r10 (survives writer re-instantiation — r9 ADVICE),
+        # so forcing a probe must clear BOTH stamps
+        w._metrics_last_purge = 0.0
+        meta = dict(mt._read_meta())
+        meta.pop("metrics_last_purge", None)
+        mt._write_meta(meta)
+
     # within the horizon nothing expires (purge probe runs, deletes none)
-    w._metrics_last_purge = 0.0
+    force_probe()
     w._purge_metrics(mpath)
     assert mt.snapshot().count() == 1
+    # the probe stamped the table meta: a FRESH writer instance (the
+    # one-writer-object-per-run batch idiom) skips the snapshot probe
+    # entirely — r9 ADVICE's exact scenario
+    assert float(mt._read_meta()["metrics_last_purge"]) > 0.0
 
     # age the horizon to ~zero: the old row expires
     w._options["metricsRetainSeconds"] = 1e-9
-    w._metrics_last_purge = 0.0
+    force_probe()
     import time as _time
 
     _time.sleep(0.01)  # ensure flushed_ts < now - 1e-9
@@ -321,6 +334,6 @@ def test_metrics_retention_ages_out_old_rows(spark, tmp_path):
     mt.merge(
         mt.snapshot().withColumn("flushed_ts", F.lit(None).cast("double"))
     )
-    w._metrics_last_purge = 0.0
+    force_probe()
     w._purge_metrics(mpath)
     assert mt.snapshot().count() == 0

@@ -1,0 +1,211 @@
+"""Reader-side data skipping (r10, VERDICT r9 task 1) + scope determinism.
+
+The r9 footer stats pruned only REWRITES; these tests pin the read twin:
+``snapshot_pruned``/``read_where`` open ~one split file per part for a
+bounded key scope instead of scanning every file, the Stream plumbing
+routes IVM slice reads through it (and falls back soundly under ``.to``
+transforms), post-ZORDER tables prune on the clustered dimensions, and
+the scope-frame localCheckpoint keeps pruning sound even for
+NONdeterministic scope frames (VERDICT r9 watch-item 1).
+"""
+
+import random
+
+import pyspark.sql.functions as F
+
+from streamjoin_spark.changelog import ChangeTable, _entry_dir
+from streamjoin_spark.streams import CHANGE_TYPE, DELETE, Stream
+
+
+def _mk_split(spark, tmp_path, monkeypatch, n=10_000, n_buckets=4, split=1000):
+    """A table whose parts hold several sorted split files each (the
+    post-compaction steady state where file pruning has something to do)."""
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", split)
+    df = spark.range(0, n).selectExpr("id", "concat('n', id) AS name")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=n_buckets
+    )
+    ct.merge(df)
+    assert ct._prunable(ct._manifest(ct.version()))
+    return ct
+
+
+def test_read_where_opens_few_files_and_is_exact(spark, tmp_path, monkeypatch):
+    ct = _mk_split(spark, tmp_path, monkeypatch)
+    all_files = ct.snapshot().inputFiles()
+    assert len(all_files) >= 8  # split layout: several files per part
+
+    keys = spark.createDataFrame([(7_777,), (42,)], "id long")
+    out = ct.read_where(keys, ["id"])
+    # exact rows
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows == {7_777: "n7777", 42: "n42"}
+    # file skipping: only the split files whose id range can hold a key
+    opened = out.inputFiles()
+    assert len(opened) <= 4, (len(opened), len(all_files))
+    assert len(opened) < len(all_files)
+
+
+def test_snapshot_pruned_is_superset_and_version_pinned(
+    spark, tmp_path, monkeypatch
+):
+    ct = _mk_split(spark, tmp_path, monkeypatch, n=4_000)
+    v1 = ct.version()
+    ct.merge(spark.createDataFrame([(99, "upd")], "id long, name string"))
+    keys = spark.createDataFrame([(99,)], "id long")
+    pruned = ct.snapshot_pruned(keys, ["id"], version=v1)
+    got = {r["name"] for r in pruned.where(F.col("id") == 99).collect()}
+    assert got == {"n99"}  # pinned read: pre-update value
+    # superset semantics: every row of the files it kept, nothing filtered
+    assert pruned.count() >= 1
+    # head read sees the update
+    assert {
+        r["name"] for r in ct.read_where(keys, ["id"]).collect()
+    } == {"upd"}
+
+
+def test_stream_static_pruned_routes_and_falls_back(
+    spark, tmp_path, monkeypatch
+):
+    ct = _mk_split(spark, tmp_path, monkeypatch)
+    s = Stream.fromChangeTable(ct).primaryKeys("id")
+    keys = spark.createDataFrame([(123,)], "id long")
+    pruned = s.static_pruned(ct.version(), keys, ["id"])
+    full = s.static(ct.version())
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # a .to transform renames columns → post-transform names can't map to
+    # footer stats; must fall back to the FULL read, never misprune
+    s2 = s.to(lambda df: df.withColumnRenamed("name", "id2"))
+    fb = s2.static_pruned(ct.version(), keys, ["id"])
+    assert len(fb.inputFiles()) == len(full.inputFiles())
+    assert "id2" in fb.columns
+
+
+def test_nondeterministic_scope_stays_sound(spark, tmp_path, monkeypatch):
+    """VERDICT r9 watch-item 1: the bounds/value-list probe, the scope
+    joins, and the write must all read ONE evaluation of the scope frame.
+    A nondeterministic scope (each evaluation samples a different key
+    subset) would otherwise collect a value list missing keys the joins
+    later see — wrongly excluding files and leaving stale+new duplicate
+    PK rows. localCheckpoint pins it; this asserts the invariant that
+    survives whatever subset was sampled."""
+    ct = _mk_split(spark, tmp_path, monkeypatch, n=2_000, split=100)
+    sample = F.udf(lambda: random.random(), "double").asNondeterministic()
+    for _ in range(3):
+        before = {r["id"] for r in ct.snapshot().select("id").collect()}
+        scope = (
+            ct.snapshot().select("id").where(sample() < 0.3)
+        )
+        empty = spark.createDataFrame([], "id long, name string")
+        v0 = ct.version()
+        v = ct.replace_keys(scope, ["id"], empty)  # delete the sampled keys
+        if v == v0:
+            continue  # sampled empty scope: no-op
+        deleted = {
+            r["id"]
+            for r in ct.read_change_feed(starting_version=v)
+            .where(F.col(CHANGE_TYPE) == DELETE)
+            .select("id")
+            .collect()
+        }
+        snap = ct.snapshot().select("id").collect()
+        ids = [r["id"] for r in snap]
+        assert len(ids) == len(set(ids)), "duplicate PK rows survived"
+        assert set(ids) == before - deleted, (
+            "snapshot diverged from the change feed: a file holding "
+            "scoped keys was wrongly excluded from the rewrite"
+        )
+
+
+def test_zorder_declares_stats_columns_and_prunes(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 task 5: compact(zorder_by=...) records the clustered
+    dimensions as manifest stats columns, so scoped reads (and rewrites)
+    prune on them — before r10 the z-sorted files carried no manifest
+    stats on x/y and post-ZORDER tables could not prune at all."""
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 500)
+    df = spark.range(0, 8_000).selectExpr(
+        "id", "CAST(id % 97 AS long) AS x", "CAST(id % 89 AS long) AS y"
+    )
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=2
+    )
+    ct.merge(df)
+    v = ct.compact(zorder_by=["x", "y"])
+    assert ct.stats_extra_cols == ("x", "y")
+    assert "x" in ct._stats_cols() and "y" in ct._stats_cols()
+    # THIS commit's entries already carry x stats (the meta bump publishes
+    # after the entries are built — they must get the widened set anyway)
+    m = ct._manifest(v)
+    with_x = [
+        e
+        for es in m.values()
+        for e in es
+        if isinstance(e, dict) and "x" in (e.get("s") or {})
+    ]
+    assert with_x, "zorder commit entries carry no stats on the zorder cols"
+    # a scope on x opens fewer files than the full snapshot
+    keys = spark.createDataFrame([(3,)], "x long")
+    pruned = ct.snapshot_pruned(keys, ["x"])
+    full = ct.snapshot()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # and the exact read returns precisely the x=3 rows
+    got = ct.read_where(keys, ["x"])
+    assert got.count() == full.where("x = 3").count()
+
+
+def test_sorted_fallback_entry_caps_footer_reads(
+    spark, tmp_path, monkeypatch
+):
+    """r9 ADVICE: a SORTED dir exceeding _ENTRY_FILES_MAX must not fold
+    stats with unbounded serial footer reads — the merged entry passes a
+    cap and degrades to a stats-less plain entry over it."""
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 100)
+    df = spark.range(1_000).selectExpr("id", "concat('n', id) AS name")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=1
+    )
+    ct.merge(df)
+    entry0 = _entry_dir(ct._manifest(1)["0"][0])
+    part_dir = (
+        entry0
+        if not entry0.endswith(".parquet")
+        else entry0.rsplit("/", 1)[0]
+    )
+    import os
+
+    n_files = len([
+        f
+        for f in os.listdir(os.path.join(ct.path, part_dir))
+        if f.endswith(".parquet")
+    ])
+    monkeypatch.setattr(cl, "_ENTRY_FILES_MAX", max(1, n_files - 1))
+    entries = ct._entries_for(part_dir, sorted_write=True)
+    assert entries == [part_dir], entries  # plain entry: no unbounded fold
+
+
+def test_est_bytes_if_scan_classifies_by_node_not_string(spark, tmp_path):
+    """r9 ADVICE: plan classification must match node class names — a
+    file path containing 'Join' is still a pure scan (returns bytes);
+    real joins/aggregates/cached relations return None."""
+    p = str(tmp_path / "Joined" / "AggregateStats")
+    spark.range(100).selectExpr("id", "id AS join_key").write.parquet(p)
+    df = spark.read.parquet(p)
+    assert ChangeTable._est_bytes_if_scan(df) is not None
+    joined = df.alias("a").join(df.alias("b"), "id")
+    assert ChangeTable._est_bytes_if_scan(joined) is None
+    agg = df.groupBy("join_key").count()
+    assert ChangeTable._est_bytes_if_scan(agg) is None
+    cached = spark.read.parquet(p).persist()
+    try:
+        cached.count()  # materialize so the optimized plan is the cache
+        assert ChangeTable._est_bytes_if_scan(cached) is None
+    finally:
+        cached.unpersist()

@@ -165,6 +165,58 @@ def test_vacuum_retain_option_housekeeps_target(spark, tmp_path, docs_ct):
     assert_same(w.toDF(), enrich(docs_ct.snapshot()))
 
 
+def test_auto_compact_option_bounds_fragmentation(
+    spark, tmp_path, docs_ct, monkeypatch
+):
+    """writer option autoCompact=N (r10, VERDICT r9 task 6): after each
+    full drain the pipeline runs maybe_compact on its managed targets, so
+    a fragmenting churn workload (sub-part COW carries stat-disjoint
+    dirs forward — one more commit dir per localized slice) stays under
+    the dir cap automatically — while version history and convergence
+    semantics are unchanged (compaction emits zero change rows)."""
+    from streamjoin_spark import changelog as cl
+
+    # single-bucket target with small split files: every localized churn
+    # slice rewrites one split file and carries the rest, growing the
+    # part's dir list by one per drain — the fragmentation autoCompact
+    # must bound
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 10)
+    orig_create = ChangeTable.create
+    monkeypatch.setattr(
+        ChangeTable,
+        "create",
+        staticmethod(
+            lambda *a, **kw: orig_create(*a, **{**kw, "n_buckets": 1})
+        ),
+    )
+    w = (
+        Stream.fromChangeTable(docs_ct, "docs_ac_src")
+        .primaryKeys("doc_id")
+        .to(enrich)
+        .writeToPath(str(tmp_path / "view_ac"))
+        .option("autoCompact", 3)
+    )
+    docs_ct.merge(rows(spark, [(i, f"body {i}") for i in range(50)]))
+    w.run()
+    frag_seen = 0
+    for i in (0, 10, 20, 30, 40, 5, 15, 25):  # one split file per slice
+        docs_ct.merge(rows(spark, [(i, f"rewritten body {i} round")]))
+        w.run()
+        frag_seen = max(frag_seen, w.target.max_dirs_per_part())
+    t = w.target
+    assert frag_seen >= 2, "workload never fragmented — test is vacuous"
+    assert t.max_dirs_per_part() <= 3, t.max_dirs_per_part()
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+    ops = {r["operation"] for r in t.describe_history().collect()}
+    assert "OPTIMIZE" in ops  # ran as a normal zero-change commit
+
+    # converges through further CDC after auto-compaction
+    docs_ct.merge(rows(spark, [(0, "final zero")]))
+    docs_ct.delete_where("doc_id = 1")
+    w.run()
+    assert_same(w.toDF(), enrich(docs_ct.snapshot()))
+
+
 def test_expectations_drop_mode_converges(spark, tmp_path, docs_ct):
     """writer option expectations + expectationsMode=drop: the maintained
     view holds exactly the rows passing the rules, converging under CDC
