@@ -104,6 +104,23 @@ _ENTRY_FILES_MAX = 1024
 _STATS_FILES_MAX_UNSORTED = 64
 
 
+def _free_checkpoint(df) -> None:
+    """Release a localCheckpoint'ed DataFrame's storage blocks NOW instead
+    of waiting for GC (py4j holds JVM references long after Python drops
+    its side, and the ContextCleaner only runs on JVM GC — at 1000× the
+    accumulated eager checkpoints of per-slice key scopes measurably
+    pressured the shared single-JVM heap until a borderline broadcast
+    build OOM'd; reproduced r10). The frame must never be evaluated again
+    after this call — a freed checkpoint fails loudly
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), never silently recomputes.
+    Best-effort: a non-checkpointed plan has no rdd() accessor and is
+    left to the normal cache machinery."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort
+        pass
+
+
 def _entry_dir(e) -> str:
     """A manifest dir entry is either a plain rel-path string (pre-r9
     layout, or a dir whose files carry no usable stats) or a dict
@@ -1811,7 +1828,7 @@ class ChangeTable:
             carry_forward=self._carry_forward(manifest, bounds, parts),
         )
         applied.unpersist()
-        staged.unpersist()
+        _free_checkpoint(staged)  # checkpointed (manifest non-empty branch)
         return v
 
     def replace_keys(
@@ -2109,6 +2126,7 @@ class ChangeTable:
             new_rows.unpersist()
             diff.unpersist()
             changes.unpersist()
+            _free_checkpoint(scope)
 
     def delete_where(self, condition) -> int:
         """Delete rows matching a condition (Column or SQL string, like

@@ -48,7 +48,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..changelog import ChangeTable
+from ..changelog import ChangeTable, _free_checkpoint
 from ..columns import Binding
 from ..streams import (
     COMMIT_VERSION,
@@ -679,6 +679,9 @@ class _JoinStage:
         self.progress.save()
         _note_metrics(self, t0, v_from, versions, slice_bytes,
                       changed if changed > tv0 else None)
+        # the slice is committed: release the scope's checkpoint blocks
+        # now (GC-driven release lags py4j refs; see _free_checkpoint)
+        _free_checkpoint(affected)
         return True
 
 
@@ -815,6 +818,7 @@ class _UnionLegStage:
         self.progress.save()
         _note_metrics(self, t0, [v0], [v1], nbytes,
                       changed if changed > tv0 else None)
+        _free_checkpoint(affected)
         return True
 
 
@@ -929,6 +933,7 @@ class _AggStage:
         # both cases, so replayed ranges always take it.
         replay = _replay_floor(self)
         replayed = replay is not None and v0 < replay
+        rkeys = None
         if not self.additive or replayed:
             new_slice = recompute(affected)
         else:
@@ -960,6 +965,9 @@ class _AggStage:
         self.progress.save()
         _note_metrics(self, t0, [v0], [v1], nbytes,
                       changed if changed > tv0 else None)
+        _free_checkpoint(affected)
+        if rkeys is not None:
+            _free_checkpoint(rkeys)
         return changed > 0 or v1 != v0
 
     def _additive_slice(

@@ -110,7 +110,12 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
         orders.where(F.col("o_orderkey") % 17 == 2).select(
             (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
             "o_custkey", "o_totalprice",
-        )
+        ),
+        # bulk-width batch (2.2M rows at 1000×): shuffled semi-join probe,
+        # same physics note as the localized merge below — an explicit
+        # broadcast of a batch this wide is heap-state-dependent on the
+        # shared single JVM (OOM'd under external load, r10)
+        hint_broadcast=False,
     )
     w.run()
     # micro-churn rounds of decreasing width → byte spread across slices
@@ -153,7 +158,8 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
         orders.where(F.col("o_custkey") <= c_hi / 100).select(
             "o_orderkey", "o_custkey",
             (F.col("o_totalprice") * 1.001).alias("o_totalprice"),
-        )
+        ),
+        hint_broadcast=False,  # bulk-width (375k rows at 1000×), as above
     )
     w.run()
 
@@ -191,6 +197,60 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
         }
         for r in recs
     ]
+    # Reader-side data-skipping audit (r10): the localized-churn scope
+    # replayed as a scoped read — full snapshot scan vs snapshot_pruned,
+    # measured in the bytes of the files each plan actually opens
+    # (inputFiles, driver-side size sum; the read twin of written_mb).
+    def _files_mb(df) -> list:
+        fs = df.inputFiles()
+        total = 0
+        for f in fs:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        return [len(fs), round(total / 1e6, 3)]
+
+    # two scope shapes: the ORDERKEY-localized round's contiguous bottom-1%
+    # (interval pruning — the recent-key production shape; the custkey
+    # round's orderkeys are scattered across the whole range and
+    # legitimately cannot prune), and a ≤64k "small" scope that engages
+    # the exact value list + owning-part restriction. OPTIMIZE first:
+    # the profile's final wide merge leaves the SOURCE in the unsorted
+    # full-rewrite layout (merged per-part stats — the documented
+    # needs-OPTIMIZE state); the audit measures the post-OPTIMIZE steady
+    # state, which is what long-lived tables run in (the maintained
+    # STATE tables are already there — their compacted rewrites is where
+    # the profile's written_mb/slice wins live).
+    oct_.compact()
+    scope = orders.where(F.col("o_orderkey") <= o_hi / 100).select(
+        "o_orderkey"
+    )
+    small_scope = orders.where(F.col("o_orderkey") <= o_hi / 2500).select(
+        "o_orderkey"
+    )
+    read_audit = {
+        "source_scope_rows": scope.count(),
+        "source_full_files_mb": _files_mb(oct_.snapshot()),
+        "source_pruned_files_mb": _files_mb(
+            oct_.snapshot_pruned(scope, ["o_orderkey"])
+        ),
+        "source_small_scope_rows": small_scope.count(),
+        "source_small_pruned_files_mb": _files_mb(
+            oct_.snapshot_pruned(small_scope, ["o_orderkey"])
+        ),
+    }
+    if shape == "agg":
+        st = ChangeTable(spark, f"{base}/state")
+        kscope = spark.range(0, max(1, int(c_hi / 100))).selectExpr(
+            "id AS o_custkey"
+        )
+        read_audit["state_full_files_mb"] = _files_mb(st.snapshot())
+        read_audit["state_pruned_files_mb"] = _files_mb(
+            st.snapshot_pruned(kscope, ["o_custkey"])
+        )
+
     # Two distinct cost classes (measured r7): the FIRST slice takes the
     # first-cycle single-write fast path (2 jobs — the cheapest commit in
     # the protocol, whatever its bytes), every later slice pays the
@@ -214,8 +274,10 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
             [churn_s[0], churn_s[-1]] if churn_s else None
         ),
         "rungs": rungs,
+        "read_audit": read_audit,
         "maintained_rows": ChangeTable(spark, f"{base}/state")
         .snapshot().count(),
+        "base": base,  # transient tables; main() deletes after reporting
     }
 
 
@@ -232,9 +294,15 @@ def main() -> None:
     ]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("ivm_profile", cpus=cpus, shuffle_partitions=cpus)
+    import shutil
+
     for sf in sf_dirs:
         for shape in shapes:
-            print(json.dumps(profile(spark, sf, shape)), flush=True)
+            rec = profile(spark, sf, shape)
+            print(json.dumps(rec), flush=True)
+            # the profiled tables are multi-GB transients at 100×/1000×;
+            # a three-shape sweep left un-deleted fills the disk (r10)
+            shutil.rmtree(rec.pop("base"), ignore_errors=True)
 
 
 if __name__ == "__main__":
