@@ -67,10 +67,19 @@ def _lift(value: Any) -> "Expr":
     return Expr(lambda b, v=value: F.lit(v))
 
 
-def _binop(op: Callable[[Column, Column], Column]) -> Callable[["Expr", Any], "Expr"]:
+def _binop(
+    op: Callable[[Column, Column], Column], tag: str | None = None
+) -> Callable[["Expr", Any], "Expr"]:
     def method(self: "Expr", other: Any) -> "Expr":
         rhs = _lift(other)
-        return Expr(lambda b: op(self.column(b), rhs.column(b)))
+        e = Expr(lambda b: op(self.column(b), rhs.column(b)))
+        if tag is not None:
+            # structural breadcrumb (op tag + operands) for the few ops
+            # whose shape downstream pruning can exploit — the closure
+            # stays the single source of truth for SEMANTICS; the tag
+            # only ever REMOVES work (see equi_column_pairs)
+            e._node = (tag, self, rhs)
+        return e
 
     return method
 
@@ -95,6 +104,7 @@ class Expr:
     def __init__(self, fn: Callable[[Binding], Column], output_name: str | None = None):
         self._fn = fn
         self._output_name = output_name
+        self._node: tuple | None = None  # optional (tag, lhs, rhs) breadcrumb
 
     # -- resolution ----------------------------------------------------
     def column(self, binding: Binding) -> Column:
@@ -104,13 +114,13 @@ class Expr:
         return col
 
     # -- comparison / boolean ops -------------------------------------
-    __eq__ = _binop(lambda a, b: a == b)  # type: ignore[assignment]
+    __eq__ = _binop(lambda a, b: a == b, tag="eq")  # type: ignore[assignment]
     __ne__ = _binop(lambda a, b: a != b)  # type: ignore[assignment]
     __lt__ = _binop(lambda a, b: a < b)
     __le__ = _binop(lambda a, b: a <= b)
     __gt__ = _binop(lambda a, b: a > b)
     __ge__ = _binop(lambda a, b: a >= b)
-    __and__ = _binop(lambda a, b: a & b)
+    __and__ = _binop(lambda a, b: a & b, tag="and")
     __or__ = _binop(lambda a, b: a | b)
     __add__ = _binop(lambda a, b: a + b)
     __sub__ = _binop(lambda a, b: a - b)
@@ -130,7 +140,12 @@ class Expr:
     # -- column helpers ------------------------------------------------
     def eqNullSafe(self, other: Any) -> "Expr":
         rhs = _lift(other)
-        return Expr(lambda b: self.column(b).eqNullSafe(rhs.column(b)))
+        e = Expr(lambda b: self.column(b).eqNullSafe(rhs.column(b)))
+        # null-safe equality is equi for PRUNING purposes: scope bounds
+        # track has_null, and a null-carrying scope never excludes dirs
+        # with nulls (_entry_excluded)
+        e._node = ("eq", self, rhs)
+        return e
 
     def isNull(self) -> "Expr":
         return Expr(lambda b: self.column(b).isNull())
@@ -200,3 +215,24 @@ def lit(value: Any) -> Expr:
     """Literal as a deferred expression (reference AST wraps literals via
     ``F.lit``, elzyme/joins.py:216-223)."""
     return _lift(value)
+
+
+def equi_column_pairs(expr: Expr) -> list[tuple[ColumnRef, ColumnRef]]:
+    """ColumnRef == ColumnRef pairs PROVABLE from an expression's binop
+    breadcrumbs: equality nodes reachable through a conjunction (AND)
+    spine. Sound for pruning by construction: under AND, restricting by
+    any SUBSET of conjuncts over-approximates the match set (an opaque
+    conjunct just contributes nothing), while an OR — or any untagged
+    root — yields no pairs at all (rows may match through the other
+    branch, so pruning by one branch would be unsound). Used by the IVM
+    join stage to prune snapshot reads by the opposite side's delta key
+    values; a theta-only condition simply returns [] and costs nothing."""
+    node = getattr(expr, "_node", None)
+    if node is None:
+        return []
+    tag, a, b = node
+    if tag == "and":
+        return equi_column_pairs(a) + equi_column_pairs(b)
+    if tag == "eq" and isinstance(a, ColumnRef) and isinstance(b, ColumnRef):
+        return [(a, b)]
+    return []

@@ -564,6 +564,37 @@ class _JoinStage:
                 )
         self.progress.seed([_seed_version(builder.left), _seed_version(builder.right)])
 
+    def _equi_pairs(self) -> list[tuple[str, str]]:
+        """(preserved_col, other_col) name pairs PROVABLY equi-constrained
+        by the join condition — from ``onKeys`` directly, or from the
+        ``.on()`` expression's structural breadcrumbs (columns.
+        equi_column_pairs: equality nodes on an AND spine; OR/theta
+        shapes yield nothing). Names are in each side's post-transform
+        column space; refs whose stream appears in BOTH lineages
+        (self-joins) are ambiguous and skipped. Used to prune the probe
+        leg's preserved-snapshot read by ΔO's key values and the slice's
+        other-side read by the affected keys — pure read reduction,
+        exactness stays with the join condition itself."""
+        b = self.builder
+        if b._condition is None:
+            return [(k, k) for k in b._on_keys]
+        from ..columns import equi_column_pairs
+        from ..operators.joins import _lineage  # cycle guard
+
+        p_set = {id(s) for s in _lineage(self.preserved)}
+        o_set = {id(s) for s in _lineage(self.other)}
+        both = p_set & o_set
+        out = []
+        for x, y in equi_column_pairs(b._condition):
+            xs, ys = id(x.stream), id(y.stream)
+            if xs in both or ys in both:
+                continue
+            if xs in p_set and ys in o_set:
+                out.append((x.name, y.name))
+            elif ys in p_set and xs in o_set:
+                out.append((y.name, x.name))
+        return out
+
     def compute_slice(self):
         """(affected_keys, recomputed_slice, new_versions, slice_bytes) for
         one governed chunk of the outstanding backlog, or None if no input
@@ -614,10 +645,38 @@ class _JoinStage:
             (b.right, rq),
         )
         cond = b._join_condition(binding, lq, rq)
+        # probe-leg read pruning (r10): the probe's job is to find
+        # preserved rows that equi-match ANY ΔO image — under the
+        # condition's AND-spine equi pairs, such rows carry a key value
+        # from ΔO's (tiny, Δ-sized) value set, so the preserved SNAPSHOT
+        # read itself prunes to the files/parts that can hold those
+        # values. This was the last full-table scan per slice. Exactness
+        # is untouched (the join condition still runs on the superset);
+        # theta-only conditions yield no pairs and read the full snapshot
+        # as before. The scope is checkpointed for the bounds probe and
+        # freed as soon as `affected` is materialized below.
+        seen_p: set = set()
+        pairs = [
+            (p, o)
+            for p, o in self._equi_pairs()
+            if o in dO.columns and not (p in seen_p or seen_p.add(p))
+        ]
+        p_probe, pscope = p_snap, None
+        if pairs:
+            pcols = [p for p, _ in pairs]
+            pscope = (
+                dO.select(*[F.col(f"`{o}`").alias(p) for p, o in pairs])
+                .dropDuplicates(pcols)
+                .localCheckpoint(eager=True)
+            )
+            p_probe = self.preserved.static_pruned(
+                min(pv1, dP_ct.version()), pscope, pcols,
+                small=self.governor.should_hint(o_bytes),
+            )
         # ΔO broadcast is size-guarded: over the governor threshold (a single
         # oversized commit — chunk granularity is a whole commit) it shuffles
         probe = (
-            p_snap.alias(pq)
+            p_probe.alias(pq)
             .join(self.governor.hint(dO.alias(oq), o_bytes), cond, "inner")
             .select([F.col(f"{pq}.`{k}`").alias(k) for k in self.p_pks])
         )
@@ -632,6 +691,10 @@ class _JoinStage:
         affected = self.governor.keys(
             affected.unionByName(probe), self.p_pks, slice_bytes
         ).localCheckpoint(eager=True)
+        if pscope is not None:
+            # the probe scope's consumers (bounds probe + the probe join,
+            # both inside the checkpoint action above) are done
+            _free_checkpoint(pscope)
 
         # slice recomputation through the builder's own projection logic —
         # identical plan shape to the batch twin, just semi-filtered (with
@@ -646,7 +709,34 @@ class _JoinStage:
             small=self.governor.should_hint(slice_bytes),
         )
         p_slice = self.governor.scoped(p_pruned, affected, self.p_pks, slice_bytes)
-        ldf, rdf = (p_slice, o_snap) if self.preserved is b.left else (o_snap, p_slice)
+        # other-side read pruning (r10): slice rows equi-match p_slice,
+        # whose equi-col values are covered by `affected` when the equi
+        # col IS a preserved pk — the other side's snapshot read then
+        # prunes to files/parts that can hold those values (engages when
+        # the other table's stats cols cover the join key: pk joins, or
+        # zorder/set_stats_columns-declared dims; costs nothing
+        # otherwise). Skipped under 3-arg .to transforms, whose contract
+        # hands the user the bound side frames — those must stay the
+        # full pinned snapshots.
+        from ..operators.joins import _map_arity  # cycle guard
+
+        o_src = o_snap
+        if not any(_map_arity(fn) >= 3 for fn in b._maps):
+            seen_o: set = set()
+            o_pairs = [
+                (p, o) for p, o in pairs
+                if p in self.p_pks and not (o in seen_o or seen_o.add(o))
+            ]
+            if o_pairs:
+                o_src = self.other.static_pruned(
+                    min(ov1, dO_ct.version()),
+                    affected.select(
+                        *[F.col(f"`{p}`").alias(o) for p, o in o_pairs]
+                    ).dropDuplicates([o for _, o in o_pairs]),
+                    [o for _, o in o_pairs],
+                    small=self.governor.should_hint(slice_bytes),
+                )
+        ldf, rdf = (p_slice, o_src) if self.preserved is b.left else (o_src, p_slice)
         # union legs are maintained by their own _UnionLegStage, keyed
         # disjointly — never re-appended to the join's recomputed slice
         new_slice = b._execute(ldf, rdf, apply_unions=False)
