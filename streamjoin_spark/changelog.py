@@ -103,6 +103,34 @@ _ENTRY_FILES_MAX = 1024
 # commit path won't pay more than this many serial metadata reads for them
 _STATS_FILES_MAX_UNSORTED = 64
 
+# scoped READS skip their bounds-probe jobs when the snapshot's total
+# known on-disk size (per-entry byte counts recorded at commit time, the
+# Delta add-file `size` analog) is at or under this — pruning a scan this
+# small cannot pay for the 1-2 driver probe jobs (measured r10: ~0.3-1 s
+# of pure overhead per gate-scale IVM slice). Entries written before
+# sizes landed read as "unknown" and keep probing (the safe direction at
+# scale); tests pin pruning behavior by setting this to 0.
+PRUNE_MIN_READ_BYTES = 64 << 20
+
+
+def _path_bytes(abs_path: str) -> int | None:
+    """On-disk parquet bytes under a path (file or dir) — the per-entry
+    `size` a manifest entry carries (Delta add-file size analog), used by
+    scoped reads to decide whether a bounds probe can pay for itself.
+    Driver-side listing only; None on failure (reads as "unknown" =
+    probe, the safe direction at scale)."""
+    try:
+        if os.path.isfile(abs_path):
+            return os.path.getsize(abs_path)
+        total = 0
+        for root, _dirs, files in os.walk(abs_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+    except OSError:
+        return None
+
 
 def _free_checkpoint(df) -> None:
     """Release a localCheckpoint'ed DataFrame's storage blocks NOW instead
@@ -574,15 +602,26 @@ class ChangeTable:
         stats_cols: Sequence[str] | None = None,
     ):
         """Manifest entry for a freshly written path (dir or file): rel
-        path + footer stats when any stats column yielded usable bounds,
-        else the plain string (keeps legacy shape and manifest size when
-        stats would never prune)."""
+        path + footer stats when any stats column yielded usable bounds
+        + the entry's on-disk byte size (the Delta add-file size analog —
+        lets scoped reads skip probe jobs on snapshots too small for
+        pruning to pay, see PRUNE_MIN_READ_BYTES); a plain string only
+        when neither is known (keeps the legacy shape)."""
+        abs_path = os.path.join(self.path, rel)
         s = _dir_stats(
-            os.path.join(self.path, rel),
+            abs_path,
             self._stats_cols() if stats_cols is None else list(stats_cols),
             max_files=max_files,
         )
-        return {"d": rel, "s": s} if s else rel
+        b = _path_bytes(abs_path)
+        if s is None and b is None:
+            return rel
+        e: dict = {"d": rel}
+        if s:
+            e["s"] = s
+        if b is not None:
+            e["b"] = b
+        return e
 
     def _entries_for(
         self, rel_dir: str, sorted_write: bool = True,
@@ -903,6 +942,21 @@ class ChangeTable:
             and all(c in key_cols for c in pb)
         )
         if not (want_parts or self._prunable(manifest)):
+            return self._read_pruned(manifest, None)
+        # probe-for-profit gate: when every entry carries its size and the
+        # whole snapshot is tiny, the 1-2 bounds-probe jobs cost more than
+        # the scan they would skip — read it all (unknown sizes probe)
+        known = 0
+        for es in manifest.values():
+            for e in es:
+                b = e.get("b") if isinstance(e, dict) else None
+                if b is None:
+                    known = None
+                    break
+                known += b
+            if known is None:
+                break
+        if known is not None and known <= PRUNE_MIN_READ_BYTES:
             return self._read_pruned(manifest, None)
         res = self._scope_bounds(
             scope_keys.select(*key_cols), key_cols, small=small,

@@ -23,6 +23,9 @@ def _mk_split(spark, tmp_path, monkeypatch, n=10_000, n_buckets=4, split=1000):
     from streamjoin_spark import changelog as cl
 
     monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", split)
+    # test tables sit under the probe-for-profit byte gate — disable it
+    # so the pruning MECHANICS are what these tests pin
+    monkeypatch.setattr(cl, "PRUNE_MIN_READ_BYTES", 0)
     df = spark.range(0, n).selectExpr("id", "concat('n', id) AS name")
     ct = ChangeTable.create(
         spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=n_buckets
@@ -129,6 +132,7 @@ def test_zorder_declares_stats_columns_and_prunes(
     from streamjoin_spark import changelog as cl
 
     monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 500)
+    monkeypatch.setattr(cl, "PRUNE_MIN_READ_BYTES", 0)
     df = spark.range(0, 8_000).selectExpr(
         "id", "CAST(id % 97 AS long) AS x", "CAST(id % 89 AS long) AS y"
     )
@@ -188,7 +192,9 @@ def test_sorted_fallback_entry_caps_footer_reads(
     ])
     monkeypatch.setattr(cl, "_ENTRY_FILES_MAX", max(1, n_files - 1))
     entries = ct._entries_for(part_dir, sorted_write=True)
-    assert entries == [part_dir], entries  # plain entry: no unbounded fold
+    # one STATS-LESS entry (sizes still ride along): no unbounded fold
+    assert len(entries) == 1 and _entry_dir(entries[0]) == part_dir
+    assert not (isinstance(entries[0], dict) and entries[0].get("s"))
 
 
 def test_est_bytes_if_scan_classifies_by_node_not_string(spark, tmp_path):
@@ -249,6 +255,7 @@ def test_ivm_join_slice_reads_are_pruned(spark, tmp_path, monkeypatch):
     from streamjoin_spark import changelog as cl
 
     monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 500)
+    monkeypatch.setattr(cl, "PRUNE_MIN_READ_BYTES", 0)
     cust = spark.range(2_000).selectExpr(
         "id AS c_custkey", "concat('seg', id % 5) AS c_mktsegment"
     )
@@ -311,3 +318,27 @@ def test_ivm_join_slice_reads_are_pruned(spark, tmp_path, monkeypatch):
                        o["o_totalprice"]).toDF()
            ).collect()}
     assert got == exp
+
+
+def test_probe_for_profit_gate_skips_tiny_tables(spark, tmp_path, monkeypatch):
+    """Scoped reads must not pay bounds-probe jobs on snapshots too small
+    for pruning to matter: entries carry their on-disk sizes (the Delta
+    add-file size analog) and a sub-threshold total reads everything —
+    exactness is untouched (read_where's semi filter still applies)."""
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 1000)
+    df = spark.range(0, 10_000).selectExpr("id", "concat('n', id) AS name")
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=4
+    )
+    ct.merge(df)
+    m = ct._manifest(ct.version())
+    assert all(
+        isinstance(e, dict) and "b" in e for es in m.values() for e in es
+    ), "entries must carry byte sizes"
+    keys = spark.createDataFrame([(42,)], "id long")
+    pruned = ct.snapshot_pruned(keys, ["id"])  # default threshold: skip
+    assert len(pruned.inputFiles()) == len(ct.snapshot().inputFiles())
+    got = {r["id"] for r in ct.read_where(keys, ["id"]).collect()}
+    assert got == {42}
