@@ -3749,6 +3749,124 @@ def q_ivm_zorder_read(spark, sf_dir):
     return ct.read_where(keys, ["o_custkey"])
 
 
+def q_ivm_renamed_view(spark, sf_dir):
+    """IVM e2e over RENAMED sources (r11, VERDICT r10 task 1): the
+    reference's idiomatic pipeline renames every stream at declaration
+    (reference tests/SetupInputStream.py:170-202 — rename + derived-col
+    transforms on each input). Pre-r11 any ``.to`` transform silently
+    disabled every reader-side scoped read in the IVM slices (sound
+    full-snapshot fallback); ``streams.static_pruned`` now maps
+    post-transform key columns back to base columns through the analyzed
+    plan (``streams._map_cols_to_base`` — Alias/AttributeReference
+    chains under row-local nodes only) and renamed slices prune like
+    unrenamed ones. This runs the ivm_join_cdc shape through renamed
+    streams: re-segmentation fans out via the probe leg, deletes
+    retract, clones insert; the maintained table must equal the batch
+    join of the final states under the RENAMED output columns. At
+    100 TB the rename is free again: a localized churn slice opens ~one
+    split file per owning bucket instead of both full snapshots."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+    from streamjoin_spark.streams import Stream
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_renamed_")
+    cct = ChangeTable.create(
+        spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
+    )
+    oct_ = ChangeTable.create(
+        spark, f"{base}/o", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    cct.merge(cust)
+    oct_.merge(orders)
+    c = (
+        Stream.fromChangeTable(cct, "c")
+        .primaryKeys("ck")
+        .to(
+            lambda df: df.withColumnRenamed("c_custkey", "ck")
+            .withColumnRenamed("c_mktsegment", "seg")
+        )
+    )
+    o = (
+        Stream.fromChangeTable(oct_, "o")
+        .primaryKeys("ok")
+        .to(
+            lambda df: df.withColumnRenamed("o_orderkey", "ok")
+            .withColumnRenamed("o_custkey", "cid")
+        )
+    )
+    w = (
+        c.join(o, "inner")
+        .on(c["ck"] == o["cid"])
+        .select(c["ck"], c["seg"], o["ok"], o["o_totalprice"])
+        .writeToPath(f"{base}/state")
+    )
+    w.run()
+    cct.merge(
+        cust.where(F.col("c_custkey") % 7 == 3).select(
+            "c_custkey", "c_name", F.lit("RSEG").alias("c_mktsegment")
+        )
+    )
+    oct_.delete_where("o_orderkey % 19 = 4")
+    oct_.merge(
+        orders.where(F.col("o_orderkey") % 23 == 5).select(
+            (F.col("o_orderkey") + F.lit(20000000)).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    w.run()
+    return w.toDF()
+
+
+def q_ivm_scan_where(spark, sf_dir):
+    """Condition-scan file skipping e2e (r11, VERDICT r10 task 2):
+    ``scan_where`` — the predicate twin of ``read_where`` — prunes a
+    snapshot read by translating simple predicates on manifest-stats
+    columns (eq/range/IN/null tests through AND-OR spines) into
+    per-entry exclusions against the footer min/max
+    (changelog._expr_may_match, the condition twin of _entry_excluded).
+    The same machinery now scopes ``delete_where``'s own doomed scan —
+    the retention-shaped delete in this cycle reads only
+    stat-intersecting files instead of the full snapshot (pre-r11:
+    ``cur_all = snapshot(v-1)`` always). The cycle layers bulk merge,
+    churn, and a modulus delete, then scans a pk range over the
+    multi-dir head manifest. At 100 TB a retention horizon on a stats
+    column opens ~the oldest file per bucket, not the table."""
+    _prep(spark)
+    import tempfile
+
+    from streamjoin_spark.changelog import ChangeTable
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 4)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="sj_ivm_scanwhere_")
+    ct = ChangeTable.create(
+        spark, f"{base}/t", orders.schema, ["o_orderkey"], n_buckets=8
+    )
+    ct.merge(orders)                                       # bulk load
+    ct.merge(                                              # localized churn
+        orders.where(F.col("o_orderkey") % 17 == 4).select(
+            "o_orderkey", "o_custkey",
+            F.lit("CONDED").alias("o_orderpriority"), "o_totalprice",
+        )
+    )
+    ct.delete_where("o_orderkey % 23 = 11")   # doomed scan: cond-pruned
+    return ct.scan_where(F.col("o_orderkey") < 20000)
+
+
 def q_ivm_union_cdc(spark, sf_dir):
     """IVM e2e: ``.union()`` on a live join pipeline (reference
     elzyme/joins.py:861-865) — the leg is an extra root feed maintaining
@@ -3981,6 +4099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_rebucket": q_ivm_rebucket,
         "ivm_read_where": q_ivm_read_where,
         "ivm_zorder_read": q_ivm_zorder_read,
+        # r11 — appended at the END per the frozen-ordering invariant
+        "ivm_renamed_view": q_ivm_renamed_view,
+        "ivm_scan_where": q_ivm_scan_where,
     }
 
 
@@ -7025,5 +7146,29 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 4 = 1 AND o_orderkey % 31 <> 9
           AND o_custkey % 50 = 3
+    """
+    out["ivm_renamed_view"] = """
+        WITH final_c AS (
+            SELECT c_custkey AS ck,
+                   CASE WHEN c_custkey % 7 = 3 THEN 'RSEG'
+                        ELSE c_mktsegment END AS seg
+            FROM customer),
+        final_o AS (
+            SELECT o_orderkey AS ok, o_custkey AS cid, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 19 <> 4
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 23 = 5)
+        SELECT c.ck, c.seg, o.ok, o.o_totalprice
+        FROM final_c c JOIN final_o o ON c.ck = o.cid
+    """
+    out["ivm_scan_where"] = """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 17 = 4 THEN 'CONDED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 5 = 4 AND o_orderkey % 23 <> 11
+          AND o_orderkey < 20000
     """
     return out

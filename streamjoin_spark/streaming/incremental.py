@@ -669,77 +669,100 @@ class _JoinStage:
                 .dropDuplicates(pcols)
                 .localCheckpoint(eager=True)
             )
-            p_probe = self.preserved.static_pruned(
-                min(pv1, dP_ct.version()), pscope, pcols,
-                small=self.governor.should_hint(o_bytes),
-            )
-        # ΔO broadcast is size-guarded: over the governor threshold (a single
-        # oversized commit — chunk granularity is a whole commit) it shuffles
-        probe = (
-            p_probe.alias(pq)
-            .join(self.governor.hint(dO.alias(oq), o_bytes), cond, "inner")
-            .select([F.col(f"{pq}.`{k}`").alias(k) for k in self.p_pks])
-        )
-        # the affected-key scope is Δ-derived and narrow (key columns only);
-        # the slice's change bytes upper-bound the ΔP contribution and proxy
-        # the probe's (hot keys can widen it — the guard errs conservative).
-        # localCheckpoint pins ONE evaluation of the (probe-join-carrying)
-        # scope plan: the pruned-read bounds probe below, the semi-join,
-        # and replace_keys' own scope actions would otherwise re-run the
-        # probe join 3-5× per slice — and soundness of footer-stats
-        # pruning requires every consumer to see the same keys.
-        affected = self.governor.keys(
-            affected.unionByName(probe), self.p_pks, slice_bytes
-        ).localCheckpoint(eager=True)
-        if pscope is not None:
-            # the probe scope's consumers (bounds probe + the probe join,
-            # both inside the checkpoint action above) are done
-            _free_checkpoint(pscope)
-
-        # slice recomputation through the builder's own projection logic —
-        # identical plan shape to the batch twin, just semi-filtered (with
-        # the governor's broadcast→bloom degradation ladder over threshold).
-        # The slice's OWN preserved-side read is file-pruned by the scope
-        # bounds (reader-side data skipping — r10): a localized-churn
-        # slice against a split table opens ~one file per part instead of
-        # scanning every file; the probe leg above keeps the full p_snap
-        # (its keys are only known AFTER it runs).
-        p_pruned = self.preserved.static_pruned(
-            min(pv1, dP_ct.version()), affected, self.p_pks,
-            small=self.governor.should_hint(slice_bytes),
-        )
-        p_slice = self.governor.scoped(p_pruned, affected, self.p_pks, slice_bytes)
-        # other-side read pruning (r10): slice rows equi-match p_slice,
-        # whose equi-col values are covered by `affected` when the equi
-        # col IS a preserved pk — the other side's snapshot read then
-        # prunes to files/parts that can hold those values (engages when
-        # the other table's stats cols cover the join key: pk joins, or
-        # zorder/set_stats_columns-declared dims; costs nothing
-        # otherwise). Skipped under 3-arg .to transforms, whose contract
-        # hands the user the bound side frames — those must stay the
-        # full pinned snapshots.
-        from ..operators.joins import _map_arity  # cycle guard
-
-        o_src = o_snap
-        if not any(_map_arity(fn) >= 3 for fn in b._maps):
-            seen_o: set = set()
-            o_pairs = [
-                (p, o) for p, o in pairs
-                if p in self.p_pks and not (o in seen_o or seen_o.add(o))
-            ]
-            if o_pairs:
-                o_src = self.other.static_pruned(
-                    min(ov1, dO_ct.version()),
-                    affected.select(
-                        *[F.col(f"`{p}`").alias(o) for p, o in o_pairs]
-                    ).dropDuplicates([o for _, o in o_pairs]),
-                    [o for _, o in o_pairs],
-                    small=self.governor.should_hint(slice_bytes),
+        try:
+            if pscope is not None:
+                p_probe = self.preserved.static_pruned(
+                    min(pv1, dP_ct.version()), pscope, pcols,
+                    small=self.governor.should_hint(o_bytes),
                 )
-        ldf, rdf = (p_slice, o_src) if self.preserved is b.left else (o_src, p_slice)
-        # union legs are maintained by their own _UnionLegStage, keyed
-        # disjointly — never re-appended to the join's recomputed slice
-        new_slice = b._execute(ldf, rdf, apply_unions=False)
+            # ΔO broadcast is size-guarded: over the governor threshold (a
+            # single oversized commit — chunk granularity is a whole
+            # commit) it shuffles
+            probe = (
+                p_probe.alias(pq)
+                .join(self.governor.hint(dO.alias(oq), o_bytes), cond, "inner")
+                .select([F.col(f"{pq}.`{k}`").alias(k) for k in self.p_pks])
+            )
+            # the affected-key scope is Δ-derived and narrow (key columns
+            # only); the slice's change bytes upper-bound the ΔP
+            # contribution and proxy the probe's (hot keys can widen it —
+            # the guard errs conservative). localCheckpoint pins ONE
+            # evaluation of the (probe-join-carrying) scope plan: the
+            # pruned-read bounds probe below, the semi-join, and
+            # replace_keys' own scope actions would otherwise re-run the
+            # probe join 3-5× per slice — and soundness of footer-stats
+            # pruning requires every consumer to see the same keys.
+            affected = self.governor.keys(
+                affected.unionByName(probe), self.p_pks, slice_bytes
+            ).localCheckpoint(eager=True)
+        finally:
+            if pscope is not None:
+                # the probe scope's consumers (bounds probe + the probe
+                # join, both inside the checkpoint action above) are done
+                # — and a slice that THROWS before that action must not
+                # leak the blocks either (r10 ADVICE: exception paths
+                # accumulate checkpoints until JVM GC, the heap-pressure
+                # class _free_checkpoint exists to kill)
+                _free_checkpoint(pscope)
+
+        try:
+            # slice recomputation through the builder's own projection
+            # logic — identical plan shape to the batch twin, just
+            # semi-filtered (with the governor's broadcast→bloom
+            # degradation ladder over threshold). The slice's OWN
+            # preserved-side read is file-pruned by the scope bounds
+            # (reader-side data skipping — r10): a localized-churn slice
+            # against a split table opens ~one file per part instead of
+            # scanning every file; the probe leg above keeps the full
+            # p_snap (its keys are only known AFTER it runs).
+            p_pruned = self.preserved.static_pruned(
+                min(pv1, dP_ct.version()), affected, self.p_pks,
+                small=self.governor.should_hint(slice_bytes),
+            )
+            p_slice = self.governor.scoped(
+                p_pruned, affected, self.p_pks, slice_bytes
+            )
+            # other-side read pruning (r10): slice rows equi-match
+            # p_slice, whose equi-col values are covered by `affected`
+            # when the equi col IS a preserved pk — the other side's
+            # snapshot read then prunes to files/parts that can hold
+            # those values (engages when the other table's stats cols
+            # cover the join key: pk joins, or zorder/set_stats_columns-
+            # declared dims; costs nothing otherwise). Skipped under
+            # 3-arg .to transforms, whose contract hands the user the
+            # bound side frames — those must stay the full pinned
+            # snapshots.
+            from ..operators.joins import _map_arity  # cycle guard
+
+            o_src = o_snap
+            if not any(_map_arity(fn) >= 3 for fn in b._maps):
+                seen_o: set = set()
+                o_pairs = [
+                    (p, o) for p, o in pairs
+                    if p in self.p_pks and not (o in seen_o or seen_o.add(o))
+                ]
+                if o_pairs:
+                    o_src = self.other.static_pruned(
+                        min(ov1, dO_ct.version()),
+                        affected.select(
+                            *[F.col(f"`{p}`").alias(o) for p, o in o_pairs]
+                        ).dropDuplicates([o for _, o in o_pairs]),
+                        [o for _, o in o_pairs],
+                        small=self.governor.should_hint(slice_bytes),
+                    )
+            ldf, rdf = (
+                (p_slice, o_src)
+                if self.preserved is b.left
+                else (o_src, p_slice)
+            )
+            # union legs are maintained by their own _UnionLegStage, keyed
+            # disjointly — never re-appended to the join's recomputed slice
+            new_slice = b._execute(ldf, rdf, apply_unions=False)
+        except BaseException:
+            # a throw between the scope checkpoint and the caller's own
+            # try/finally would orphan the blocks (r10 ADVICE)
+            _free_checkpoint(affected)
+            raise
         lv1, rv1 = (pv1, ov1) if self.preserved is b.left else (ov1, pv1)
         return affected, new_slice, [lv1, rv1], slice_bytes
 
@@ -756,22 +779,27 @@ class _JoinStage:
         if out is None:
             return False
         affected, new_slice, versions, slice_bytes = out
-        self._slice_bytes = slice_bytes  # surfaced via stageProgress()
-        new_slice = _gate_expectations(self, new_slice)
-        changed = self.target.replace_keys(
-            affected, self.p_pks, new_slice,
-            hint_broadcast=self.governor.should_hint(slice_bytes),
-            merge_schema=getattr(self, "merge_schema", False),
-            applied_marker=(_stage_key(self), versions),
-        )
-        self.progress.versions = versions
-        self.progress.batch_id += 1  # table sinks count slices too
-        self.progress.save()
-        _note_metrics(self, t0, v_from, versions, slice_bytes,
-                      changed if changed > tv0 else None)
-        # the slice is committed: release the scope's checkpoint blocks
-        # now (GC-driven release lags py4j refs; see _free_checkpoint)
-        _free_checkpoint(affected)
+        try:
+            self._slice_bytes = slice_bytes  # surfaced via stageProgress()
+            new_slice = _gate_expectations(self, new_slice)
+            changed = self.target.replace_keys(
+                affected, self.p_pks, new_slice,
+                hint_broadcast=self.governor.should_hint(slice_bytes),
+                merge_schema=getattr(self, "merge_schema", False),
+                applied_marker=(_stage_key(self), versions),
+            )
+            self.progress.versions = versions
+            self.progress.batch_id += 1  # table sinks count slices too
+            self.progress.save()
+            _note_metrics(self, t0, v_from, versions, slice_bytes,
+                          changed if changed > tv0 else None)
+        finally:
+            # the slice is committed (or failed): release the scope's
+            # checkpoint blocks now — GC-driven release lags py4j refs
+            # (see _free_checkpoint), and a FAILED slice recomputes a
+            # fresh scope on retry, so freeing is safe on both paths
+            # (r10 ADVICE: exception paths must not leak)
+            _free_checkpoint(affected)
         return True
 
 
@@ -821,14 +849,24 @@ class _ForeachStage(_JoinStage):
         if out is None:
             return False
         affected, new_slice, versions, nbytes = out
-        if self._wants_scope:
-            self.func(new_slice, affected, self.progress.batch_id)
-        else:
-            self.func(new_slice, self.progress.batch_id)
-        self.progress.batch_id += 1
-        self.progress.versions = versions
-        self.progress.save()
-        _note_metrics(self, t0, v_from, versions, nbytes, None)
+        try:
+            if self._wants_scope:
+                self.func(new_slice, affected, self.progress.batch_id)
+            else:
+                self.func(new_slice, self.progress.batch_id)
+            self.progress.batch_id += 1
+            self.progress.versions = versions
+            self.progress.save()
+            _note_metrics(self, t0, v_from, versions, nbytes, None)
+        finally:
+            # foreach sinks previously never released the scope's
+            # checkpoint blocks — every batch leaked them until JVM GC,
+            # the exact py4j-lag heap-pressure class _free_checkpoint was
+            # added for (r10 ADVICE). The sink call is done (its scope
+            # parameter must be consumed within the batch, same contract
+            # as the slice frame); a failed batch recomputes both on
+            # retry.
+            _free_checkpoint(affected)
         return True
 
 
@@ -887,28 +925,33 @@ class _UnionLegStage:
         affected = self.governor.keys(images, self.pks, nbytes).localCheckpoint(
             eager=True
         )
-        small = self.governor.should_hint(nbytes)
-        # reader-side data skipping (r10): the slice reads only the files
-        # whose footer-stat key ranges intersect the affected scope
-        snap = self.stream.static_pruned(v1, affected, self.pks, small=small)
-        # replace_keys projects onto the target schema itself (and computes
-        # any generated columns) — don't pre-select here
-        new_slice = _gate_expectations(
-            self, self.governor.scoped(snap, affected, self.pks, nbytes)
-        )
-        tv0 = self.target.version()
-        changed = self.target.replace_keys(
-            affected, self.pks, new_slice,
-            hint_broadcast=self.governor.should_hint(nbytes),
-            merge_schema=getattr(self, "merge_schema", False),
-            applied_marker=(_stage_key(self), [v1]),
-        )
-        self.progress.versions = [v1]
-        self.progress.batch_id += 1  # table sinks count slices too
-        self.progress.save()
-        _note_metrics(self, t0, [v0], [v1], nbytes,
-                      changed if changed > tv0 else None)
-        _free_checkpoint(affected)
+        try:
+            small = self.governor.should_hint(nbytes)
+            # reader-side data skipping (r10): the slice reads only the
+            # files whose footer-stat key ranges intersect the affected
+            # scope
+            snap = self.stream.static_pruned(v1, affected, self.pks, small=small)
+            # replace_keys projects onto the target schema itself (and
+            # computes any generated columns) — don't pre-select here
+            new_slice = _gate_expectations(
+                self, self.governor.scoped(snap, affected, self.pks, nbytes)
+            )
+            tv0 = self.target.version()
+            changed = self.target.replace_keys(
+                affected, self.pks, new_slice,
+                hint_broadcast=self.governor.should_hint(nbytes),
+                merge_schema=getattr(self, "merge_schema", False),
+                applied_marker=(_stage_key(self), [v1]),
+            )
+            self.progress.versions = [v1]
+            self.progress.batch_id += 1  # table sinks count slices too
+            self.progress.save()
+            _note_metrics(self, t0, [v0], [v1], nbytes,
+                          changed if changed > tv0 else None)
+        finally:
+            # success AND failure paths release the scope blocks (r10
+            # ADVICE — a failed slice recomputes a fresh scope on retry)
+            _free_checkpoint(affected)
         return True
 
 
@@ -1024,40 +1067,47 @@ class _AggStage:
         replay = _replay_floor(self)
         replayed = replay is not None and v0 < replay
         rkeys = None
-        if not self.additive or replayed:
-            new_slice = recompute(affected)
-        else:
-            retract_imgs = images.where(F.col("_change_type").isin(UPDATE_PRE, DELETE))
-            if retract_imgs.isEmpty():
-                new_slice = self._additive_slice(images, affected, tv0)
+        try:
+            if not self.additive or replayed:
+                new_slice = recompute(affected)
             else:
-                # groups seeing any retraction re-aggregate from the snapshot
-                # (additive retraction is unsound for NULL-edge SUM and for
-                # recipe aggs like max); the insert-only majority stays O(Δ)
-                rkeys = self.governor.keys(retract_imgs, g).localCheckpoint(
-                    eager=True
+                retract_imgs = images.where(
+                    F.col("_change_type").isin(UPDATE_PRE, DELETE)
                 )
-                hinted_rkeys = self.governor.hint(rkeys, nbytes)
-                ins_affected = _anti_filter(affected, hinted_rkeys, g)
-                ins_images = _anti_filter(images, hinted_rkeys, g)
-                new_slice = self._additive_slice(
-                    ins_images, ins_affected, tv0
-                ).unionByName(recompute(rkeys))
+                if retract_imgs.isEmpty():
+                    new_slice = self._additive_slice(images, affected, tv0)
+                else:
+                    # groups seeing any retraction re-aggregate from the
+                    # snapshot (additive retraction is unsound for
+                    # NULL-edge SUM and for recipe aggs like max); the
+                    # insert-only majority stays O(Δ)
+                    rkeys = self.governor.keys(retract_imgs, g).localCheckpoint(
+                        eager=True
+                    )
+                    hinted_rkeys = self.governor.hint(rkeys, nbytes)
+                    ins_affected = _anti_filter(affected, hinted_rkeys, g)
+                    ins_images = _anti_filter(images, hinted_rkeys, g)
+                    new_slice = self._additive_slice(
+                        ins_images, ins_affected, tv0
+                    ).unionByName(recompute(rkeys))
 
-        changed = self.target.replace_keys(
-            affected, self.group_cols, _gate_expectations(self, new_slice),
-            hint_broadcast=self.governor.should_hint(nbytes),
-            expected_version=tv0,
-            applied_marker=(_stage_key(self), [v1]),
-        )
-        self.progress.versions = [v1]
-        self.progress.batch_id += 1  # table sinks count slices too
-        self.progress.save()
-        _note_metrics(self, t0, [v0], [v1], nbytes,
-                      changed if changed > tv0 else None)
-        _free_checkpoint(affected)
-        if rkeys is not None:
-            _free_checkpoint(rkeys)
+            changed = self.target.replace_keys(
+                affected, self.group_cols, _gate_expectations(self, new_slice),
+                hint_broadcast=self.governor.should_hint(nbytes),
+                expected_version=tv0,
+                applied_marker=(_stage_key(self), [v1]),
+            )
+            self.progress.versions = [v1]
+            self.progress.batch_id += 1  # table sinks count slices too
+            self.progress.save()
+            _note_metrics(self, t0, [v0], [v1], nbytes,
+                          changed if changed > tv0 else None)
+        finally:
+            # success AND failure paths release the scope blocks (r10
+            # ADVICE — a failed slice recomputes fresh scopes on retry)
+            _free_checkpoint(affected)
+            if rkeys is not None:
+                _free_checkpoint(rkeys)
         return changed > 0 or v1 != v0
 
     def _additive_slice(
@@ -1377,6 +1427,21 @@ def _build_pipeline(
     stages: list = []
     roots: list[ChangeTable] = []
     governor = _Governor(options)
+    # OCC claim-bound options (r10 VERDICT watch-item 2): writers pacing
+    # many concurrent drivers over one target size the claim wait to
+    # N × their longest commit (the measured rule — SCALING.md r10: max
+    # wait at 4 writers grazed the 30 s default). Applied to every
+    # pipeline-owned table (targets + staging); ROOT tables belong to
+    # their creators.
+    _cw = (options or {}).get("claimWaitSeconds")
+    _cs = (options or {}).get("claimStaleSeconds")
+
+    def tune(ct: ChangeTable) -> ChangeTable:
+        if _cw is not None:
+            ct._claim_wait_s = float(_cw)
+        if _cs is not None:
+            ct._claim_stale_s = float(_cs)
+        return ct
     # StagedStreams bound during THIS build pass: a staged input must get
     # its upstream stage REBUILT on every pipeline (re)construction — a
     # prior build (rebuild(), or a second writer over the same operator
@@ -1467,10 +1532,10 @@ def _build_pipeline(
                 return
             schema = op.toDF().schema
             pks = [k.name for k in op.composed_keys()]
-            target = ChangeTable.create(
+            target = tune(ChangeTable.create(
                 spark, target_path, schema, pks, partition_by=parts,
                 generated_columns=generated_columns if final else None,
-            )
+            ))
             stages.append(_JoinStage(op, target, _Progress(target_path, 2), governor))
             for idx, u in enumerate(union_streams):
                 stages.append(
@@ -1483,11 +1548,11 @@ def _build_pipeline(
         elif isinstance(op, GroupByWithAggs):
             bind_input(op.source, f"{target_path}__stages/src")
             schema = op.toDF().schema
-            target = ChangeTable.create(
+            target = tune(ChangeTable.create(
                 spark, target_path, schema, list(op.group_cols),
                 partition_by=parts,
                 generated_columns=generated_columns if final else None,
-            )
+            ))
             stages.append(_AggStage(op, target, _Progress(target_path, 1), governor))
         elif isinstance(op, Stream):
             # maintained projection: the simplest IVM case — a single
@@ -1501,11 +1566,11 @@ def _build_pipeline(
                     "a maintained view needs primaryKeys() on the source"
                 )
             schema = op.static().schema
-            target = ChangeTable.create(
+            target = tune(ChangeTable.create(
                 spark, target_path, schema, list(op.primary_keys),
                 partition_by=parts,
                 generated_columns=generated_columns if final else None,
-            )
+            ))
             stages.append(
                 _UnionLegStage(op, target, _Progress(target_path, 1), governor)
             )
@@ -1807,6 +1872,12 @@ class _WriterBase:
             mt = ChangeTable(spark, path)
         else:
             mt = ChangeTable.create(spark, path, df.schema, ["metric_id"])
+            # declare the retention horizon column as a manifest-stats
+            # column from birth: metricsRetainSeconds' amortized
+            # delete_where (and its existence probe) then prune the
+            # doomed scan to the old files only — the r11 scoped
+            # delete_where riding on flushed_ts min/max per commit
+            mt.set_stats_columns("flushed_ts")
         # idempotent retry WITHOUT a merge rewrite: metric_ids are
         # DETERMINISTIC (run_id|gen|idx|seq) and the cursor advances only
         # AFTER the commit returns, so a run() retried after a
@@ -1859,28 +1930,42 @@ class _WriterBase:
         if not keep or not ChangeTable.exists(path):
             return
         now = time.time()
-        # amortization stamp lives in the METRICS TABLE's meta, not on the
-        # writer instance: the one-writer-object-per-run batch idiom would
-        # otherwise pay the snapshot probe action on every run() (r9
-        # ADVICE). In-memory stamp kept as a cheap first gate; losing the
-        # meta stamp to a racing flush's publish only costs one extra
-        # probe (the write is a plain metadata replace, not a commit).
+        # amortization stamp PERSISTS so the one-writer-object-per-run
+        # batch idiom doesn't pay the snapshot probe on every run() (r9
+        # ADVICE) — but it must stay OUT of the meta file: meta is the
+        # commit publish point, and an unclaimed read-modify-write of it
+        # races a concurrent flush/append whose version bump would be
+        # silently clobbered (r10 ADVICE). The stamp is pure amortization
+        # telemetry, so it lives in its own sidecar written via the
+        # backend's atomic replace — no claim needed, and losing a racing
+        # stamp write costs one extra probe at worst. In-memory stamp
+        # kept as a cheap first gate; legacy tables that stamped meta
+        # before this fix fall back to that value once.
         if now - getattr(self, "_metrics_last_purge", 0.0) < float(keep) / 4:
             return
         mt = ChangeTable(self._spark(), path)
-        last = float(mt._read_meta().get("metrics_last_purge", 0.0) or 0.0)
+        stamp_path = os.path.join(mt.path, "metrics_purge_stamp.json")
+        raw = mt.backend.read(stamp_path)
+        if raw is not None:
+            try:
+                last = float(json.loads(raw).get("ts", 0.0) or 0.0)
+            except ValueError:
+                last = 0.0
+        else:  # pre-sidecar stamp location (never written anymore)
+            last = float(mt._read_meta().get("metrics_last_purge", 0.0) or 0.0)
         if now - last < float(keep) / 4:
             self._metrics_last_purge = last
             return
         self._metrics_last_purge = now
-        meta = dict(mt._read_meta())
-        meta["metrics_last_purge"] = now
-        mt._write_meta(meta)
+        mt.backend.replace(stamp_path, json.dumps({"ts": now}))
         horizon = now - float(keep)
         cond = F.col("flushed_ts").isNull() | (F.col("flushed_ts") < horizon)
         if "flushed_ts" not in mt.schema().fieldNames():
             return  # nothing flushed since the column landed — no ages known
-        if mt.snapshot().where(cond).isEmpty():
+        # scan_where: the existence probe (and the delete's own doomed
+        # scan) open only files whose flushed_ts range reaches below the
+        # horizon — steady state probes ~the oldest file, not the table
+        if mt.scan_where(cond).isEmpty():
             return  # no expired rows: skip the empty delete commit
         mt.delete_where(cond)
 

@@ -43,6 +43,115 @@ UPDATE_PRE = "update_preimage"
 UPDATE_POST = "update_postimage"
 DELETE = "delete"
 
+# Logical-plan nodes a ``.to`` transform may interpose WITHOUT breaking
+# file-pruning soundness: each output row is a row-local function of
+# exactly one input row and pruning the input only removes rows (never
+# changes surviving ones). Anything else — Aggregate, Window, Join,
+# Generate, Deduplicate, Limit — can change the CONTENT of rows that
+# survive a pruned read (a window rank computed over fewer rows, a dedup
+# electing a different representative), so the walk refuses and the read
+# falls back to the full snapshot.
+_ROW_LOCAL_NODES = {
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+}
+
+
+def _jseq(seq) -> list:
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _map_cols_to_base(out_df: DataFrame, base_df: DataFrame, key_cols) :
+    """{post-transform key col → base column} when PROVABLE from the
+    analyzed plan, else None (= read everything, the sound fallback).
+
+    Soundness argument (r10 VERDICT task 1 — transform-aware scoped
+    reads): footer-stats pruning of the BASE table by a post-transform
+    column is sound iff (a) every output value of that column IS some
+    base row's value of one specific base column — established by
+    resolving the output attribute's exprId through Alias/
+    AttributeReference chains down to the base plan's own output (a
+    rename that swaps two column names maps each to its true origin;
+    any computed expression refuses) — and (b) every plan node between
+    the output and the base subtree is row-local (see
+    ``_ROW_LOCAL_NODES``), so dropping base rows that provably carry no
+    scoped key value cannot alter the surviving rows. Catalyst exprIds
+    are globally unique per attribute instance, so an id resolving into
+    ``base_df``'s output cannot belong to a different relation the
+    transform smuggled in. Driver-only plan walk, no Spark job."""
+    try:
+        jbase = base_df._jdf.queryExecution().analyzed()
+        base_ids = {
+            a.exprId().id(): a.name() for a in _jseq(jbase.output())
+        }
+        node = out_df._jdf.queryExecution().analyzed()
+        out_ids: dict[str, int | None] = {}
+        for a in _jseq(node.output()):
+            name = a.name()
+            # duplicate output names: ambiguous reference, refuse
+            out_ids[name] = None if name in out_ids else a.exprId().id()
+        targets: dict[str, int] = {}
+        for k in key_cols:
+            eid = out_ids.get(k)
+            if eid is None:
+                return None
+            targets[k] = eid
+        # Walk down until BOTH (a) the node computes the same row
+        # multiset as the base frame — sameResult, Spark's canonicalized
+        # comparison; true only when everything above the base subtree
+        # is alias-trivia, itself row-local by construction — and (b)
+        # every target id resolved to a base OUTPUT id. (a) alone fires
+        # early on rename projects (canonicalization ignores names)
+        # before the alias chain is consumed; (b) alone would accept a
+        # pass-through key under a non-row-local sibling (a window
+        # column computed over the unpruned row set).
+        while not (
+            node.sameResult(jbase)
+            and all(eid in base_ids for eid in targets.values())
+        ):
+            nn = str(node.nodeName())
+            if nn not in _ROW_LOCAL_NODES:
+                return None
+            if nn == "Project":
+                plist = {
+                    ne.exprId().id(): ne
+                    for ne in _jseq(node.projectList())
+                }
+                for k, eid in targets.items():
+                    ne = plist.get(eid)
+                    if ne is None:
+                        return None
+                    cls = str(ne.getClass().getSimpleName())
+                    if cls == "Alias":
+                        child = ne.child()
+                        if (
+                            str(child.getClass().getSimpleName())
+                            != "AttributeReference"
+                        ):
+                            return None
+                        targets[k] = child.exprId().id()
+                    elif cls != "AttributeReference":
+                        return None
+            children = node.children()
+            if children.size() != 1:
+                return None
+            node = children.apply(0)
+        mapping = {}
+        for k, eid in targets.items():
+            base_name = base_ids.get(eid)
+            if base_name is None:
+                return None
+            mapping[k] = base_name
+        if len(set(mapping.values())) != len(mapping):
+            return None  # two keys collapsing onto one base column
+        return mapping
+    except Exception:  # noqa: BLE001 — pruning is best-effort, never fail a read
+        return None
+
 
 class Stream:
     def __init__(
@@ -399,18 +508,59 @@ class Stream:
         data skipping via the substrate's manifest footer stats —
         ChangeTable.snapshot_pruned). Callers must still apply their
         exact filter; the IVM runtime layers its broadcast/bloom/shuffle
-        semi-join ladder on top. Falls back to the plain ``static`` read
-        when the source has ``.to`` transforms (post-transform column
-        names cannot be soundly mapped onto the base table's footer
-        stats — a rename could alias a DIFFERENT base column and
-        wrongly exclude files) or the substrate lacks scoped reads
-        (static parquet/DataFrame sources, Delta adapter)."""
+        semi-join ladder on top.
+
+        Sources with ``.to`` transforms — the reference's idiomatic
+        shape renames every stream at declaration
+        (reference tests/SetupInputStream.py:170-202) — prune through a
+        PROVEN column mapping (r11): the analyzed plan resolves each
+        post-transform key column back to its base column when the
+        transform chain is row-local rename/projection/filter
+        (``_map_cols_to_base``); the scope values are then identical to
+        base values and the base read prunes as if unrenamed. Opaque
+        transforms (computed keys, windows, aggregates, joins) and
+        substrates without scoped reads (static parquet/DataFrame
+        sources, Delta adapter) keep the sound full-read fallback."""
         ct = self.change_table
-        if self._transforms or ct is None or not hasattr(ct, "snapshot_pruned"):
+        if ct is None or not hasattr(ct, "snapshot_pruned"):
             return self.static(version)
-        return self._apply_transforms(
-            ct.snapshot_pruned(scope_keys, key_cols, version=version, small=small)
+        key_cols = list(key_cols)
+        if not self._transforms:
+            return self._apply_transforms(
+                ct.snapshot_pruned(
+                    scope_keys, key_cols, version=version, small=small
+                )
+            )
+        mapping = self._transform_key_mapping(key_cols, version)
+        if mapping is None:
+            return self.static(version)
+        from pyspark.sql import functions as F  # noqa: PLC0415 - cycle-free
+
+        base_cols = [mapping[k] for k in key_cols]
+        base_scope = scope_keys.select(
+            *[F.col(f"`{k}`").alias(mapping[k]) for k in key_cols]
         )
+        return self._apply_transforms(
+            ct.snapshot_pruned(
+                base_scope, base_cols, version=version, small=small
+            )
+        )
+
+    def _transform_key_mapping(
+        self, key_cols: Sequence[str], version: int | None
+    ) -> dict | None:
+        """Cached post-transform→base column mapping for this stream's
+        ``.to`` chain (the chain is frozen per clone, and snapshots read
+        under the table's CURRENT schema at every version, so the
+        mapping is version-independent). None = not provable."""
+        cache = self.__dict__.setdefault("_key_map_cache", {})
+        ck = tuple(key_cols)
+        if ck not in cache:
+            base = self._static_fn(version)
+            cache[ck] = _map_cols_to_base(
+                self._apply_transforms(base), base, key_cols
+            )
+        return cache[ck]
 
     def stream(self) -> DataFrame:
         """The change-feed readStream (deletes ride along as ``_change_type =

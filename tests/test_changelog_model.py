@@ -539,3 +539,43 @@ def test_unparseable_claim_ages_out_on_mtime(spark, tmp_path):
     assert fresh._try_claim(v)  # stolen on mtime, not wedged
     body = json.loads(open(claim).read())
     assert body["token"] == fresh._writer_token
+
+
+def test_claim_wait_option_sizes_five_writers(spark, tmp_path):
+    """r10 VERDICT watch-item 2: the claim wait is a constructor option
+    (measured rule: N writers × longest single commit — at 4 writers the
+    observed max wait grazed the old hardwired 30 s). A short wait raises
+    against a held claim; a sized wait serializes FIVE concurrent
+    writers with zero lost commits."""
+    import threading
+
+    path = str(tmp_path / "five")
+    _mk(spark, path)
+    holder = ChangeTable(spark, path)
+    v = holder._next_version()
+    short = ChangeTable(spark, path, claim_wait_s=0.05)
+    assert short._claim_wait_s == 0.05
+    with pytest.raises(Exception, match="claimed|in-flight"):
+        short.merge(_b(spark, [(1, "x", 1.0, 1)]))
+    holder._release_claim(v)
+
+    errs: list = []
+
+    def work(i):
+        try:
+            w = ChangeTable(spark, path, claim_wait_s=120.0)
+            w.merge(_b(spark, [(10 + i, f"w{i}", float(i), 1)]))
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    final = ChangeTable(spark, path)
+    ids = {r[0] for r in _snap(final)}
+    assert {10, 11, 12, 13, 14} <= ids
+    # five distinct commits landed (serialized, none lost)
+    assert final.version() >= 5

@@ -78,12 +78,37 @@ def test_stream_static_pruned_routes_and_falls_back(
     pruned = s.static_pruned(ct.version(), keys, ["id"])
     full = s.static(ct.version())
     assert len(pruned.inputFiles()) < len(full.inputFiles())
-    # a .to transform renames columns → post-transform names can't map to
-    # footer stats; must fall back to the FULL read, never misprune
+    # r11 (VERDICT r10 task 1): a RENAME transform — the reference's
+    # idiomatic source shape — maps post-transform keys back to base
+    # columns through the analyzed plan and keeps pruning
     s2 = s.to(lambda df: df.withColumnRenamed("name", "id2"))
     fb = s2.static_pruned(ct.version(), keys, ["id"])
-    assert len(fb.inputFiles()) == len(full.inputFiles())
+    assert len(fb.inputFiles()) < len(full.inputFiles())
     assert "id2" in fb.columns
+    # renamed KEY: scope arrives under the post-transform name and prunes
+    s3 = s.to(lambda df: df.withColumnRenamed("id", "doc"))
+    kd = spark.createDataFrame([(123,)], "doc long")
+    fb3 = s3.static_pruned(ct.version(), kd, ["doc"])
+    assert len(fb3.inputFiles()) < len(full.inputFiles())
+    assert {r["doc"] for r in fb3.where("doc = 123").collect()} == {123}
+    # a COMPUTED key cannot map → sound full-read fallback
+    s4 = s.to(
+        lambda df: df.withColumn("doc", F.col("id") + 1).drop("id")
+    )
+    fb4 = s4.static_pruned(ct.version(), kd, ["doc"])
+    assert len(fb4.inputFiles()) == len(full.inputFiles())
+    # a cross-row transform (window) cannot prune either, even though the
+    # key passes through untouched — sibling columns would be computed
+    # over the pruned row set
+    from pyspark.sql import Window
+
+    s5 = s.to(
+        lambda df: df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+    )
+    fb5 = s5.static_pruned(ct.version(), keys, ["id"])
+    assert len(fb5.inputFiles()) == len(full.inputFiles())
 
 
 def test_nondeterministic_scope_stays_sound(spark, tmp_path, monkeypatch):
@@ -342,3 +367,171 @@ def test_probe_for_profit_gate_skips_tiny_tables(spark, tmp_path, monkeypatch):
     assert len(pruned.inputFiles()) == len(ct.snapshot().inputFiles())
     got = {r["id"] for r in ct.read_where(keys, ["id"]).collect()}
     assert got == {42}
+
+
+def test_read_where_scope_released_with_result(spark, tmp_path, monkeypatch):
+    """r10 VERDICT watch-item 1: repeated read_where calls must not
+    accumulate scope-checkpoint blocks — the blocks are tied to the
+    returned frame's lifetime (weakref finalizer) with an explicit
+    ``_sj_free_scope()`` escape hatch."""
+    import gc
+
+    ct = _mk_split(spark, tmp_path, monkeypatch)
+    jsc = spark.sparkContext._jsc.sc()
+    gc.collect()
+    base = jsc.getPersistentRDDs().size()
+    for i in range(5):
+        keys = spark.createDataFrame([(i * 7,)], "id long")
+        out = ct.read_where(keys, ["id"])
+        assert out.count() == 1
+        del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() <= base
+    # deterministic early release
+    keys = spark.createDataFrame([(3,)], "id long")
+    out = ct.read_where(keys, ["id"])
+    assert out.count() == 1
+    out._sj_free_scope()
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_ivm_slice_reads_pruned_through_renamed_sources(
+    spark, tmp_path, monkeypatch
+):
+    """r10 VERDICT task 1 'done' criterion: an IVM join slice over
+    RENAMED sources (the reference's idiomatic declaration shape,
+    SetupInputStream.py:170-202) opens ~one file's worth per part on a
+    split table instead of the full snapshots — and still converges."""
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 500)
+    monkeypatch.setattr(cl, "PRUNE_MIN_READ_BYTES", 0)
+    cust = spark.range(2_000).selectExpr(
+        "id AS c_custkey", "concat('seg', id % 5) AS c_mktsegment"
+    )
+    orders = spark.range(8_000).selectExpr(
+        "id AS o_orderkey", "CAST(id % 2000 AS long) AS o_custkey",
+        "CAST(id AS double) AS o_totalprice"
+    )
+    cct = ChangeTable.create(
+        spark, str(tmp_path / "c"), cust.schema, ["c_custkey"], n_buckets=2
+    )
+    oct_ = ChangeTable.create(
+        spark, str(tmp_path / "o"), orders.schema, ["o_orderkey"], n_buckets=2
+    )
+    cct.merge(cust)
+    oct_.merge(orders)
+    # rename transforms on BOTH streams — pre-r11 this disabled every
+    # scoped read in the slice (full-snapshot fallback)
+    c = (
+        Stream.fromChangeTable(cct, "c")
+        .primaryKeys("ck")
+        .to(lambda df: df.withColumnRenamed("c_custkey", "ck")
+            .withColumnRenamed("c_mktsegment", "seg"))
+    )
+    o = (
+        Stream.fromChangeTable(oct_, "o")
+        .primaryKeys("ok")
+        .to(lambda df: df.withColumnRenamed("o_orderkey", "ok")
+            .withColumnRenamed("o_custkey", "cid"))
+    )
+
+    def build():
+        return (
+            c.join(o, "inner")
+            .on(c["ck"] == o["cid"])
+            .select(c["ck"], c["seg"], o["ok"], o["o_totalprice"])
+        )
+
+    w = build().writeToPath(str(tmp_path / "state"))
+    w.run()
+    # localized churn: only low custkeys touched
+    cct.merge(
+        spark.range(40).selectExpr(
+            "id AS c_custkey", "'MOVED' AS c_mktsegment"
+        )
+    )
+    st = w.pipeline.stages[0]
+    out = st.compute_slice()
+    assert out is not None
+    affected, new_slice, versions, nbytes = out
+    opened = new_slice.inputFiles()
+    full_c = len(cct.snapshot().inputFiles())
+    full_o = len(oct_.snapshot().inputFiles())
+    # preserved side (c, pk ck→c_custkey) prunes through the rename;
+    # the o side prunes nothing (cid carries no stats on orders) but the
+    # total must be well under both full snapshots summed
+    assert len(opened) < full_c + full_o, (len(opened), full_c, full_o)
+    st.process()
+    w.run()
+    got = {(r["ck"], r["ok"]): r["seg"] for r in w.toDF().collect()}
+    exp = {(r["ck"], r["ok"]): r["seg"] for r in build().toDF().collect()}
+    assert got == exp
+
+
+def test_chain_stage_probe_leg_prunes_like_leaf(spark, tmp_path, monkeypatch):
+    """r10 VERDICT task 3: a depth-3 staged chain whose outer `.on()`
+    condition references an INNER (pre-staging) stream must prune its
+    probe-leg and slice reads like a leaf stage — key provenance composes
+    through StagedStream (the staged output carries inner columns under
+    the same name, and `_lineage` resolves the ref to the staged side)."""
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", 500)
+    monkeypatch.setattr(cl, "PRUNE_MIN_READ_BYTES", 0)
+    cust = spark.range(2_000).selectExpr(
+        "id AS c_custkey", "concat('seg', id % 5) AS seg"
+    )
+    orders = spark.range(8_000).selectExpr(
+        "id AS o_orderkey", "CAST(id % 2000 AS long) AS o_custkey"
+    )
+    items = spark.range(16_000).selectExpr(
+        "id AS l_id", "CAST(id % 8000 AS long) AS l_orderkey"
+    )
+    nat = spark.range(2_000).selectExpr(
+        "id AS n_custkey", "concat('nat', id % 25) AS n_name"
+    )
+    cct = ChangeTable.create(spark, str(tmp_path / "c"), cust.schema,
+                             ["c_custkey"], n_buckets=2)
+    oct_ = ChangeTable.create(spark, str(tmp_path / "o"), orders.schema,
+                              ["o_orderkey"], n_buckets=2)
+    lct = ChangeTable.create(spark, str(tmp_path / "l"), items.schema,
+                             ["l_id"], n_buckets=2)
+    nct = ChangeTable.create(spark, str(tmp_path / "n"), nat.schema,
+                             ["n_custkey"], n_buckets=2)
+    for ct, df in ((cct, cust), (oct_, orders), (lct, items), (nct, nat)):
+        ct.merge(df)
+    c = Stream.fromChangeTable(cct, "c").primaryKeys("c_custkey")
+    o = Stream.fromChangeTable(oct_, "o").primaryKeys("o_orderkey")
+    l = Stream.fromChangeTable(lct, "l").primaryKeys("l_id")
+    n = Stream.fromChangeTable(nct, "n").primaryKeys("n_custkey")
+    w = (
+        c.join(o, "inner").on(c["c_custkey"] == o["o_custkey"])
+        .select(c["c_custkey"], c["seg"], o["o_orderkey"])
+        .join(l, "inner").on(o["o_orderkey"] == l["l_orderkey"])
+        .select(c["c_custkey"], o["o_orderkey"], l["l_id"])
+        .join(n, "inner").on(c["c_custkey"] == n["n_custkey"])
+        .select(c["c_custkey"], o["o_orderkey"], l["l_id"],
+                n["n_custkey"], n["n_name"])
+        .writeToPath(str(tmp_path / "state"))
+    )
+    w.run()
+    st3 = w.pipeline.stages[-1]
+    # the inner-stream ref (c_custkey, two stagings deep) IS provable
+    assert st3._equi_pairs() == [("c_custkey", "n_custkey")]
+    nct.merge(
+        spark.range(10).selectExpr("id AS n_custkey", "'NEW' AS n_name")
+    )
+    out = st3.compute_slice()
+    assert out is not None
+    affected, new_slice, versions, nbytes = out
+    staged = st3.preserved.change_table
+    full = len(staged.snapshot().inputFiles()) + len(
+        nct.snapshot().inputFiles()
+    )
+    assert len(new_slice.inputFiles()) < full
+    st3.process()
+    w.run()
+    # convergence: the chain equals its batch twin after the churn
+    assert w.toDF().where("n_name = 'NEW'").count() == 16_000 * 10 // 2000

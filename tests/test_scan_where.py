@@ -1,0 +1,128 @@
+"""Condition-scan file pruning (r10 VERDICT task 2: scoped delete_where).
+
+``scan_where`` / ``_read_cond_pruned`` translate simple predicates on
+manifest-stats columns (eq / range / IN / null tests through AND-OR
+spines) into per-entry exclusion decisions — a retention-window delete on
+a split table opens only stat-intersecting files. Soundness contract:
+anything not provably excludable reads "may match"; the exact filter
+always applies on top.
+"""
+
+import pyspark.sql.functions as F
+
+from streamjoin_spark.changelog import ChangeTable
+
+
+def _mk_split(spark, tmp_path, monkeypatch, n=10_000, n_buckets=4, split=1000):
+    from streamjoin_spark import changelog as cl
+
+    monkeypatch.setattr(cl, "SPLIT_ROWS_PER_FILE", split)
+    monkeypatch.setattr(cl, "PRUNE_MIN_READ_BYTES", 0)
+    df = spark.range(0, n).selectExpr(
+        "id", "concat('n', id) AS name", "CAST(id AS double) AS ts"
+    )
+    ct = ChangeTable.create(
+        spark, str(tmp_path / "t"), df.schema, ["id"], n_buckets=n_buckets
+    )
+    ct.set_stats_columns("ts")
+    ct.merge(df)
+    return ct
+
+
+def test_scan_where_prunes_ranges_and_is_exact(spark, tmp_path, monkeypatch):
+    ct = _mk_split(spark, tmp_path, monkeypatch)
+    full = len(ct.snapshot().inputFiles())
+    cases = [
+        F.col("id") < 400,
+        F.col("id") >= 9_600,
+        (F.col("id") >= 100) & (F.col("id") < 300),
+        F.col("id").isin(5, 9),
+        F.col("id") == 7_777,
+        "id < 400",
+        F.col("ts") < 250.0,  # declared extra stats column
+        # retention shape: isNull | < horizon
+        F.col("ts").isNull() | (F.col("ts") < 500.0),
+    ]
+    for cond in cases:
+        out = ct.scan_where(cond)
+        ref = ct.snapshot().where(
+            F.expr(cond) if isinstance(cond, str) else cond
+        )
+        assert sorted(r["id"] for r in out.collect()) == sorted(
+            r["id"] for r in ref.collect()
+        ), str(cond)
+        assert len(out.inputFiles()) < full, str(cond)
+    # opaque predicates read everything but stay exact
+    opaque = ct.scan_where("id % 11 = 3")
+    assert opaque.count() == ct.snapshot().where("id % 11 = 3").count()
+    assert len(opaque.inputFiles()) == full
+
+
+def test_scan_where_soundness_battery(spark, tmp_path, monkeypatch):
+    """Every supported shape (plus deliberately-hostile ones: NaN, null
+    literals, cross-type, NOT, nested OR/AND) returns exactly what a
+    full scan + filter returns."""
+    ct = _mk_split(spark, tmp_path, monkeypatch, n=3_000, split=250)
+    conds = [
+        (F.col("id") > 2_900) | (F.col("id") < 10),
+        ~(F.col("id") < 2_990),
+        F.col("name") == "n42",
+        F.col("id").eqNullSafe(F.lit(None).cast("long")),
+        F.col("ts") < float("nan"),
+        F.col("id").isin(),
+        (F.col("id") < 100) & (F.col("name") > "n"),
+        F.lit(True),
+        F.lit(False),
+        F.col("id").isNotNull() & (F.col("id") <= 0),
+        F.col("id").isNull(),
+        F.lit(50) > F.col("id"),  # flipped operand order
+    ]
+    for cond in conds:
+        got = sorted(r["id"] for r in ct.scan_where(cond).collect())
+        ref = sorted(r["id"] for r in ct.snapshot().where(cond).collect())
+        assert got == ref, str(cond)
+
+
+def test_delete_where_doomed_scan_is_pruned(spark, tmp_path, monkeypatch):
+    """The delete's own condition scan opens only stat-intersecting files
+    (pre-r11: always the full snapshot), and the commit stays exact —
+    snapshot, change feed and carry-forward all converge."""
+    ct = _mk_split(spark, tmp_path, monkeypatch)
+    full = len(ct.snapshot().inputFiles())
+    cond = F.col("id") < 300
+    pruned = ct._read_cond_pruned(ct._manifest(ct.version()), cond)
+    assert len(pruned.inputFiles()) < full
+    before = ct.snapshot().count()
+    v = ct.delete_where(cond)
+    assert ct.snapshot().count() == before - 300
+    assert ct.snapshot().where("id < 300").isEmpty()
+    feed = ct.read_change_feed(starting_version=v)
+    assert feed.where("_change_type = 'delete'").count() == 300
+    # survivors intact (no file wrongly excluded from the rewrite)
+    assert ct.snapshot().where("id = 300").count() == 1
+
+
+def test_metrics_retention_rides_scoped_delete(spark, tmp_path):
+    """metricsPath tables declare flushed_ts as a stats column from birth,
+    so the amortized retention delete prunes its scans for free."""
+    from streamjoin_spark.streams import Stream
+
+    df = spark.range(50).selectExpr("id", "CAST(id AS double) AS v")
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"), df.schema, ["id"], n_buckets=2
+    )
+    src.merge(df)
+    w = (
+        Stream.fromChangeTable(src, "s").primaryKeys("id")
+        .writeToPath(str(tmp_path / "view"))
+        .option("metricsPath", str(tmp_path / "metrics"))
+    )
+    w.run()
+    mt = ChangeTable(spark, str(tmp_path / "metrics"))
+    assert "flushed_ts" in mt.stats_extra_cols
+    m = mt._manifest(mt.version())
+    assert any(
+        isinstance(e, dict) and "flushed_ts" in (e.get("s") or {})
+        for es in m.values()
+        for e in es
+    ), "metrics commits carry no flushed_ts footer stats"

@@ -61,7 +61,7 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
     # the customer table feeds only the join-bearing shapes — building it
     # for 'agg' would add untimed bulk-load jobs to an attribution tool
     cct = None
-    if shape in ("join", "chain"):
+    if shape in ("join", "join_renamed", "chain"):
         cct = ChangeTable.create(
             spark, f"{base}/c", cust.schema, ["c_custkey"], n_buckets=8
         )
@@ -73,7 +73,29 @@ def profile(spark, sf_dir: str, shape: str = "join") -> dict:
             .select(c["c_custkey"], c["c_mktsegment"],
                     o["o_orderkey"], o["o_totalprice"])
         )
-    if shape == "join":
+    if shape == "join_renamed":
+        # the reference's idiomatic declaration: every stream renamed at
+        # source (r11 transform-aware scoped reads) — identical physics
+        # to 'join' is the acceptance bar; pre-r11 every slice read fell
+        # back to the full snapshots under these transforms
+        cr = (
+            Stream.fromChangeTable(cct, "c")
+            .primaryKeys("ck")
+            .to(lambda df: df.withColumnRenamed("c_custkey", "ck")
+                .withColumnRenamed("c_mktsegment", "seg"))
+        )
+        orn = (
+            Stream.fromChangeTable(oct_, "o")
+            .primaryKeys("ok")
+            .to(lambda df: df.withColumnRenamed("o_orderkey", "ok")
+                .withColumnRenamed("o_custkey", "cid"))
+        )
+        w = (
+            cr.join(orn, "inner")
+            .on(cr["ck"] == orn["cid"])
+            .select(cr["ck"], cr["seg"], orn["ok"], orn["o_totalprice"])
+        )
+    elif shape == "join":
         w = joined
     elif shape == "agg":
         w = o.groupBy("o_custkey").agg(
