@@ -55,6 +55,50 @@ from ..streams import COMMIT_VERSION, DELETE, METADATA_COLUMNS
 
 COMMIT_TIMESTAMP = "_commit_timestamp"
 
+# scoped Delta reads collect at most this many distinct key tuples and
+# push per-column IN filters into the scan (Delta's own data skipping
+# then prunes files by its log stats); larger scopes read the full
+# snapshot — the plan-size-bounded analog of the native substrate's
+# _SCOPE_VALUES_MAX value-list pruning
+SNAPSHOT_PRUNE_VALUES_MAX = 8192
+
+
+def scope_filter(scope_keys: DataFrame, key_cols, cap: int | None = None):
+    """Per-column membership Column over a BOUNDED key scope, or None
+    when the scope is too big / NaN-carrying / uncollectable — the
+    pushdown-shaped rendition of reader-side data skipping for
+    substrates that do their own file skipping (Delta). Per-column IN
+    (the Cartesian superset of the tuple set) keeps the result a sound
+    SUPERSET of the scoped rows; null keys ride an isNull disjunct
+    (join-key eqNullSafe semantics); any NaN refuses (NaN membership
+    semantics differ across engines). Pure Spark — unit-testable
+    without delta-spark."""
+    cap = SNAPSHOT_PRUNE_VALUES_MAX if cap is None else cap
+    key_cols = list(key_cols)
+    try:
+        rows = (
+            scope_keys.select(*key_cols)
+            .dropDuplicates(key_cols)
+            .limit(cap + 1)
+            .collect()
+        )
+    except Exception:  # noqa: BLE001 — pruning is best-effort
+        return None
+    if not rows or len(rows) > cap:
+        return None
+    cond = None
+    for i, c in enumerate(key_cols):
+        vals = {r[i] for r in rows}
+        has_null = None in vals
+        vals = {v for v in vals if v is not None}
+        if any(isinstance(v, float) and v != v for v in vals):
+            return None
+        e = F.col(f"`{c}`").isin(*vals) if vals else F.lit(False)
+        if has_null:
+            e = e | F.col(f"`{c}`").isNull()
+        cond = e if cond is None else (cond & e)
+    return cond
+
 
 def has_delta() -> bool:
     """Whether the delta-spark python package is importable (the JVM side
@@ -185,6 +229,31 @@ class DeltaSourceTable:
         if version is not None:
             r = r.option("versionAsOf", int(version))
         return self._load(r)
+
+    def snapshot_pruned(
+        self,
+        scope_keys: DataFrame,
+        key_cols,
+        version: int | None = None,
+        small: bool = True,
+    ) -> DataFrame:
+        """Scoped version-pinned read (r11): the Delta rendition of the
+        native substrate's reader-side data skipping. A bounded scope
+        (``small``, ≤ SNAPSHOT_PRUNE_VALUES_MAX tuples) becomes
+        per-column IN filters pushed into the Delta scan — Delta's
+        transaction-log per-file stats then skip files exactly as the
+        native manifest stats do; bigger/unbounded scopes read the full
+        snapshot (sound fallback). Returns a SUPERSET of the scoped
+        rows (per-column membership is the Cartesian superset of the
+        tuple set); callers keep their exact semi filter, same contract
+        as ChangeTable.snapshot_pruned. Soundness needs ONE evaluation
+        of ``scope_keys`` between this collect and the caller's filter —
+        the IVM runtime localCheckpoints its scopes (r10)."""
+        snap = self.snapshot(version)
+        if not small:
+            return snap
+        cond = scope_filter(scope_keys, key_cols)
+        return snap if cond is None else snap.where(cond)
 
     def read_change_feed(self, starting_version: int = 1) -> DataFrame:
         head = self.version()

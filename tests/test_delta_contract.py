@@ -353,3 +353,51 @@ def test_has_delta_sees_injected_runtime(fake_delta_modules):
     probe that will activate the live skip-marked round-trip test on a
     real cluster."""
     assert delta_mod.has_delta()
+
+
+# ---------------------------------------------------------------------------
+# scoped Delta reads (r11): scope_filter + adapter snapshot_pruned
+# ---------------------------------------------------------------------------
+
+
+def test_scope_filter_membership_shapes(spark):
+    """scope_filter builds a per-column membership Column — the sound
+    Cartesian SUPERSET of the tuple set — with null keys riding isNull,
+    NaN scopes refusing, and over-cap scopes refusing (None = read all).
+    Pure Spark; no delta-spark needed."""
+    from streamjoin_spark.sources.delta import scope_filter
+
+    data = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, g string"
+    )
+    scope = spark.createDataFrame([(1, "a"), (3, None)], "k long, g string")
+    cond = scope_filter(scope, ["k", "g"])
+    assert cond is not None
+    got = sorted(r["k"] for r in data.where(cond).collect())
+    assert got == [1, 3]  # superset of the tuple set; exact here
+    # single-column scope
+    cond1 = scope_filter(scope, ["k"])
+    assert sorted(r["k"] for r in data.where(cond1).collect()) == [1, 3]
+    # over-cap refuses
+    big = spark.range(100).selectExpr("id AS k")
+    assert scope_filter(big, ["k"], cap=10) is None
+    # NaN refuses (cross-engine NaN membership semantics)
+    nan_scope = spark.createDataFrame([(float("nan"),)], "x double")
+    assert scope_filter(nan_scope, ["x"]) is None
+    # empty scope refuses (nothing to prune toward)
+    empty = spark.createDataFrame([], "k long")
+    assert scope_filter(empty, ["k"]) is None
+
+
+def test_adapter_snapshot_pruned_is_superset_and_falls_back(adapter, spark):
+    """DeltaSourceTable.snapshot_pruned pushes the membership filter into
+    the Delta scan (superset contract) and returns the plain snapshot
+    for unbounded scopes (small=False)."""
+    a, log = adapter
+    scope = spark.createDataFrame([(1,)], "id long")
+    out = a.snapshot_pruned(scope, ["id"])
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {1}  # per-column exact for a single key col
+    # unbounded scope: full snapshot, no collect
+    full = a.snapshot_pruned(scope, ["id"], small=False)
+    assert full.count() == a.snapshot().count()
