@@ -214,6 +214,12 @@ def main() -> None:
         "query_steal_pct_max": max(steals) if steals else None,
         "queries": host_queries,
     }
+    # per-query host telemetry goes to STDERR: the driver records only
+    # the TAIL of stdout (~2000 chars), and the bulky telemetry map was
+    # exactly what it captured — burying the timings. With it on stderr
+    # the stdout line's tail now ends in the ivm timings + the summary
+    # keys below, so the recorded artifact is readable even truncated.
+    print("# host " + json.dumps(host), file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
@@ -222,8 +228,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ivm_queries": ivm_timings,
+                # summary trio LAST so a tail-truncated capture still
+                # carries the headline (python 3.7+ dicts keep order)
                 "sf": sf_val,
-                "host": host,
+                "run_steal_pct": host["run_steal_pct"],
+                "total_query_seconds": total,
             }
         )
     )

@@ -1436,11 +1436,27 @@ def _build_pipeline(
     _cw = (options or {}).get("claimWaitSeconds")
     _cs = (options or {}).get("claimStaleSeconds")
 
-    def tune(ct: ChangeTable) -> ChangeTable:
+    # statsColumns (r11): extra manifest-stats columns for the FINAL
+    # target beyond pk+partition — the writer-option spelling of
+    # ChangeTable.set_stats_columns, so a maintained view's scoped reads
+    # (read_where / scan_where / downstream IVM slices) can prune on
+    # domain dimensions (e.g. a timestamp column for retention scans).
+    # Comma-separated string or a sequence.
+    _stats_cols = (options or {}).get("statsColumns")
+    if isinstance(_stats_cols, str):
+        _stats_cols = [c.strip() for c in _stats_cols.split(",") if c.strip()]
+
+    def tune(ct: ChangeTable, final: bool = False) -> ChangeTable:
         if _cw is not None:
             ct._claim_wait_s = float(_cw)
         if _cs is not None:
             ct._claim_stale_s = float(_cs)
+        if final and _stats_cols:
+            missing = [
+                c for c in _stats_cols if c not in ct.stats_extra_cols
+            ]
+            if missing:
+                ct.set_stats_columns(*missing)
         return ct
     # StagedStreams bound during THIS build pass: a staged input must get
     # its upstream stage REBUILT on every pipeline (re)construction — a
@@ -1535,7 +1551,7 @@ def _build_pipeline(
             target = tune(ChangeTable.create(
                 spark, target_path, schema, pks, partition_by=parts,
                 generated_columns=generated_columns if final else None,
-            ))
+            ), final)
             stages.append(_JoinStage(op, target, _Progress(target_path, 2), governor))
             for idx, u in enumerate(union_streams):
                 stages.append(
@@ -1552,7 +1568,7 @@ def _build_pipeline(
                 spark, target_path, schema, list(op.group_cols),
                 partition_by=parts,
                 generated_columns=generated_columns if final else None,
-            ))
+            ), final)
             stages.append(_AggStage(op, target, _Progress(target_path, 1), governor))
         elif isinstance(op, Stream):
             # maintained projection: the simplest IVM case — a single
@@ -1570,7 +1586,7 @@ def _build_pipeline(
                 spark, target_path, schema, list(op.primary_keys),
                 partition_by=parts,
                 generated_columns=generated_columns if final else None,
-            ))
+            ), final)
             stages.append(
                 _UnionLegStage(op, target, _Progress(target_path, 1), governor)
             )

@@ -220,3 +220,33 @@ def test_claim_wait_writer_option_plumbs_to_targets(spark, tmp_path):
     assert w.target._claim_wait_s == 7.0
     assert w.target._claim_stale_s == 1200.0
     assert a._claim_wait_s == 30.0  # roots untouched
+
+
+def test_stats_columns_writer_option(spark, tmp_path):
+    """statsColumns (r11): the writer-option spelling of
+    set_stats_columns — the FINAL target's commits harvest footer stats
+    on the declared dims so scoped reads prune on them; staging tables
+    and roots stay untouched."""
+    from streamjoin_spark.streams import Stream
+
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS double) AS ts", "CAST(id % 7 AS long) AS g"
+    )
+    src = ChangeTable.create(
+        spark, str(tmp_path / "src"), df.schema, ["k"], n_buckets=2
+    )
+    src.merge(df)
+    w = (
+        Stream.fromChangeTable(src, "s").primaryKeys("k")
+        .writeToPath(str(tmp_path / "view"))
+        .option("statsColumns", "ts, g")
+    )
+    w.run()
+    assert w.target.stats_extra_cols == ("ts", "g")
+    assert src.stats_extra_cols == ()
+    m = w.target._manifest(w.target.version())
+    assert any(
+        isinstance(e, dict) and "ts" in (e.get("s") or {})
+        for es in m.values()
+        for e in es
+    ), "view commits carry no stats on the declared columns"
