@@ -112,6 +112,15 @@ _STATS_FILES_MAX_UNSORTED = 64
 # scale); tests pin pruning behavior by setting this to 0.
 PRUNE_MIN_READ_BYTES = 64 << 20
 
+# read_where inlines the scope as a LITERAL membership filter up to this
+# many key tuples (the optimizer converts big IN lists to an InSet hash
+# probe) — the returned plan then carries no checkpoint dependency and
+# composes freely; bigger scopes keep the semi-join against the
+# checkpointed scope frame, whose blocks are finalizer-released with the
+# result object (r11 review finding: a finalizer-only design broke
+# chained temporaries like read_where(...).where(x).collect()).
+READ_WHERE_INLINE_MAX = 8192
+
 
 def _path_bytes(abs_path: str) -> int | None:
     """On-disk parquet bytes under a path (file or dir) — the per-entry
@@ -231,54 +240,109 @@ def _jlit_value(node):
         return False, None
 
 
-_NUMERIC_SIMPLE = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_INT_BOUND = {
+    "tinyint": 127,
+    "smallint": 32767,
+    "int": 2147483647,
+    "bigint": 2**63 - 1,
+}
+
+
+def _exact_widening(src: str, dst: str) -> bool:
+    """Whether ``cast(x AS dst)`` is VALUE-PRESERVING for every x of type
+    ``src`` — the only casts the stats evaluator may see through
+    (r11 review finding: the first cut accepted any numeric→numeric
+    cast, so ``cast(double_col AS int) = 5`` pruned files holding 5.7,
+    and ``cast(bigint AS double)`` lost precision past 2^53 — both
+    silently dropping matching rows). Int-family widening within the
+    family; ≤32-bit ints → double (53-bit mantissa holds them exactly);
+    float → double. NOT bigint→double, NOT anything→float, NOT any
+    narrowing, NOT numeric↔string."""
+    if src == dst:
+        return True
+    if src in _INT_RANK and dst in _INT_RANK:
+        return _INT_RANK[src] <= _INT_RANK[dst]
+    if src in ("tinyint", "smallint", "int") and dst == "double":
+        return True
+    return src == "float" and dst == "double"
 
 
 def _jlit_node(node):
     """The Literal under ``node``, unwrapping one type-promotion Cast —
     analysis wraps comparison literals to match the column type
-    (``id < 400`` resolves to ``id#L < cast(400 as bigint)``). Numeric→
-    numeric promotion is value-exact under Python's cross-type int/float
-    comparison; any other cast returns None (no pruning)."""
+    (``id < 400`` resolves to ``id#L < cast(400 as bigint)``). The fold
+    uses the PRE-cast Python value, so it is sound only when the cast
+    preserves that specific value: null → anything (stays null),
+    int → int family it FITS in, int → double below 2^53,
+    float → double. Everything else returns None (no pruning)."""
     cls = str(node.getClass().getSimpleName())
     if cls == "Literal":
         return node
-    if cls == "Cast":
-        child = node.child()
-        if str(child.getClass().getSimpleName()) != "Literal":
-            return None
-        src = str(child.dataType().simpleString())
-        dst = str(node.dataType().simpleString())
-        if src in _NUMERIC_SIMPLE and dst in _NUMERIC_SIMPLE:
+    if cls != "Cast":
+        return None
+    child = node.child()
+    if str(child.getClass().getSimpleName()) != "Literal":
+        return None
+    dst = str(node.dataType().simpleString())
+    ok, v = _jlit_value(child)
+    if not ok:
+        return None
+    if v is None:
+        return child  # cast of NULL stays NULL — value intact
+    if isinstance(v, bool):
+        return None  # bool↔numeric casts change the comparison domain
+    if dst in _INT_BOUND:
+        if isinstance(v, int) and -_INT_BOUND[dst] - 1 <= v <= _INT_BOUND[dst]:
             return child
-        # cast of NULL to anything stays NULL — value semantics intact
-        try:
-            if child.value() is None:
-                return child
-        except Exception:  # noqa: BLE001
-            return None
+        return None
+    if dst == "double":
+        if isinstance(v, float):
+            return child
+        if isinstance(v, int) and abs(v) <= 2**53:
+            return child
+    return None
+
+
+def _jattr_ref(node):
+    """(column_name, bounds_cast) for a resolved AttributeReference,
+    possibly under ONE numeric Cast the evaluator can reason through —
+    or None. ``bounds_cast`` maps a raw footer stat into the CAST's
+    output domain so interval tests run where the comparison runs:
+
+    - exact widening (``_exact_widening``): identity — raw stats compare
+      directly;
+    - int-family → double (including bigint, lossy past 2^53): apply
+      Python ``float`` to the bounds. Sound because the cast is MONOTONE
+      non-decreasing and Python's float(int) is the same
+      IEEE-nearest conversion Spark's toDouble performs: any x∈[lo,hi]
+      has cast(x)∈[float(lo), float(hi)], so an interval test on the
+      cast bounds over-approximates (r11 review follow-up — the
+      exact-widening-only cut silently lost pruning on the common
+      ``bigint_col < 250.5`` shape);
+    - anything else (→float's 32-bit rounding, float→int truncation
+      whose ANSI overflow could ERROR on rows a pruned file hides,
+      string casts): refuse."""
+    cls = str(node.getClass().getSimpleName())
+    if cls == "AttributeReference":
+        return str(node.name()), None
+    if cls != "Cast":
+        return None
+    inner = node.child()
+    if str(inner.getClass().getSimpleName()) != "AttributeReference":
+        return None
+    src = str(inner.dataType().simpleString())
+    dst = str(node.dataType().simpleString())
+    if _exact_widening(src, dst):
+        return str(inner.name()), None
+    if src in _INT_RANK and dst == "double":
+        return str(inner.name()), float
     return None
 
 
 def _jattr_name(node) -> str | None:
-    """Column name of a (possibly numeric-Cast-wrapped) resolved
-    AttributeReference; None for anything else. Unwrapping a widening
-    numeric cast is exact under Python's cross-type int/float comparison
-    semantics; any other cast refuses."""
-    cls = str(node.getClass().getSimpleName())
-    if cls == "Cast":
-        inner = node.child()
-        if str(inner.getClass().getSimpleName()) != "AttributeReference":
-            return None
-        src = str(inner.dataType().simpleString())
-        dst = str(node.dataType().simpleString())
-        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
-        if src in numeric and dst in numeric:
-            return str(inner.name())
-        return None
-    if cls == "AttributeReference":
-        return str(node.name())
-    return None
+    ref = _jattr_ref(node)
+    return ref[0] if ref is not None else None
 
 
 def _expr_may_match(node, stats: dict) -> bool:
@@ -315,12 +379,17 @@ def _expr_may_match(node, stats: dict) -> bool:
             # recorded stats imply non-null values exist — cannot exclude
             return True
         if cls == "In":
-            col = _jattr_name(node.value())
-            ds = stats.get(col) if col else None
+            ref = _jattr_ref(node.value())
+            ds = stats.get(ref[0]) if ref is not None else None
             if ds is None:
                 return True
             lst = node.list()
             lo, hi = ds[0], ds[1]
+            if ref[1] is not None:
+                try:
+                    lo, hi = ref[1](lo), ref[1](hi)
+                except Exception:  # noqa: BLE001
+                    return True
             for i in range(lst.size()):
                 item = _jlit_node(lst.apply(i))
                 if item is None:
@@ -340,21 +409,27 @@ def _expr_may_match(node, stats: dict) -> bool:
             return False
         if cls in _CMP_NODES:
             left, right = node.left(), node.right()
-            lcol, rcol = _jattr_name(left), _jattr_name(right)
+            lref, rref = _jattr_ref(left), _jattr_ref(right)
             llit, rlit = _jlit_node(left), _jlit_node(right)
-            if lcol is not None and rlit is not None:
-                col, lit, flip = lcol, rlit, False
-            elif rcol is not None and llit is not None:
-                col, lit, flip = rcol, llit, True
+            if lref is not None and rlit is not None:
+                ref, lit, flip = lref, rlit, False
+            elif rref is not None and llit is not None:
+                ref, lit, flip = rref, llit, True
             else:
                 return True
-            ds = stats.get(col)
+            ds = stats.get(ref[0])
             if ds is None:
                 return True
             ok, v = _jlit_value(lit)
             if not ok:
                 return True
             lo, hi, has_null = ds[0], ds[1], bool(ds[2])
+            if ref[1] is not None:
+                # interval test in the CAST's output domain (monotone)
+                try:
+                    lo, hi = ref[1](lo), ref[1](hi)
+                except Exception:  # noqa: BLE001
+                    return True
             if v is None:
                 # col OP NULL is never TRUE — except null-safe equality,
                 # which matches exactly the nulls
@@ -596,7 +671,7 @@ class ChangeTable:
         self.backend.replace(self._meta_path, json.dumps(meta))
         self._meta = meta
 
-    def _update_meta(self, mutate) -> dict:
+    def _update_meta(self, mutate, nowait: bool = False) -> dict:
         """Claim-serialized metadata-only update — the safe
         read-modify-write for the meta file, which doubles as the commit
         publish point. A bare ``_read_meta → mutate → _write_meta`` races
@@ -616,7 +691,16 @@ class ChangeTable:
         triggered by a scoped read mid-commit). The RMW is already
         serialized by that claim, and claiming-then-releasing here would
         free the slot the outer commit still owns — so write directly and
-        leave the claim alone."""
+        leave the claim alone.
+
+        ``nowait`` (r11 review finding 4 — for updates triggered from
+        READ paths): a single put-if-absent claim attempt, never the
+        bounded wait and NEVER the stale-claim steal — a reader must not
+        stall 30 s behind a writer, and stealing a slow-but-live
+        writer's claim from a read path would abort its legitimate
+        commit. On a busy slot it raises ConcurrentWriteError for the
+        caller to swallow (the update is best-effort by construction
+        there)."""
         raw = self.backend.read(self._claim_path(self.version() + 1))
         if raw is not None:
             try:
@@ -628,7 +712,16 @@ class ChangeTable:
                 mutate(meta)
                 self._write_meta(meta)
                 return meta
-        v = self._next_version()
+        if nowait:
+            v = self.version() + 1
+            payload = json.dumps({"token": self._writer_token, "ts": time.time()})
+            if not self.backend.put_if_absent(self._claim_path(v), payload):
+                raise ConcurrentWriteError(
+                    f"commit slot v{v} of {self.name!r} is busy; nowait "
+                    "metadata update skipped"
+                )
+        else:
+            v = self._next_version()
         try:
             meta = dict(self._read_meta())
             mutate(meta)
@@ -688,12 +781,16 @@ class ChangeTable:
         if cached is None:
             cached = self._infer_n_buckets_since()
             self.__dict__["_nbs_inferred"] = cached
-            # backfill so later instances skip the scan; best-effort — a
-            # read-only client (locked FS, foreign writer holding the
-            # claim) keeps the in-memory value and stays correct
+            # backfill so later instances skip the scan; best-effort AND
+            # nowait (r11 review finding 4): this runs on READ paths, so
+            # it must neither stall behind an in-flight writer's claim
+            # nor steal a slow live writer's stale claim (which would
+            # abort that writer's legitimate commit). A busy slot or a
+            # read-only FS keeps the in-memory value — still correct.
             try:
                 self._update_meta(
-                    lambda meta: meta.setdefault("n_buckets_since", cached)
+                    lambda meta: meta.setdefault("n_buckets_since", cached),
+                    nowait=True,
                 )
             except Exception:  # noqa: BLE001 — backfill is best-effort
                 pass
@@ -1285,24 +1382,27 @@ class ChangeTable:
         """Exact scoped read: the snapshot rows whose ``key_cols`` tuple
         appears in ``scope_keys`` (null-safe equality, Spark join-key
         semantics) — ``snapshot_pruned`` for the file skipping plus the
-        exact semi-join filter. ``small`` hints that the key set fits a
+        exact membership filter. ``small`` hints that the key set fits a
         broadcast (the default CDC-scope case); pass False for
         table-sized scopes, which shuffle instead. The scope frame is
-        localCheckpointed so the pruning probe and the semi-join read
+        localCheckpointed so the pruning probe and the exact filter read
         one materialization even for nondeterministic inputs.
 
-        Checkpoint lifetime (r10 VERDICT watch-item 1): the scope's
-        storage blocks are freed automatically when the RETURNED
-        DataFrame object is garbage-collected (weakref finalizer), so a
-        long-lived session issuing many scoped reads no longer
-        accumulates blocks until JVM GC — the heap-pressure class
-        ``_free_checkpoint`` exists to kill. Consequence: frames DERIVED
-        from the result (``out.select(...)``) share the checkpointed
-        scope in their plans — evaluate them while the parent object is
-        alive (or keep a reference); after the parent is collected a
-        derived frame fails loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND),
-        never silently returns wrong rows. Deterministic early release:
-        call ``out._sj_free_scope()``."""
+        Checkpoint lifetime (r10 VERDICT watch-item 1 + r11 review):
+        small scopes (≤ ``READ_WHERE_INLINE_MAX`` tuples) are collected
+        ONCE and inlined as a literal membership filter — the returned
+        plan carries NO checkpoint dependency, so it composes freely
+        (``read_where(...).where(x).collect()``, derived frames, caching)
+        and the scope blocks are freed before returning. Struct-literal
+        IN is exact under Spark semantics: field-wise null-safe and
+        NaN == NaN, same as the join-key equality it replaces. Scopes
+        over the inline cap keep the broadcast/shuffle semi-join against
+        the checkpointed frame; those blocks are freed automatically
+        when the RETURNED object is garbage-collected (weakref
+        finalizer) — derive from the result while the parent is alive;
+        a freed derived frame fails loudly
+        (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), never silently. Early
+        release for the big-scope path: ``out._sj_free_scope()``."""
         import weakref  # noqa: PLC0415 - stdlib, cold path
 
         key_cols = list(key_cols)
@@ -1312,6 +1412,11 @@ class ChangeTable:
             .localCheckpoint(eager=True)
         )
         snap = self.snapshot_pruned(keys, key_cols, version=version, small=small)
+        inline = self._tuple_membership(keys, key_cols) if small else None
+        if inline is not None:
+            out = snap.where(inline)
+            _free_checkpoint(keys)  # probe + collect done; plan is literal
+            return out
         K, D = "k", "d"
         cond = None
         for c in key_cols:
@@ -1329,6 +1434,46 @@ class ChangeTable:
         # interpreter shutdown (_free_checkpoint swallows)
         out._sj_free_scope = weakref.finalize(out, _free_checkpoint, keys)
         return out
+
+    def _tuple_membership(self, keys: DataFrame, key_cols):
+        """EXACT tuple-membership Column over a bounded key frame, or
+        None when the scope exceeds ``READ_WHERE_INLINE_MAX`` (an
+        unbounded literal IN would bloat the plan) or the collect fails.
+        Single column → plain IN (+ isNull for null keys); multiple
+        columns → struct-literal IN, which Spark compares field-wise
+        null-safe (verified) — both match the eqNullSafe join-key
+        semantics exactly, including NaN == NaN."""
+        try:
+            rows = keys.limit(READ_WHERE_INLINE_MAX + 1).collect()
+        except Exception:  # noqa: BLE001 — fall back to the semi-join
+            return None
+        if len(rows) > READ_WHERE_INLINE_MAX:
+            return None
+        if not rows:
+            return F.lit(False)
+        try:
+            fields = {f.name: f.dataType for f in keys.schema.fields}
+            if len(key_cols) == 1:
+                c = key_cols[0]
+                vals = {r[0] for r in rows}
+                has_null = None in vals
+                vals.discard(None)
+                e = (
+                    F.col(f"`{c}`").isin(*vals) if vals else F.lit(False)
+                )
+                return (e | F.col(f"`{c}`").isNull()) if has_null else e
+            lits = [
+                F.struct(
+                    *[
+                        F.lit(r[i]).cast(fields[c]).alias(c)
+                        for i, c in enumerate(key_cols)
+                    ]
+                )
+                for r in rows
+            ]
+            return F.struct(*[F.col(f"`{c}`") for c in key_cols]).isin(*lits)
+        except Exception:  # noqa: BLE001 — unliteralizable key types
+            return None
 
     def _resolved_condition(self, condition):
         """The catalyst expression of ``condition`` resolved against this
@@ -2654,6 +2799,24 @@ class ChangeTable:
             "manifests": 0,
         }
 
+        # Publish the retention floor BEFORE deleting anything (r11 review
+        # finding): the floor write is claim-serialized (_update_meta) and
+        # can therefore RAISE under writer contention — raising after the
+        # change dirs are gone would leave a stale floor, and a consumer
+        # with a watermark inside the vacuumed range would silently apply
+        # a PARTIAL delta (read_change_range only fails loudly BELOW the
+        # floor). Floor-first is crash-safe in the other direction: a
+        # crash between the bump and the deletions merely leaves files
+        # the truncated feed no longer exposes — the re-run removes them.
+        # Monotonic max inside the mutation serializes racing vacuums.
+        if keep_from > self.change_floor():
+            self._update_meta(
+                lambda meta: meta.__setitem__(
+                    "change_floor",
+                    max(keep_from, int(meta.get("change_floor", 0))),
+                )
+            )
+
         def prune_part_dir(rel: str, abs_dir: str) -> tuple[bool, int]:
             """File-granular retention inside one part dir: keep the dir
             whole when referenced as a dir, else keep only referenced
@@ -2742,20 +2905,6 @@ class ChangeTable:
                 if os.path.exists(ap):
                     os.remove(ap)
 
-        # publish the retention floor last (deletions above are idempotent,
-        # so a crash before this re-runs cleanly); monotonic like version.
-        # Claim-serialized (_update_meta): a commit publishing between a
-        # bare read and the floor write would lose its version bump — the
-        # same RMW race as the r10 ADVICE metrics-stamp finding; the
-        # monotonic max inside the mutation also serializes two racing
-        # vacuums.
-        if keep_from > self.change_floor():
-            self._update_meta(
-                lambda meta: meta.__setitem__(
-                    "change_floor",
-                    max(keep_from, int(meta.get("change_floor", 0))),
-                )
-            )
         return removed
 
     def max_dirs_per_part(self) -> int:

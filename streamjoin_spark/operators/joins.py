@@ -466,7 +466,14 @@ class JoinBuilder:
 
     def foreachBatch(self, func: Callable[[DataFrame, int], None]):
         """User-supplied sink over each joined, deduped microbatch
-        (reference: elzyme/joins.py:536-554)."""
+        (reference: elzyme/joins.py:536-554). Contract (r11): the
+        frames handed to the sink — the slice, and for 3-parameter
+        sinks the affected-key scope — are valid ONLY within the
+        callback, exactly like Structured Streaming's own foreachBatch
+        batch frame: their backing scope checkpoints are released when
+        the callback returns, so a sink that defers evaluation (stores
+        the frame, hands it to another thread) must materialize first
+        (``df.collect()`` / write) inside the call."""
         from ..streaming.incremental import IncrementalJoinWriter
 
         return IncrementalJoinWriter(self, None, foreach_batch=func)

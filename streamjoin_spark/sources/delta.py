@@ -84,8 +84,13 @@ def scope_filter(scope_keys: DataFrame, key_cols, cap: int | None = None):
         )
     except Exception:  # noqa: BLE001 — pruning is best-effort
         return None
-    if not rows or len(rows) > cap:
+    if len(rows) > cap:
         return None
+    if not rows:
+        # an EMPTY scope is provably matchless — a zero-file filter, not
+        # a full-snapshot fallback (r11 review finding: an all-cancelled
+        # churn slice otherwise paid a whole-table scan for nothing)
+        return F.lit(False)
     cond = None
     for i, c in enumerate(key_cols):
         vals = {r[i] for r in rows}

@@ -384,9 +384,12 @@ def test_scope_filter_membership_shapes(spark):
     # NaN refuses (cross-engine NaN membership semantics)
     nan_scope = spark.createDataFrame([(float("nan"),)], "x double")
     assert scope_filter(nan_scope, ["x"]) is None
-    # empty scope refuses (nothing to prune toward)
+    # empty scope: provably matchless — a zero-row filter, never a
+    # full-read fallback
     empty = spark.createDataFrame([], "k long")
-    assert scope_filter(empty, ["k"]) is None
+    cond_empty = scope_filter(empty, ["k"])
+    assert cond_empty is not None
+    assert data.where(cond_empty).count() == 0
 
 
 def test_adapter_snapshot_pruned_is_superset_and_falls_back(adapter, spark):

@@ -370,11 +370,14 @@ def test_probe_for_profit_gate_skips_tiny_tables(spark, tmp_path, monkeypatch):
 
 
 def test_read_where_scope_released_with_result(spark, tmp_path, monkeypatch):
-    """r10 VERDICT watch-item 1: repeated read_where calls must not
-    accumulate scope-checkpoint blocks — the blocks are tied to the
-    returned frame's lifetime (weakref finalizer) with an explicit
-    ``_sj_free_scope()`` escape hatch."""
+    """r10 VERDICT watch-item 1 + r11 review: small scopes are inlined
+    as literal filters (checkpoint freed before returning — the result
+    composes freely, including chained temporaries); big scopes keep the
+    semi-join whose checkpoint is finalizer-tied to the result object.
+    Neither path may accumulate persistent-RDD blocks."""
     import gc
+
+    from streamjoin_spark import changelog as cl
 
     ct = _mk_split(spark, tmp_path, monkeypatch)
     jsc = spark.sparkContext._jsc.sc()
@@ -387,10 +390,20 @@ def test_read_where_scope_released_with_result(spark, tmp_path, monkeypatch):
         del out
     gc.collect()
     assert jsc.getPersistentRDDs().size() <= base
-    # deterministic early release
-    keys = spark.createDataFrame([(3,)], "id long")
+    # r11 review finding 3: CHAINED temporaries must survive — the
+    # finalizer-only design freed the scope the moment the intermediate
+    # result was GC'd and the derived frame crashed on evaluation
+    keys = spark.createDataFrame([(3,), (7_777,)], "id long")
+    rows = ct.read_where(keys, ["id"]).where("id > 100").collect()
+    assert [r["id"] for r in rows] == [7_777]
+    derived = ct.read_where(keys, ["id"]).select("name")
+    gc.collect()
+    assert {r["name"] for r in derived.collect()} == {"n3", "n7777"}
+    # big-scope path (forced): finalizer releases with the result object
+    monkeypatch.setattr(cl, "READ_WHERE_INLINE_MAX", 0)
     out = ct.read_where(keys, ["id"])
-    assert out.count() == 1
+    assert out.count() == 2
+    assert hasattr(out, "_sj_free_scope")
     out._sj_free_scope()
     gc.collect()
     assert jsc.getPersistentRDDs().size() <= base

@@ -157,3 +157,55 @@ def test_scan_where_randomized_intervals_sound(spark, tmp_path, monkeypatch):
         got = sorted(r["id"] for r in ct.scan_where(cond).collect())
         ref = sorted(r["id"] for r in full.where(cond).collect())
         assert got == ref, f"{col} {shape} [{lo},{hi}]"
+
+
+def test_cast_wrapped_conditions_stay_sound(spark, tmp_path, monkeypatch):
+    """r11 review finding 2: only VALUE-PRESERVING casts may see through
+    to raw footer stats. A narrowing cast (double→int) must not prune
+    files holding rows that match after truncation; int-family widening
+    and literal promotion keep pruning."""
+    ct = _mk_split(spark, tmp_path, monkeypatch, n=4_000, split=300)
+    full = ct.snapshot()
+    # narrowing cast on the column: truncation matches 5.x rows
+    cond = F.col("ts").cast("int") == 5
+    got = sorted(r["id"] for r in ct.scan_where(cond).collect())
+    ref = sorted(r["id"] for r in full.where(cond).collect())
+    assert got == ref == [5]
+    # widening cast on the column (int→double via float literal) prunes
+    cond2 = F.col("id") < 250.5
+    out2 = ct.scan_where(cond2)
+    assert sorted(r["id"] for r in out2.collect()) == list(range(251))
+    assert len(out2.inputFiles()) < len(full.inputFiles())
+    # bool-typed literal casts refuse (comparison domain changes)
+    cond3 = F.col("id").cast("boolean") == True  # noqa: E712
+    assert sorted(r["id"] for r in ct.scan_where(cond3).collect()) == sorted(
+        r["id"] for r in full.where(cond3).collect()
+    )
+
+
+def test_vacuum_floor_publishes_before_deletions(spark, tmp_path, monkeypatch):
+    """r11 review finding 1: the change_floor bump must land BEFORE any
+    file deletion — a floor write that raises (claim contention) after
+    dirs are gone would let consumers silently apply partial deltas."""
+    from streamjoin_spark.changelog import ConcurrentWriteError
+
+    ct = _mk_split(spark, tmp_path, monkeypatch, n=500, split=100)
+    for i in range(4):
+        ct.append(spark.createDataFrame(
+            [(100_000 + i, "x", float(i))], "id long, name string, ts double"
+        ))
+    import os
+
+    n_change_dirs = len(os.listdir(os.path.join(ct.path, "changes")))
+
+    def boom(*a, **k):
+        raise ConcurrentWriteError("simulated claim contention")
+
+    monkeypatch.setattr(ct, "_update_meta", boom)
+    try:
+        ct.vacuum(retain_versions=2)
+    except ConcurrentWriteError:
+        pass
+    # nothing was deleted: the floor failed first, files intact
+    assert len(os.listdir(os.path.join(ct.path, "changes"))) == n_change_dirs
+    assert ct.change_floor() == 0
