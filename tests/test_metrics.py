@@ -292,23 +292,28 @@ def test_metrics_retention_ages_out_old_rows(spark, tmp_path):
     first = mt.snapshot().collect()
     assert len(first) == 1 and first[0]["flushed_ts"] is not None
 
+    import json as _json
+    import os as _os
+
+    stamp_path = _os.path.join(mt.path, "metrics_purge_stamp.json")
+
     def force_probe():
-        # the amortization stamp is persisted in the metrics table's
-        # META since r10 (survives writer re-instantiation — r9 ADVICE),
-        # so forcing a probe must clear BOTH stamps
+        # the amortization stamp persists OUTSIDE meta since r11 (meta is
+        # the commit publish point; the sidecar write can never clobber a
+        # racing flush's version bump — r10 ADVICE), so forcing a probe
+        # clears the in-memory stamp AND the sidecar
         w._metrics_last_purge = 0.0
-        meta = dict(mt._read_meta())
-        meta.pop("metrics_last_purge", None)
-        mt._write_meta(meta)
+        mt.backend.remove(stamp_path)
 
     # within the horizon nothing expires (purge probe runs, deletes none)
     force_probe()
     w._purge_metrics(mpath)
     assert mt.snapshot().count() == 1
-    # the probe stamped the table meta: a FRESH writer instance (the
-    # one-writer-object-per-run batch idiom) skips the snapshot probe
-    # entirely — r9 ADVICE's exact scenario
-    assert float(mt._read_meta()["metrics_last_purge"]) > 0.0
+    # the probe stamped the SIDECAR (never meta): a FRESH writer instance
+    # (the one-writer-object-per-run batch idiom) skips the snapshot
+    # probe entirely — r9 ADVICE's scenario — without any meta RMW race
+    assert float(_json.loads(mt.backend.read(stamp_path))["ts"]) > 0.0
+    assert "metrics_last_purge" not in mt._read_meta()
 
     # age the horizon to ~zero: the old row expires
     w._options["metricsRetainSeconds"] = 1e-9
