@@ -390,6 +390,10 @@ def _expr_may_match(node, stats: dict) -> bool:
                     lo, hi = ref[1](lo), ref[1](hi)
                 except Exception:  # noqa: BLE001
                     return True
+            if (isinstance(lo, float) and lo != lo) or (
+                isinstance(hi, float) and hi != hi
+            ):
+                return True  # NaN STATS: unorderable bounds read may-match
             for i in range(lst.size()):
                 item = _jlit_node(lst.apply(i))
                 if item is None:
@@ -430,6 +434,10 @@ def _expr_may_match(node, stats: dict) -> bool:
                     lo, hi = ref[1](lo), ref[1](hi)
                 except Exception:  # noqa: BLE001
                     return True
+            if (isinstance(lo, float) and lo != lo) or (
+                isinstance(hi, float) and hi != hi
+            ):
+                return True  # NaN STATS: unorderable bounds read may-match
             if v is None:
                 # col OP NULL is never TRUE — except null-safe equality,
                 # which matches exactly the nulls

@@ -92,16 +92,19 @@ def scope_filter(scope_keys: DataFrame, key_cols, cap: int | None = None):
         # churn slice otherwise paid a whole-table scan for nothing)
         return F.lit(False)
     cond = None
-    for i, c in enumerate(key_cols):
-        vals = {r[i] for r in rows}
-        has_null = None in vals
-        vals = {v for v in vals if v is not None}
-        if any(isinstance(v, float) and v != v for v in vals):
-            return None
-        e = F.col(f"`{c}`").isin(*vals) if vals else F.lit(False)
-        if has_null:
-            e = e | F.col(f"`{c}`").isNull()
-        cond = e if cond is None else (cond & e)
+    try:
+        for i, c in enumerate(key_cols):
+            vals = {r[i] for r in rows}
+            has_null = None in vals
+            vals = {v for v in vals if v is not None}
+            if any(isinstance(v, float) and v != v for v in vals):
+                return None
+            e = F.col(f"`{c}`").isin(*vals) if vals else F.lit(False)
+            if has_null:
+                e = e | F.col(f"`{c}`").isNull()
+            cond = e if cond is None else (cond & e)
+    except Exception:  # noqa: BLE001 — unhashable/unliteralizable keys:
+        return None  # sound full-snapshot fallback, not a failed read
     return cond
 
 

@@ -390,6 +390,11 @@ def test_scope_filter_membership_shapes(spark):
     cond_empty = scope_filter(empty, ["k"])
     assert cond_empty is not None
     assert data.where(cond_empty).count() == 0
+    # unhashable key types (array/struct): the set comprehension raises
+    # TypeError — must be the sound full-snapshot fallback (None), not a
+    # failed read (r11 ADVICE)
+    arr_scope = spark.createDataFrame([([1, 2],), ([3],)], "k array<long>")
+    assert scope_filter(arr_scope, ["k"]) is None
 
 
 def test_adapter_snapshot_pruned_is_superset_and_falls_back(adapter, spark):

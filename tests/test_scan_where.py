@@ -83,6 +83,31 @@ def test_scan_where_soundness_battery(spark, tmp_path, monkeypatch):
         assert got == ref, str(cond)
 
 
+def test_nan_stats_read_may_match(spark, tmp_path, monkeypatch):
+    """NaN footer BOUNDS (Spark's parquet writer can emit NaN min/max for
+    float columns holding NaN) make every ordered comparison False — the
+    raw bounds test would wrongly EXCLUDE the entry. The guard reads NaN
+    stats as "may match" in both the comparison and IN branches
+    (r11 ADVICE)."""
+    from streamjoin_spark.changelog import _expr_may_match
+
+    ct = _mk_split(spark, tmp_path, monkeypatch, n=100, split=50)
+    nan = float("nan")
+    for cond in [
+        F.col("ts") < 100.0,
+        F.col("ts") >= 0.0,
+        F.col("ts") == 5.0,
+        F.col("ts").isin(1.0, 2.0),
+    ]:
+        jexpr = ct._resolved_condition(cond)
+        assert jexpr is not None
+        # sane stats still exclude/include correctly
+        assert _expr_may_match(jexpr, {"ts": (0.0, 99.0, False)})
+        # NaN bounds must never exclude
+        assert _expr_may_match(jexpr, {"ts": (nan, nan, False)}), str(cond)
+        assert _expr_may_match(jexpr, {"ts": (0.0, nan, False)}), str(cond)
+
+
 def test_delete_where_doomed_scan_is_pruned(spark, tmp_path, monkeypatch):
     """The delete's own condition scan opens only stat-intersecting files
     (pre-r11: always the full snapshot), and the commit stays exact —
