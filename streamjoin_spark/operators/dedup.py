@@ -99,15 +99,27 @@ def duplicate_groups(
 # shingling (shared by MinHash-LSH and n-gram Jaccard)
 # ---------------------------------------------------------------------------
 def _shingle_frame(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, dedup: bool = True
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct — the set representation of each doc.
+    """(id, shingle) pairs — the set representation of each doc (distinct
+    per doc when ``dedup``, raw occurrences otherwise).
 
     Built-ins only (sequence/slice/array_join run in whole-stage codegen);
     docs with fewer than n tokens are filtered *before* sequence() so the
     bounds are always valid under ANSI mode. DuckDB twin:
     ``list_transform(generate_series(1, len(w)-n+1), i ->
     array_to_string(w[i:i+n-1], ' '))``.
+
+    r12: per-doc dedup happens INSIDE the row (array_distinct before the
+    explode) — a doc's shingles all live in its own array, so this is
+    exactly dropDuplicates([__id, shingle]) minus the full exchange that
+    the post-explode dropDuplicates paid (one shuffle of the whole
+    occurrence frame removed from every set-semantics consumer — guide
+    §2.4; identical output set). Duplicate-INSENSITIVE consumers (minhash
+    min() aggregates, a downstream global distinct) pass ``dedup=False``:
+    the optimizer was already deleting the old redundant dropDuplicates
+    under them (RemoveRedundantAggregates), so for those paths
+    array_distinct would be pure added per-row cost, not a saved shuffle.
     """
     from ..functions import tokens
 
@@ -116,10 +128,9 @@ def _shingle_frame(
     shingles = F.expr(
         f"transform(sequence(1, size(__w) - {n - 1}), i -> array_join(slice(__w, i, {n}), ' '))"
     )
-    return (
-        out.select("__id", F.explode(shingles).alias("shingle"))
-        .dropDuplicates(["__id", "shingle"])
-    )
+    if dedup:
+        shingles = F.array_distinct(shingles)
+    return out.select("__id", F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -267,7 +278,10 @@ def minhash_signatures(
     One explode + one groupBy with ``num_hashes`` min() aggregates — a single
     shuffle on doc id, map-side partial mins keep it small.
     """
-    sh = _shingle_frame(df, text_col, id_col, shingle_n)
+    # dedup=False: min() is duplicate-insensitive, so per-doc shingle
+    # dedup is pure wasted work on this path (r12 — the optimizer already
+    # deleted the old dropDuplicates here via RemoveRedundantAggregates)
+    sh = _shingle_frame(df, text_col, id_col, shingle_n, dedup=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -343,7 +357,13 @@ def ngram_decontaminate(
     next to a 100 TB train side); the train side is one map-only shingle
     fan-out + a broadcast semi-ish join + a doc-keyed count — the train
     corpus is never shuffled except on its own doc id."""
-    ev = _shingle_frame(eval_df, text_col, id_col, n).select("shingle").distinct()
+    # eval side: the global .distinct() makes per-doc dedup redundant
+    # (duplicate-insensitive consumer — see _shingle_frame)
+    ev = (
+        _shingle_frame(eval_df, text_col, id_col, n, dedup=False)
+        .select("shingle")
+        .distinct()
+    )
     tr = _shingle_frame(train, text_col, id_col, n)
     return (
         tr.join(F.broadcast(ev), "shingle")
@@ -556,6 +576,14 @@ def _cc_label(
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # co-partition by the per-round join key BEFORE the dedup: hash(b)
+        # satisfies the (a, b) clustering dropDuplicates needs (same b ⇒
+        # same partition), so the dedup costs no second exchange and the
+        # persisted frame is already laid out for every round's
+        # edges.b == labels.node join — the per-round |E| shuffle the
+        # unpartitioned cache paid is gone (guide §2.4; r12). No explicit
+        # partition count: AQE sizes it from the data.
+        .repartition(F.col("b"))
         .dropDuplicates(["a", "b"])
         .persist()
     )
@@ -643,9 +671,18 @@ def _cc_star(
     edges_n: int | None = None  # carried from the previous round's probe
 
     def _sym(e: DataFrame) -> DataFrame:
-        return e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).dropDuplicates(["u", "v"])
+        # repartition by u BEFORE the dedup: hash(u) satisfies the (u, v)
+        # clustering, so dedup adds no exchange and both consumers of a
+        # sym frame (the groupBy("u") inside _min_nbr and the join on
+        # "u") read the one layout — the two identical subtrees also
+        # collapse into one exchange + ReusedExchange (guide §2.4; r12)
+        return (
+            e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .repartition(F.col("u"))
+            .dropDuplicates(["u", "v"])
+        )
 
     def _min_nbr(sym: DataFrame) -> DataFrame:
         return (
@@ -663,13 +700,24 @@ def _cc_star(
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .where(F.col("u") != F.col("v"))
-                .dropDuplicates(["u", "v"])
+                # no dropDuplicates here (r12): directed's greatest/least
+                # remap is 1:1 on these rows (m < v strictly, so greatest
+                # is always old v, least always m) and directed dedups
+                # right after — the old dedup was a redundant |E|
+                # exchange + aggregate every round
             )
             # small-star on larger→smaller directed edges: (v, m) for the
             # ≤-neighborhood ∪ {u} of each u
-            directed = large.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            ).dropDuplicates(["u", "v"])
+            directed = (
+                large.select(
+                    F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"),
+                )
+                # same layout trick as _sym: one hash(u) exchange serves
+                # the dedup, the _min_nbr groupBy and the join on "u"
+                .repartition(F.col("u"))
+                .dropDuplicates(["u", "v"])
+            )
             mn = _min_nbr(directed).select("u", "m")
             small = (
                 directed.join(mn, "u")
@@ -721,10 +769,24 @@ def _cc_star(
 
 
 def _hamming(sa: Column, sb: Column, n_bits: int = SIMHASH_BITS) -> Column:
-    return sum(
-        F.when(F.substring(sa, i + 1, 1) != F.substring(sb, i + 1, 1), 1).otherwise(0)
-        for i in range(n_bits)
-    )
+    """Hamming distance between two '0'/'1' bit strings: parse 32-bit
+    chunks with ``conv(_, 2, 10)`` and count ``bit_count(a XOR b)`` —
+    2·⌈n/32⌉ integer ops per pair instead of one substring-compare per bit
+    (r12 optimization; the old 64-term when-chain also tripled plan size in
+    every caller). Identical counts for binary strings by construction;
+    cast back to int so output schemas are unchanged."""
+    terms = []
+    pos = 1
+    while pos <= n_bits:
+        ln = min(32, n_bits - pos + 1)
+        ia = F.conv(F.substring(sa, pos, ln), 2, 10).cast("long")
+        ib = F.conv(F.substring(sb, pos, ln), 2, 10).cast("long")
+        terms.append(F.bit_count(ia.bitwiseXOR(ib)))
+        pos += ln
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("int")
 
 
 def signature_pairs(

@@ -201,9 +201,13 @@ def k_core(
         if doomed.isEmpty():
             return deg.select(F.col("a").alias("node"), "core_degree")
         keep = deg.where(F.col("core_degree") >= k).select("a")
+        # semi-filters commute; ordering the "a"-keyed one LAST leaves the
+        # checkpointed frame hash(a)-partitioned, which is exactly what the
+        # next round's degree groupBy("a") and first semi-join need — one
+        # |E| exchange per round saved from round 2 on (guide §2.4; r12)
         und = (
-            und.join(keep, "a", "left_semi")
-            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            und.join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .join(keep, "a", "left_semi")
             .localCheckpoint(eager=True)
         )
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree"))
@@ -232,33 +236,50 @@ def label_propagation(
     them into one component.
 
     Scale posture (100 TB): per round one |E|-bounded join + a
-    (node, label) map-side-combined count + a per-node top-1 window
-    (partitioned by node — group size = a node's distinct neighbor-label
-    count, degree-bounded); labels ``localCheckpoint`` per round
+    (node, label) map-side-combined count + a per-node top-1 as a MIN
+    aggregation over ``struct(-count, label)`` — the lexicographic struct
+    order IS the (count desc, label asc) ranking, so the majority pick is
+    one partial-aggregable groupBy instead of a ranking window (the window
+    needed an extra node-keyed exchange plus a per-group sort; the
+    aggregate's map-side combine also shrinks the shuffle to one row per
+    (node, candidate-label) partial — r12 optimization, identical output
+    by the struct-order law); labels ``localCheckpoint`` per round
     (iterative-operator invariant). Output: ``node, community``.
     """
-    from pyspark.sql import Window
-
     und = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.localCheckpoint(eager=True)
+    # checkpoint the edge frame ALREADY hash-partitioned on the per-round
+    # join key: every round's und.b == labels.node join then reads the
+    # stored layout instead of re-shuffling |E| per round (guide §2.4;
+    # r12 — LogicalRDD keeps the partitioning through localCheckpoint).
+    # No explicit partition count: AQE sizes the exchange from the data.
+    und = und.repartition(F.col("b")).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node"))
         .dropDuplicates(["node"])
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("a").orderBy(F.desc("__c"), F.asc("label"))
     for _ in range(rounds):
         counts = (
             und.join(labels, und["b"] == labels["node"])
             .groupBy(F.col("a"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("__c"))
         )
+        # min(struct(-count, label)) ≡ first row of ORDER BY count DESC,
+        # label ASC: struct comparison is field-lexicographic and the count
+        # is always numeric (negation is total), while the label stays in
+        # its own type's order — exact for longs AND strings alike
         labels = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(F.col("a").alias("node"), "label")
+            counts.groupBy(F.col("a").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"), F.col("label")
+                    )
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.label").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))

@@ -177,15 +177,31 @@ def image_features(
     return src.mapInPandas(run, schema=IMAGE_FEATURES)
 
 
+# per-worker-process memo for SMALL analysis windows (fingerprint-style
+# bytes_per_window ≤ 8): tiny windows of real corpora repeat massively
+# (4-byte text windows draw from a ~1e3-1e5 universe), so each distinct
+# window pays its md5 once per reused worker (guide §4.5). Large windows
+# are essentially unique — memoizing them would only grow the dict — so
+# they bypass the cache; a size cap bounds worst-case adversarial input.
+_AUDIO_MEMO: dict = {}
+_AUDIO_MEMO_CAP = 1 << 20
+
+
 def _fake_audio_decode(chunk: bytes) -> tuple[float, float]:
     """Deterministic pseudo audio features from the chunk's hex-md5 —
     stands in for an ffmpeg/torchaudio decode + RMS/zero-crossing pass.
     Hashing the UPPERCASE HEX of the bytes (not the raw bytes) keeps an
     exact ANSI-SQL twin possible: SQL md5() takes strings, and arbitrary
     byte windows of utf-8 text are not valid strings."""
+    if len(chunk) <= 8:
+        hit = _AUDIO_MEMO.get(chunk)
+        if hit is not None:
+            return hit
     h = hashlib.md5(chunk.hex().upper().encode()).hexdigest()
     rms = (int(h[:15], 16) % 100000) / 1000.0
     zcr = (int(h[15:30], 16) % 1000) / 1000.0
+    if len(chunk) <= 8 and len(_AUDIO_MEMO) < _AUDIO_MEMO_CAP:
+        _AUDIO_MEMO[bytes(chunk)] = (rms, zcr)
     return rms, zcr
 
 
@@ -315,6 +331,119 @@ def _fake_phash(blob: bytes) -> str:
     )
 
 
+# per-worker-process memo for _fake_phash_batch: 4-byte window (as uint32,
+# little-endian byte order) -> row index into _PHASH_BITS, whose row is the
+# window's md5-digest-prefix bit vector (unpackbits order — column j = bit
+# 63-j of the big-endian 8-byte prefix, exactly _fake_phash's law). Windows
+# repeat massively across documents (text corpora carry ~1e3 distinct
+# 4-grams), so each distinct window pays its md5 ONCE per reused worker
+# instead of once per occurrence (guide §4.5 heavyweight-state pattern).
+# The cap bounds worker memory on adversarial high-entropy corpora (the
+# full uint32 universe would be ~0.5 GB of dict + bit rows); past it,
+# overflow windows compute their digest per batch without entering the
+# memo — output unchanged either way.
+_PHASH_CACHE: dict[int, int] = {}
+_PHASH_CACHE_CAP = 1 << 20
+_PHASH_BITS = None  # lazily-grown (n, 64) uint8 ndarray, ≤ cap rows
+
+
+def _fake_phash_batch(blobs: "list[bytes]") -> "list[str]":
+    """Whole-batch vectorized twin of ``_fake_phash`` — IDENTICAL output
+    for every input (pinned by tests/test_corpus_ops.py): the same
+    per-window md5 votes, accumulated with one scatter + one matmul per
+    batch instead of one md5 call per window occurrence. The bit law is
+    unchanged: column j of the unpacked digest prefix is bit 63-j, and the
+    output character k reads vote column 63-k with the strict 2·ones > n
+    majority."""
+    global _PHASH_BITS
+    import numpy as np
+
+    if _PHASH_BITS is None:
+        _PHASH_BITS = np.zeros((0, 64), dtype=np.uint8)
+    out: list = [None] * len(blobs)
+    keep_i, parts, lens = [], [], []
+    for i, b in enumerate(blobs):
+        n = len(b) - 3
+        if n <= 0:
+            out[i] = "0" * 64
+        else:
+            keep_i.append(i)
+            parts.append(b)
+            lens.append(n)
+    if not parts:
+        return out
+    lens_a = np.asarray(lens, dtype=np.int64)
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8).astype(np.uint32)
+    # window start offsets: doc d (byte length lens[d]+3) contributes
+    # windows at its first lens[d] byte positions
+    doc_off = np.concatenate(([0], np.cumsum(lens_a + 3)))[:-1]
+    win_off = np.concatenate(([0], np.cumsum(lens_a)))[:-1]
+    starts = (
+        np.repeat(doc_off - win_off, lens_a) + np.arange(int(lens_a.sum()))
+    )
+    u = (
+        buf[starts]
+        | (buf[starts + 1] << 8)
+        | (buf[starts + 2] << 16)
+        | (buf[starts + 3] << 24)
+    )
+    uniq, inverse = np.unique(u, return_inverse=True)
+    rows = np.empty(len(uniq), dtype=np.int64)
+    grow = []
+    extra = []  # cap-overflow bit rows, batch-local (negative row ids)
+    for j, v in enumerate(uniq.tolist()):
+        r = _PHASH_CACHE.get(v)
+        if r is None:
+            d = hashlib.md5(v.to_bytes(4, "little")).digest()[:8]
+            bitrow = np.unpackbits(np.frombuffer(d, dtype=np.uint8))
+            if len(_PHASH_CACHE) < _PHASH_CACHE_CAP:
+                r = len(_PHASH_CACHE)
+                _PHASH_CACHE[v] = r
+                grow.append(bitrow)
+            else:
+                r = -(len(extra) + 1)
+                extra.append(bitrow)
+        rows[j] = r
+    if grow:
+        _PHASH_BITS = np.vstack(
+            [_PHASH_BITS, np.asarray(grow, dtype=np.uint8)]
+        )
+    # votes per doc = Σ its windows' bit vectors. Windows are CONTIGUOUS
+    # per doc, so a segmented reduceat over slices of the (windows, 64)
+    # bit matrix sums each doc's rows; chunking doc groups by cumulative
+    # window count bounds the materialized slice (≤ ~256 MB of uint8)
+    # regardless of batch size — a dense (docs × unique-windows) count
+    # matrix would grow with batch_size × vocabulary and OOM on big
+    # batches.
+    cached = rows >= 0
+    bits = np.empty((len(uniq), 64), dtype=np.uint8)  # (n_uniq, 64)
+    bits[cached] = _PHASH_BITS[rows[cached]]
+    if extra:
+        bits[~cached] = np.asarray(extra, dtype=np.uint8)[
+            -rows[~cached] - 1
+        ]
+    n_docs = len(parts)
+    ones = np.empty((n_docs, 64), dtype=np.int64)
+    CHUNK = 1 << 22
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        wsum = int(lens_a[d0])
+        while d1 < n_docs and wsum + int(lens_a[d1]) <= CHUNK:
+            wsum += int(lens_a[d1])
+            d1 += 1
+        lo = int(win_off[d0])
+        seg = bits[inverse[lo : lo + wsum]]  # (wsum, 64) uint8
+        offs = (win_off[d0:d1] - lo).astype(np.int64)
+        ones[d0:d1] = np.add.reduceat(seg, offs, axis=0, dtype=np.int64)
+        d0 = d1
+    cond = (2 * ones[:, ::-1]) > lens_a[:, None]
+    chars = (cond.astype(np.uint8) + 48).tobytes().decode("ascii")
+    for j, i in enumerate(keep_i):
+        out[i] = chars[j * 64 : (j + 1) * 64]
+    return out
+
+
 def _real_phash(blob: bytes) -> str:
     """True average-hash: 8×8 grayscale resize, bit = pixel > mean —
     the classic aHash (near-identical images differ in a few bits)."""
@@ -366,11 +495,20 @@ def image_phash(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hasher = _real_phash if decode == "real" else _fake_phash
         for pdf in batches:
+            if decode == "real":
+                hashes = [_real_phash(bytes(b)) for b in pdf["payload"]]
+            else:
+                # batch-vectorized md5-vote twin: identical output to the
+                # per-row _fake_phash at ~10× less Python time (one md5
+                # per DISTINCT window per worker, one scatter+matmul per
+                # batch — guide §4.2/§4.5)
+                hashes = _fake_phash_batch(
+                    [bytes(b) for b in pdf["payload"]]
+                )
             out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "phash": [hasher(bytes(b)) for b in pdf["payload"]],
+                "phash": hashes,
             }
             for c in extra_cols:
                 out[c] = pdf[c]
@@ -592,11 +730,19 @@ def audio_neardup_pairs(
     (``dedup.signature_pairs`` — lossless blocking, payloads decoded
     exactly once; ``refine_over`` engages the lossless hot-bucket
     refinement for entropy-limited fingerprint spaces, SCALING.md notes
-    5-6). Output: ``doc_a < doc_b, hamming``."""
+    5-6). Output: ``doc_a < doc_b, hamming``.
+
+    r12: fingerprints come from the ROW-LOCAL ``audio_afp`` — bit-identical
+    to the window-exploded ``audio_fingerprint`` law (pinned by
+    tests/test_corpus_ops.py::test_audio_afp_row_local_matches_batch) but
+    each capped recording folds inside its own Arrow row, dropping the
+    window explode → shuffle → collect_list/array_sort groupBy the batch
+    form paid per corpus pass (guide §2.4: the JVM-side payload cap already
+    bounds per-row work, so across-recording parallelism is sufficient)."""
     from .dedup import signature_pairs
 
     return signature_pairs(
-        audio_fingerprint(
+        audio_afp(
             df, payload_col, id_col, bytes_per_window, n_bits, decode
         ),
         id_col="doc_id",

@@ -1268,6 +1268,82 @@ def test_image_neardup_phash_locality(spark):
     assert not any(3 in p for p in blocked)
 
 
+def test_hamming_chunked_matches_per_bit(spark):
+    """The chunked conv/xor/bit_count hamming (r12 optimization) equals
+    the per-bit substring-compare law for every width the operators use
+    (32-bit simhash, 64-bit phash/afp) including all-equal, all-different
+    and single-bit cases, and keeps the int output type."""
+    import random
+
+    from streamjoin_spark.operators.dedup import _hamming
+
+    rng = random.Random(12)
+    rows = []
+    for n_bits in (32, 64):
+        for _ in range(25):
+            a = "".join(rng.choice("01") for _ in range(n_bits))
+            b = "".join(rng.choice("01") for _ in range(n_bits))
+            rows.append((n_bits, a, b))
+        base = "".join(rng.choice("01") for _ in range(n_bits))
+        flip = ("1" if base[0] == "0" else "0") + base[1:]
+        inv = "".join("1" if c == "0" else "0" for c in base)
+        rows += [(n_bits, base, base), (n_bits, base, flip), (n_bits, base, inv)]
+    for n_bits in (32, 64):
+        sub = [(a, b) for nb, a, b in rows if nb == n_bits]
+        df = spark.createDataFrame(sub, "a string, b string")
+        got = df.select(_hamming(F.col("a"), F.col("b"), n_bits).alias("h"))
+        assert dict(got.dtypes)["h"] == "int"
+        for (a, b), r in zip(sub, got.collect()):
+            expected = sum(1 for x, y in zip(a, b) if x != y)
+            assert r["h"] == expected, (a, b)
+
+
+def test_fake_phash_batch_matches_per_row():
+    """The batch-vectorized phash (r12 optimization: per-worker window
+    memo + one scatter/matmul per batch) is bit-identical to the per-row
+    md5-vote law for every payload shape, including the <4-byte all-zeros
+    edge and repeated calls that hit the warm cache."""
+    from streamjoin_spark.operators.multimodal import (
+        _fake_phash,
+        _fake_phash_batch,
+    )
+
+    blobs = [
+        b"",
+        b"a",
+        b"abc",
+        b"abcd",
+        b"abcde",
+        b"\x00\x00\x00\x00\x00\x00",
+        b"the quick brown fox jumps over the lazy dog " * 3,
+        b"the quick brown fox jumps over the hazy dog " * 3,
+        bytes(range(256)) * 2,
+        "unicode éß中文 payload".encode() * 4,
+    ]
+    expected = [_fake_phash(b) for b in blobs]
+    assert _fake_phash_batch(blobs) == expected
+    # second call exercises the warm _PHASH_CACHE path
+    assert _fake_phash_batch(list(reversed(blobs))) == list(
+        reversed(expected)
+    )
+    # all-empty batch
+    assert _fake_phash_batch([b"", b"ab"]) == ["0" * 64, "0" * 64]
+    # cap-overflow path: with the memo frozen at its current size, new
+    # windows must bypass the cache (batch-local rows) with identical
+    # output — the adversarial-corpus memory bound
+    from streamjoin_spark.operators import multimodal as mm
+
+    fresh = [bytes([17, x, 251, x ^ 170, 9]) for x in range(40)]
+    old_cap = mm._PHASH_CACHE_CAP
+    mm._PHASH_CACHE_CAP = len(mm._PHASH_CACHE)
+    try:
+        got = _fake_phash_batch(fresh + blobs)
+        assert len(mm._PHASH_CACHE) <= mm._PHASH_CACHE_CAP
+    finally:
+        mm._PHASH_CACHE_CAP = old_cap
+    assert got == [_fake_phash(b) for b in fresh] + expected
+
+
 def test_label_propagation_splits_bridged_cliques(spark):
     """LPA vs CC on a barbell: two 4-cliques joined by one bridge edge are
     ONE connected component but TWO majority communities; tie-breaks are
