@@ -345,52 +345,54 @@ def _fake_phash(blob: bytes) -> str:
 _PHASH_CACHE: dict[int, int] = {}
 _PHASH_CACHE_CAP = 1 << 20
 _PHASH_BITS = None  # lazily-grown (n, 64) uint8 ndarray, ≤ cap rows
+# per-group window budget: every transient ndarray a group allocates (the
+# window-value vector, unique/inverse, the (windows, 64) bit gather) stays
+# a few MB — safely under glibc's DYNAMIC mmap threshold, so scratch
+# recycles inside the malloc arena across groups instead of munmap/mmap
+# cycles. That matters: on ballooned/lazily-backed VMs, first touch of
+# freshly mapped pages can run orders of magnitude slower than a warm
+# write (measured this round: an unbounded batch re-mapped ~40-250 MB of
+# scratch per Arrow batch and stalled 10-60 s — 6× SLOWER end-to-end than
+# the per-row md5 loop it replaced, on the video frame shape).
+_PHASH_GROUP_WINDOWS = 1 << 17
+
+# glibc by default serves large mallocs with mmap and returns them on free;
+# every new batch then re-faults fresh pages, which on lazily-backed VMs
+# (balloon + free-page reporting) can run ~4 MB/s — measured here: a fresh
+# 64 MB scratch write took 10-19 s while the identical warm-buffer write
+# took <1 ms. Pinning the allocator to the brk heap with trimming off makes
+# a worker fault each scratch page ONCE for its lifetime (classic long-
+# lived-worker allocator tuning; RSS holds at the bounded per-worker peak —
+# a few × the group budget). Best-effort: silently skipped off glibc.
+_MALLOC_PINNED = False
 
 
-def _fake_phash_batch(blobs: "list[bytes]") -> "list[str]":
-    """Whole-batch vectorized twin of ``_fake_phash`` — IDENTICAL output
-    for every input (pinned by tests/test_corpus_ops.py): the same
-    per-window md5 votes, accumulated with one scatter + one matmul per
-    batch instead of one md5 call per window occurrence. The bit law is
-    unchanged: column j of the unpacked digest prefix is bit 63-j, and the
-    output character k reads vote column 63-k with the strict 2·ones > n
-    majority."""
+def _pin_malloc() -> None:
+    global _MALLOC_PINNED
+    if _MALLOC_PINNED:
+        return
+    _MALLOC_PINNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD, M_MMAP_MAX = -1, -3, -4
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        libc.mallopt(M_MMAP_MAX, 0)
+    except Exception:
+        pass
+
+
+def _phash_bits_for(uniq, np):
+    """(len(uniq), 64) bit rows for the given sorted unique window values:
+    memo hits gathered from _PHASH_BITS, misses md5'd once and appended to
+    the memo (amortized-doubling table growth) up to the cap; cap overflow
+    stays group-local. Output is independent of cache state."""
     global _PHASH_BITS
-    import numpy as np
-
-    if _PHASH_BITS is None:
-        _PHASH_BITS = np.zeros((0, 64), dtype=np.uint8)
-    out: list = [None] * len(blobs)
-    keep_i, parts, lens = [], [], []
-    for i, b in enumerate(blobs):
-        n = len(b) - 3
-        if n <= 0:
-            out[i] = "0" * 64
-        else:
-            keep_i.append(i)
-            parts.append(b)
-            lens.append(n)
-    if not parts:
-        return out
-    lens_a = np.asarray(lens, dtype=np.int64)
-    buf = np.frombuffer(b"".join(parts), dtype=np.uint8).astype(np.uint32)
-    # window start offsets: doc d (byte length lens[d]+3) contributes
-    # windows at its first lens[d] byte positions
-    doc_off = np.concatenate(([0], np.cumsum(lens_a + 3)))[:-1]
-    win_off = np.concatenate(([0], np.cumsum(lens_a)))[:-1]
-    starts = (
-        np.repeat(doc_off - win_off, lens_a) + np.arange(int(lens_a.sum()))
-    )
-    u = (
-        buf[starts]
-        | (buf[starts + 1] << 8)
-        | (buf[starts + 2] << 16)
-        | (buf[starts + 3] << 24)
-    )
-    uniq, inverse = np.unique(u, return_inverse=True)
     rows = np.empty(len(uniq), dtype=np.int64)
     grow = []
-    extra = []  # cap-overflow bit rows, batch-local (negative row ids)
+    extra = []  # cap-overflow bit rows, group-local (negative row ids)
     for j, v in enumerate(uniq.tolist()):
         r = _PHASH_CACHE.get(v)
         if r is None:
@@ -405,38 +407,113 @@ def _fake_phash_batch(blobs: "list[bytes]") -> "list[str]":
                 extra.append(bitrow)
         rows[j] = r
     if grow:
-        _PHASH_BITS = np.vstack(
-            [_PHASH_BITS, np.asarray(grow, dtype=np.uint8)]
+        n_total = len(_PHASH_CACHE)
+        if _PHASH_BITS.shape[0] < n_total:
+            new_cap = max(1024, _PHASH_BITS.shape[0] * 2, n_total)
+            nb = np.zeros((new_cap, 64), dtype=np.uint8)
+            nb[: n_total - len(grow)] = _PHASH_BITS[: n_total - len(grow)]
+            _PHASH_BITS = nb
+        _PHASH_BITS[n_total - len(grow) : n_total] = np.asarray(
+            grow, dtype=np.uint8
         )
-    # votes per doc = Σ its windows' bit vectors. Windows are CONTIGUOUS
-    # per doc, so a segmented reduceat over slices of the (windows, 64)
-    # bit matrix sums each doc's rows; chunking doc groups by cumulative
-    # window count bounds the materialized slice (≤ ~256 MB of uint8)
-    # regardless of batch size — a dense (docs × unique-windows) count
-    # matrix would grow with batch_size × vocabulary and OOM on big
-    # batches.
     cached = rows >= 0
-    bits = np.empty((len(uniq), 64), dtype=np.uint8)  # (n_uniq, 64)
+    bits = np.empty((len(uniq), 64), dtype=np.uint8)
     bits[cached] = _PHASH_BITS[rows[cached]]
     if extra:
-        bits[~cached] = np.asarray(extra, dtype=np.uint8)[
-            -rows[~cached] - 1
-        ]
+        bits[~cached] = np.asarray(extra, dtype=np.uint8)[-rows[~cached] - 1]
+    return bits
+
+
+def _phash_group_votes(parts, lens, np):
+    """Vote matrix (len(parts), 64) for a doc group whose total window
+    count is ≤ _PHASH_GROUP_WINDOWS (callers guarantee it): one window
+    extraction, one np.unique + memo probe, one segmented reduceat."""
+    lens_a = np.asarray(lens, dtype=np.int64)
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8).astype(np.uint32)
+    # window start offsets: doc d (byte length lens[d]+3) contributes
+    # windows at its first lens[d] byte positions
+    doc_off = np.concatenate(([0], np.cumsum(lens_a + 3)))[:-1]
+    win_off = np.concatenate(([0], np.cumsum(lens_a)))[:-1]
+    starts = np.repeat(doc_off - win_off, lens_a) + np.arange(
+        int(lens_a.sum())
+    )
+    u = (
+        buf[starts]
+        | (buf[starts + 1] << 8)
+        | (buf[starts + 2] << 16)
+        | (buf[starts + 3] << 24)
+    )
+    uniq, inverse = np.unique(u, return_inverse=True)
+    bits = _phash_bits_for(uniq, np)
+    seg = bits[inverse]  # (wsum, 64) uint8, bounded by the group budget
+    offs = win_off.astype(np.int64)
+    return np.add.reduceat(seg, offs, axis=0, dtype=np.int64)
+
+
+def _phash_single_votes(blob, n, np):
+    """(64,) vote vector for ONE doc with n windows, window-sliced so a
+    huge payload still never materializes more than the group budget."""
+    bv = np.frombuffer(blob, dtype=np.uint8)
+    ones = np.zeros(64, dtype=np.int64)
+    step = _PHASH_GROUP_WINDOWS
+    for off in range(0, n, step):
+        m = min(step, n - off)
+        w = bv[off : off + m + 3].astype(np.uint32)
+        u = w[:m] | (w[1 : m + 1] << 8) | (w[2 : m + 2] << 16) | (
+            w[3 : m + 3] << 24
+        )
+        uniq, inverse = np.unique(u, return_inverse=True)
+        bits = _phash_bits_for(uniq, np)
+        ones += bits[inverse].sum(axis=0, dtype=np.int64)
+    return ones
+
+
+def _fake_phash_batch(blobs: "list[bytes]") -> "list[str]":
+    """Whole-batch vectorized twin of ``_fake_phash`` — IDENTICAL output
+    for every input (pinned by tests/test_corpus_ops.py): the same
+    per-window md5 votes, accumulated with one memo probe + one segmented
+    reduceat per bounded doc group instead of one md5 call per window
+    occurrence. The bit law is unchanged: column j of the unpacked digest
+    prefix is bit 63-j, and the output character k reads vote column 63-k
+    with the strict 2·ones > n majority."""
+    global _PHASH_BITS
+    import numpy as np
+
+    _pin_malloc()
+    if _PHASH_BITS is None:
+        _PHASH_BITS = np.zeros((0, 64), dtype=np.uint8)
+    out: list = [None] * len(blobs)
+    keep_i, parts, lens = [], [], []
+    for i, b in enumerate(blobs):
+        n = len(b) - 3
+        if n <= 0:
+            out[i] = "0" * 64
+        else:
+            keep_i.append(i)
+            parts.append(b)
+            lens.append(n)
+    if not parts:
+        return out
     n_docs = len(parts)
     ones = np.empty((n_docs, 64), dtype=np.int64)
-    CHUNK = 1 << 22
     d0 = 0
     while d0 < n_docs:
+        if lens[d0] > _PHASH_GROUP_WINDOWS:
+            ones[d0] = _phash_single_votes(parts[d0], lens[d0], np)
+            d0 += 1
+            continue
         d1 = d0 + 1
-        wsum = int(lens_a[d0])
-        while d1 < n_docs and wsum + int(lens_a[d1]) <= CHUNK:
-            wsum += int(lens_a[d1])
+        wsum = lens[d0]
+        while (
+            d1 < n_docs
+            and lens[d1] <= _PHASH_GROUP_WINDOWS
+            and wsum + lens[d1] <= _PHASH_GROUP_WINDOWS
+        ):
+            wsum += lens[d1]
             d1 += 1
-        lo = int(win_off[d0])
-        seg = bits[inverse[lo : lo + wsum]]  # (wsum, 64) uint8
-        offs = (win_off[d0:d1] - lo).astype(np.int64)
-        ones[d0:d1] = np.add.reduceat(seg, offs, axis=0, dtype=np.int64)
+        ones[d0:d1] = _phash_group_votes(parts[d0:d1], lens[d0:d1], np)
         d0 = d1
+    lens_a = np.asarray(lens, dtype=np.int64)
     cond = (2 * ones[:, ::-1]) > lens_a[:, None]
     chars = (cond.astype(np.uint8) + 48).tobytes().decode("ascii")
     for j, i in enumerate(keep_i):
