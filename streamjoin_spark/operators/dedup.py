@@ -120,9 +120,17 @@ def _shingle_frame(
     the optimizer was already deleting the old redundant dropDuplicates
     under them (RemoveRedundantAggregates), so for those paths
     array_distinct would be pure added per-row cost, not a saved shuffle.
+    r12: the (id, text) input is spread_scan-guarded — an under-split
+    scan (one parquet row group) would otherwise run the whole shingle
+    fan-out AND every consumer's per-shingle hashing (12 minhash md5s,
+    hash64 per occurrence) on one core; hash(id) layout means a
+    downstream per-doc groupBy (minhash signatures) re-uses the
+    exchange. No-op on well-split inputs (guide §2.5).
     """
     from ..functions import tokens
+    from .spread import spread_scan
 
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
     out = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
     out = out.where(F.size("__w") >= n)
     shingles = F.expr(
@@ -502,10 +510,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     distance is a per-character comparison in any engine.
 
     One explode + one groupBy(doc) with 32 conditional-sum aggregates —
-    single shuffle, map-side combine.
+    single shuffle, map-side combine. Input spread_scan-guarded (r12):
+    the per-token md5 + 32 partial sums run pre-exchange and would
+    otherwise single-task on an under-split scan; hash(id) layout feeds
+    the groupBy exchange-free.
     """
     from ..functions import tokens
+    from .spread import spread_scan
 
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("w"),

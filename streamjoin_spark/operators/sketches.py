@@ -370,7 +370,15 @@ def bloom_prune(
     filter saturates and prunes nothing (classic FP rate
     ``(1-e^{-kn/m})^k``). Callers own m; at true scale derive it from an
     upstream count/sketch of the build side.
+
+    r12: the probe side is spread_scan-guarded — the k md5 probe hashes
+    run in the scan stage (the broadcast semi-joins add no exchange),
+    so an under-split probe scan would hash the whole table on one
+    core; no-op on well-split inputs (guide §2.5).
     """
+    from .spread import spread_scan
+
+    probe = spread_scan(probe, key_col)
     out = probe
     for i in range(k):
         pos_i = hash64(

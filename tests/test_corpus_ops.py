@@ -1832,3 +1832,29 @@ def test_signature_cache_lifecycle(spark, monkeypatch):
     # evicted/released plans still evaluate correctly (recompute)
     for df in dfs[1:]:
         assert {(r["doc_a"], r["doc_b"]) for r in df.collect()} == want
+
+
+# ---------------------------------------------------------------- spread_scan
+
+
+def test_spread_scan_parallelizes_underspilt_input(spark):
+    """r12 input-skew guard: a single-partition input is repartitioned to
+    defaultParallelism (hash layout on the key when given); an input
+    already at >= par/2 partitions is returned UNCHANGED (same plan
+    object — zero added exchanges at real scale)."""
+    from pyspark.sql import functions as F
+    from streamjoin_spark.operators.spread import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    assert narrow.rdd.getNumPartitions() == 1
+    out = spread_scan(narrow, "doc_id")
+    assert out.rdd.getNumPartitions() == par
+    # pure layout change: identical rows
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(1000))
+    assert "hashpartitioning(doc_id" in out._jdf.queryExecution().executedPlan().toString()
+
+    wide = spark.range(0, 1000, 1, par)
+    assert spread_scan(wide, "id") is wide  # no-op, not even a new frame
