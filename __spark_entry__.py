@@ -1343,15 +1343,18 @@ def q_dedup_clusters(spark, sf_dir):
     connected_components) → every document labeled with its cluster's
     canonical (minimum) doc id; singletons label themselves. The keep/drop
     decision of a dedup pipeline falls out directly (keep ⇔ doc_id ==
-    cluster_id). Oracle: recursive-CTE transitive closure."""
+    cluster_id). Oracle: recursive-CTE transitive closure. r12: CC is fed
+    minhash_lsh_star_edges — k−1 star edges per LSH bucket instead of the
+    k(k−1)/2 pairs, identical connectivity hence identical labels
+    (oracle-pinned); the pairs themselves are a separate declared query."""
     _prep(spark)
     from streamjoin_spark.operators.dedup import (
         connected_components,
-        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    labels = connected_components(minhash_lsh_pairs(docs))
+    labels = connected_components(minhash_lsh_star_edges(docs))
     return (
         docs.select("doc_id")
         .join(labels, docs["doc_id"] == labels["node"], "left")
@@ -1368,15 +1371,16 @@ def q_dedup_clusters_star(spark, sf_dir):
     O(log² n) rounds on ANY component shape vs min-label's O(diameter),
     the variant to reach for when pair chains are path-shaped (transitive
     fuzzy matches) rather than LSH cliques. Identical labeling to
-    q_dedup_clusters, same recursive-CTE oracle."""
+    q_dedup_clusters, same recursive-CTE oracle; same r12 star-edge feed
+    (connectivity-equivalent, oracle-pinned)."""
     _prep(spark)
     from streamjoin_spark.operators.dedup import (
         connected_components,
-        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    labels = connected_components(minhash_lsh_pairs(docs), algorithm="star")
+    labels = connected_components(minhash_lsh_star_edges(docs), algorithm="star")
     return (
         docs.select("doc_id")
         .join(labels, docs["doc_id"] == labels["node"], "left")

@@ -313,6 +313,30 @@ def minhash_lsh_pairs(
     distributed by construction; candidate output is the sparse survivor
     set, never the O(n²) cross product. Output: doc_a, doc_b (distinct).
     """
+    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _lsh_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(__id, band, bh) bucket memberships — the shared banding step of
+    ``minhash_lsh_pairs`` and ``minhash_lsh_star_edges``."""
     assert num_hashes % band_size == 0
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
@@ -325,19 +349,44 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    buckets = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*band_structs)).alias("x")
     ).select("__id", "x.band", "x.bh")
-    a, b = buckets.alias("a"), buckets.alias("b")
+
+
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Connectivity-equivalent LSH edges for connected-components feeds:
+    one star edge (bucket-min doc → member) per bucket membership instead
+    of ``minhash_lsh_pairs``' all-pairs-within-bucket output.
+
+    Sharing a bucket is an equivalence-generating relation for CC: a
+    bucket of k docs is connected by its k−1 star edges exactly as by its
+    k(k−1)/2 pairs, so the component labeling downstream is IDENTICAL
+    (oracle-verified against the pair-fed closure) while the candidate
+    volume drops from Σk² to Σk — the term that explodes on hot buckets
+    at corpus scale (guide §2.3: shuffle decisions, not payload). The
+    plan is also one exchange cheaper: a single hash(band, bh) layout
+    serves the bucket-min aggregate AND the membership join, vs the pair
+    self-join plus its doc-pair dedup exchange. Use the pairs operator
+    when the pairs themselves are the product; use this to label
+    clusters. Output: ``doc_a`` (bucket min), ``doc_b`` (member),
+    ``doc_a != doc_b``, duplicates possible across bands (CC dedups).
+    """
+    buckets = _lsh_buckets(
+        df, text_col, id_col, num_hashes, band_size, shingle_n
+    ).repartition(F.col("band"), F.col("bh"))
+    mins = buckets.groupBy("band", "bh").agg(F.min("__id").alias("m"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        buckets.join(mins, ["band", "bh"])
+        .where(F.col("__id") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("__id").alias("doc_b"))
     )
 
 

@@ -120,9 +120,16 @@ def cooccurrence_edges(
     the long random-co-occurrence tail before anything downstream joins on
     the edges.
     """
-    pairs = df.select(
-        F.col(context_col).alias("__ctx"), F.col(item_col).alias("p1")
-    ).distinct()
+    # one hash(__ctx) exchange serves the whole pipeline (guide §2.4; r12):
+    # hash(ctx) satisfies the (ctx, item) clustering the dedup needs, and
+    # both legs of the per-context self-join are the same subtree on the
+    # same key — the dedup costs no second exchange and the join reads the
+    # one layout (ReusedExchange), where distinct-then-join paid three.
+    pairs = (
+        df.select(F.col(context_col).alias("__ctx"), F.col(item_col).alias("p1"))
+        .repartition(F.col("__ctx"))
+        .dropDuplicates(["__ctx", "p1"])
+    )
     other = pairs.select(F.col("__ctx"), F.col("p1").alias("p2"))
     return (
         pairs.join(other, "__ctx")
@@ -147,6 +154,13 @@ def triangles(edges: DataFrame, p1: str = "p1", p2: str = "p2") -> DataFrame:
     support-thresholded (``cooccurrence_edges``), which removes the hubs
     that make triangle counting quadratic on raw co-occurrence graphs.
     """
+    # the edge list feeds all three wedge legs: persist it so the (often
+    # join/agg-shaped) upstream pipeline is computed once, not re-derived
+    # per leg — only the exchange was reused before, the final aggregate
+    # and everything above it ran 3× (guide §5 caching; r12, 2.01 → 1.55 s
+    # at sf0.1). persist (not eager checkpoint): lazy, populated during
+    # the one consumer action, lineage kept.
+    edges = edges.persist()
     e1 = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
     e2 = edges.select(F.col(p1).alias("b"), F.col(p2).alias("c"))
     e3 = edges.select(F.col(p1).alias("a"), F.col(p2).alias("c"))
@@ -243,8 +257,14 @@ def label_propagation(
     needed an extra node-keyed exchange plus a per-group sort; the
     aggregate's map-side combine also shrinks the shuffle to one row per
     (node, candidate-label) partial — r12 optimization, identical output
-    by the struct-order law); labels ``localCheckpoint`` per round
-    (iterative-operator invariant). Output: ``node, community``.
+    by the struct-order law). Unlike the convergence-probed loops (CC,
+    k-core) there is NO per-round action here: a fixed small round count
+    has nothing to probe, each round's labels feed the next exactly once,
+    and the |E| frame is the only reused input (checkpointed once) — so
+    the rounds compose into ONE lazy DAG and the per-round eager
+    localCheckpoint jobs are deleted (r12, 2.76 → 2.00 s at sf0.1; same
+    design as ``pagerank``). Long runs still truncate lineage every 4th
+    round (iterative-operator invariant). Output: ``node, community``.
     """
     und = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -258,9 +278,8 @@ def label_propagation(
         und.select(F.col("a").alias("node"))
         .dropDuplicates(["node"])
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         counts = (
             und.join(labels, und["b"] == labels["node"])
             .groupBy(F.col("a"), F.col("label"))
@@ -280,6 +299,9 @@ def label_propagation(
                 ).alias("__m")
             )
             .select("node", F.col("__m.label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # fixed small round counts stay one lazy DAG; only long runs pay
+        # periodic lineage truncation (plan growth is linear in rounds)
+        if (r + 1) % 4 == 0 and r + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))

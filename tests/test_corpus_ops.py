@@ -1858,3 +1858,27 @@ def test_spread_scan_parallelizes_underspilt_input(spark):
 
     wide = spark.range(0, 1000, 1, par)
     assert spread_scan(wide, "id") is wide  # no-op, not even a new frame
+
+
+def test_minhash_lsh_star_edges_connectivity_matches_pairs(spark):
+    """r12 CC-feed rewrite: star edges (bucket-min -> member) must induce
+    exactly the same connected components as the all-pairs bucket output —
+    the equivalence dedup_clusters/_star rely on."""
+    from pyspark.sql import functions as F
+    from streamjoin_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta{i % 7} eta theta") for i in range(40)]
+        + [(100 + i, f"totally different text number {i} with words unique{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    a = connected_components(minhash_lsh_pairs(docs))
+    b = connected_components(minhash_lsh_star_edges(docs))
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # star edges never exceed the pair count and carry the bucket min left
+    e = minhash_lsh_star_edges(docs)
+    assert e.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
