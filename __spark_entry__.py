@@ -2449,7 +2449,10 @@ def q_bloom_prune(spark, sf_dir):
     from streamjoin_spark.operators.sketches import bloom_positions, bloom_prune
 
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
-    l = _t(spark, sf_dir, "lineitem")
+    # project the probe side to the two columns this query consumes BEFORE
+    # the prune (guide §2.3): the spread_scan exchange and the semi-join
+    # probes then move (key, flag) instead of full 16-column rows
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     pos = bloom_positions(o, "o_orderkey", m=65536, k=3)
     cand = bloom_prune(l, pos, "l_orderkey", m=65536, k=3)
     n_cand = cand.groupBy("l_returnflag").agg(

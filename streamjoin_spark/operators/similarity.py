@@ -49,6 +49,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cos_pre(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """``cosine`` with the casts and norm folds HOISTED to once per row
+    (r12, guide §1.2 per-task work): the pair scorers below evaluate
+    |Q|·|C| similarity expressions, and the higher-order-function folds
+    are CodegenFallback — interpreted — so re-folding both norms and
+    re-casting both arrays per PAIR tripled the per-pair work. Callers
+    pre-cast each side's array once per row and carry its norm as a real
+    column; this is ``dot/(norm_a·norm_b)`` over the identical doubles in
+    the identical order, hence bit-identical similarity values
+    (oracle-pinned on every consumer)."""
+    return dot(qv, cv) / (qn * cn)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,17 +77,24 @@ def cosine_topk(
     stable across engines and runs. Output: query_id, neighbor_id, cosine_sim.
     """
     qid = query_id_col or id_col
+    qv = _as_double(F.col(vec_col))
     q = F.broadcast(
-        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(qid).alias("query_id"), qv.alias("__qv"), norm(qv).alias("__qn")
+        )
     )
     # scoring cost is |Q|·|C| cosines and must not inherit the corpus file
     # layout (a single small file would serialize it behind the broadcast
     # join) — one O(|C|) round-robin shuffle buys a fully parallel scan
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("__cv"),
+        norm(qv).alias("__cn"),
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    sim = F.round(
+        _cos_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -125,9 +145,11 @@ def lsh_bucket_topk(
     """Approximate top-k: score only same-bucket pairs. Output schema matches
     ``cosine_topk`` so the two tiers are drop-in interchangeable."""
     planes = hyperplanes(dim, n_planes)
+    v = _as_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        v.alias("__qv"),
+        norm(v).alias("__qn"),
         bucket_id(F.col(vec_col), planes).alias("__bucket"),
     )
     # distribute bucket hashing + same-bucket scoring across the cluster
@@ -135,10 +157,13 @@ def lsh_bucket_topk(
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        v.alias("__cv"),
+        norm(v).alias("__cn"),
         bucket_id(F.col(vec_col), planes).alias("__bucket"),
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    sim = F.round(
+        _cos_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6
+    )
     scored = (
         F.broadcast(q)
         .join(c, "__bucket")
@@ -254,41 +279,57 @@ def ivf_topk(
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
     if refine_iters > 0:
-        cents = F.broadcast(
-            refined_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
-        )
+        cents0 = refined_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
     else:
-        cents = F.broadcast(centroid_sample(corpus, n_centroids, id_col, vec_col))
-    sim_c = F.round(cosine(F.col("__v"), F.col("__cvec")), 6)
+        cents0 = centroid_sample(corpus, n_centroids, id_col, vec_col)
+    # casts + norms hoisted once per row on every side (_cos_pre): the
+    # centroid set carries its norms into the broadcast, each vector its
+    # own — the K·N assignment pairs then pay one dot fold each
+    cvec = _as_double(F.col("__cvec"))
+    cents = F.broadcast(
+        cents0.select("cent_id", cvec.alias("__cvec"), norm(cvec).alias("__cnn"))
+    )
+    sim_c = F.round(
+        _cos_pre(F.col("__v"), F.col("__cvec"), F.col("__vn"), F.col("__cnn")), 6
+    )
     w_assign = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cent_id"))
+    vv = _as_double(F.col(vec_col))
 
     def nearest(df: DataFrame, n: int) -> DataFrame:
         scored = (
             df.crossJoin(cents)
-            .select("__id", "__v", "cent_id", sim_c.alias("__sim"))
+            .select("__id", "__v", "__vn", "cent_id", sim_c.alias("__sim"))
             .withColumn("__rn", F.row_number().over(w_assign))
             .where(F.col("__rn") <= n)
         )
-        return scored.select("__id", "__v", "cent_id")
+        return scored.select("__id", "__v", "__vn", "cent_id")
 
     inv = nearest(
         corpus.repartition(par).select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+            F.col(id_col).alias("__id"), vv.alias("__v"), norm(vv).alias("__vn")
         ),
         1,
     ).select(
         F.col("__id").alias("neighbor_id"),
         F.col("__v").alias("__cv"),
+        F.col("__vn").alias("__cn"),
         "cent_id",
     )
     probes = nearest(
-        queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        queries.select(
+            F.col(id_col).alias("__id"), vv.alias("__v"), norm(vv).alias("__vn")
+        ),
         nprobe,
     ).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), "cent_id"
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__vn").alias("__qn"),
+        "cent_id",
     )
 
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    sim = F.round(
+        _cos_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6
+    )
     scored = (
         F.broadcast(probes)
         .join(inv, "cent_id")
@@ -396,23 +437,35 @@ def ivf_pq_topk(
         return F.flatten(F.array(*parts))
 
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    cents = F.broadcast(centroid_sample(corpus, n_centroids, id_col, vec_col))
-    sim_c = F.round(cosine(F.col("__v"), F.col("__cvec")), 6)
+    # casts + norms hoisted once per row (_cos_pre). The RECONSTRUCTED
+    # corpus vector's norm stays a per-pair fold on the __cv attribute:
+    # hoisting it next to quantize() in one projection would inline the
+    # (interpreted, codebook-sized) quantize tree twice per row —
+    # interpreted projections do no common-subexpression elimination.
+    cvec = _as_double(F.col("__cvec"))
+    cents = F.broadcast(
+        centroid_sample(corpus, n_centroids, id_col, vec_col).select(
+            "cent_id", cvec.alias("__cvec"), norm(cvec).alias("__cnn")
+        )
+    )
+    sim_c = F.round(
+        _cos_pre(F.col("__v"), F.col("__cvec"), F.col("__vn"), F.col("__cnn")), 6
+    )
     w_assign = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("cent_id"))
+    vv = _as_double(F.col(vec_col))
 
     def nearest(df: DataFrame, n: int) -> DataFrame:
         scored = (
             df.crossJoin(cents)
-            .select("__id", "__v", "cent_id", sim_c.alias("__sim"))
+            .select("__id", "__v", "__vn", "cent_id", sim_c.alias("__sim"))
             .withColumn("__rn", F.row_number().over(w_assign))
             .where(F.col("__rn") <= n)
         )
-        return scored.select("__id", "__v", "cent_id")
+        return scored.select("__id", "__v", "__vn", "cent_id")
 
     inv = nearest(
         corpus.repartition(par).select(
-            F.col(id_col).alias("__id"),
-            _as_double(F.col(vec_col)).alias("__v"),
+            F.col(id_col).alias("__id"), vv.alias("__v"), norm(vv).alias("__vn")
         ),
         1,
     ).select(
@@ -422,15 +475,27 @@ def ivf_pq_topk(
     )
     probes = nearest(
         queries.select(
-            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+            F.col(id_col).alias("__id"), vv.alias("__v"), norm(vv).alias("__vn")
         ),
         nprobe,
     ).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), "cent_id"
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__vn").alias("__qn"),
+        "cent_id",
     )
 
-    # division-derived → FLOOR-canonicalized (repo invariant), not ROUND
-    sim = F.floor(cosine(F.col("__qv"), F.col("__cv")) * 1e6) / 1e6
+    # division-derived → FLOOR-canonicalized (repo invariant), not ROUND;
+    # query norm hoisted (__qn), reconstructed-side norm folded per pair
+    # in the original operand order (norm(a)·norm(b))
+    sim = (
+        F.floor(
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * norm(F.col("__cv")))
+            * 1e6
+        )
+        / 1e6
+    )
     scored = (
         F.broadcast(probes)
         .join(inv, "cent_id")
@@ -479,10 +544,13 @@ def embedding_neardup_pairs(
     # pair scoring is O(n²/buckets); rebalance the probe side up front so it
     # never runs serial behind a broadcast join of the (small) build side
     par = df.sparkSession.sparkContext.defaultParallelism
+    v = _as_double(F.col(vec_col))
     a = df.repartition(par).select(
-        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("doc_a"), v.alias("__va"), norm(v).alias("__na")
     )
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
+    b = df.select(
+        F.col(id_col).alias("doc_b"), v.alias("__vb"), norm(v).alias("__nb")
+    )
     if exact:
         # the cross product is broadcast-nested-loop over the (rebalanced)
         # stream side
@@ -492,7 +560,9 @@ def embedding_neardup_pairs(
         a = a.withColumn("__bucket", bucket_id(F.col("__va"), planes))
         b = b.withColumn("__bucket", bucket_id(F.col("__vb"), planes))
         pairs = a.join(b, "__bucket")
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    sim = F.round(
+        _cos_pre(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 6
+    )
     return (
         pairs.where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", sim.alias("cosine_sim"))
