@@ -3267,6 +3267,10 @@ def q_source_novelty(spark, sf_dir):
     _prep(spark)
     from streamjoin_spark.functions import tokens
 
+    # NOT spread_scan-guarded (r12, measured): the shingle fan-out here
+    # feeds straight into a distinct whose map-side partial agg is the
+    # only pre-exchange work — alternating A/B read a wash (1.10 vs
+    # 1.16 s), unlike the hash-heavy _shingle_frame consumers
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "source", tokens(F.col("text")).alias("tk")

@@ -84,14 +84,24 @@ def assign_clusters(
     distance, centroid id tiebreak). Output: all input columns +
     ``cluster_id`` + ``dist`` (rounded 6 dp squared L2).
     """
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", F.round(sq_dist(_as_double(F.col(vec_col)), F.col("__cv")), 6)
+    # cast the row's vector ONCE, not per (row, centroid) pair: the k-way
+    # crossJoin re-evaluated the interpreted array cast k times per row
+    # (r12 hoist; identical doubles, identical dist bits — the join
+    # boundary keeps __vd an attribute, so no projection re-inlining).
+    # Both scratch arrays are dropped BEFORE the argmin window, so its
+    # exchange moves (row, cluster_id, dist) instead of also carrying the
+    # centroid vector per candidate row as the old post-window drop did.
+    scored = (
+        df.withColumn("__vd", _as_double(F.col(vec_col)))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("dist", F.round(sq_dist(F.col("__vd"), F.col("__cv")), 6))
+        .drop("__cv", "__vd")
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cluster_id"))
     return (
         scored.withColumn("__arn", F.row_number().over(w))
         .where(F.col("__arn") == 1)
-        .drop("__arn", "__cv")
+        .drop("__arn")
     )
 
 

@@ -559,15 +559,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     distance is a per-character comparison in any engine.
 
     One explode + one groupBy(doc) with 32 conditional-sum aggregates —
-    single shuffle, map-side combine. Input spread_scan-guarded (r12):
-    the per-token md5 + 32 partial sums run pre-exchange and would
-    otherwise single-task on an under-split scan; hash(id) layout feeds
-    the groupBy exchange-free.
+    single shuffle, map-side combine. NOT spread_scan-guarded (r12,
+    measured): one md5 per token with map-side partial sums is light
+    enough that the added exchange loses to the single-split scan
+    (0.75 vs 0.87 s alternating A/B at sf0.1) — unlike the 12-md5-per-
+    shingle minhash fan-out where the guard wins 2.3×.
     """
     from ..functions import tokens
-    from .spread import spread_scan
 
-    df = spread_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("w"),
