@@ -2453,21 +2453,33 @@ def q_bloom_prune(spark, sf_dir):
     # the prune (guide §2.3): the spread_scan exchange and the semi-join
     # probes then move (key, flag) instead of full 16-column rows
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
-    pos = bloom_positions(o, "o_orderkey", m=65536, k=3)
+    # persist the (≤ m-row) position set: the k membership semi-joins each
+    # broadcast it, and uncached each build re-derived it from the orders
+    # scan (3× two exchanges of the same tiny frame — r13, guide §5)
+    pos = bloom_positions(o, "o_orderkey", m=65536, k=3).persist()
     cand = bloom_prune(l, pos, "l_orderkey", m=65536, k=3)
-    n_cand = cand.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_candidates")
-    )
-    n_true = (
-        l.join(
-            o.select("o_orderkey"),
-            l["l_orderkey"] == o["o_orderkey"],
-            "left_semi",
+    # ONE pass (r13, guide §2.4): Bloom filters have no false negatives,
+    # so every true match survives the prune — the exact-match count can
+    # be taken over the PRUNED frame (the "follow with the exact join"
+    # step of a runtime filter) instead of re-scanning lineitem. The
+    # true-match flag is a broadcast left join on the unique order key;
+    # both counts come out of one aggregate. The n_true > 0 filter keeps
+    # the original inner-join semantics (a returnflag with candidates but
+    # zero true matches was dropped by the join of the two aggregates).
+    hit = (
+        cand.join(
+            F.broadcast(o.select(F.col("o_orderkey").alias("__ok"))),
+            cand["l_orderkey"] == F.col("__ok"),
+            "left",
         )
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_true"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.col("__ok")).alias("n_true"),
+        )
+        .where(F.col("n_true") > 0)
     )
-    return n_cand.join(n_true, "l_returnflag")
+    return hit.select("l_returnflag", "n_candidates", "n_true")
 
 
 def q_json_props(spark, sf_dir):

@@ -648,14 +648,33 @@ def _cc_label(
         .dropDuplicates(["a", "b"])
         .persist()
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .dropDuplicates(["node"])
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
+    labels = None
     try:
         for rounds in range(1, max_iter + 1):
+            if rounds == 1:
+                # round-1 shortcut (r13): the initial labeling is the
+                # identity (label == node), so the neighbor-min of the
+                # first round is just min(b) per a — the |E|⋈|V| join
+                # (and a |V| distinct + cache for the init labels) is
+                # algebraically redundant. Every node appears as `a`
+                # (edges are symmetrized), so the groupBy covers the
+                # full node set the old init frame did.
+                new_label = F.least(F.col("node"), F.col("nbr_min"))
+                flagged = (
+                    edges.groupBy(F.col("a").alias("node"))
+                    .agg(F.min("b").alias("nbr_min"))
+                    .select(
+                        "node",
+                        new_label.alias("label"),
+                        (F.col("nbr_min") < F.col("node")).alias("__chg"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                changed = flagged.where(F.col("__chg")).limit(1).count()
+                labels = flagged.drop("__chg")
+                if changed == 0:
+                    return labels, rounds
+                continue
             nbr = (
                 edges.alias("e")
                 .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
@@ -947,6 +966,14 @@ def signature_pairs(
         blocks = sigs.select(
             F.col(id_col), F.col(sig_col), F.explode(F.array(*segs)).alias("x")
         ).select(id_col, sig_col, F.col("x.seg").alias("seg"), F.col("x.sv").alias("sv"))
+        # one hash(seg, sv) layout serves EVERY consumer of the block frame
+        # (r13, guide §2.4): the candidate self-join legs, the auto-probe /
+        # refine bucket-count aggregates, and the hot/cold split join all
+        # key on (seg, sv) — repartitioning once here (cached below in the
+        # auto/refine modes; InMemoryRelation keeps outputPartitioning)
+        # deletes their per-consumer exchanges. No explicit partition
+        # count: AQE sizes it from the data.
+        blocks = blocks.repartition(F.col("seg"), F.col("sv"))
 
         def pair_join(ba, bb, extra=None):
             on = (

@@ -159,8 +159,13 @@ def triangles(edges: DataFrame, p1: str = "p1", p2: str = "p2") -> DataFrame:
     # per leg — only the exchange was reused before, the final aggregate
     # and everything above it ran 3× (guide §5 caching; r12, 2.01 → 1.55 s
     # at sf0.1). persist (not eager checkpoint): lazy, populated during
-    # the one consumer action, lineage kept.
-    edges = edges.persist()
+    # the one consumer action, lineage kept. Persist a PROJECTED copy, not
+    # the caller's frame: the wedge legs read only (p1, p2), extra caller
+    # columns would bloat the cache, and persisting the caller's object
+    # would side-effect it (ADVICE r12). The cache lives until the session
+    # evicts it (LRU) — callers needing deterministic release should
+    # unpersist the returned frame's child themselves.
+    edges = edges.select(p1, p2).persist()
     e1 = edges.select(F.col(p1).alias("a"), F.col(p2).alias("b"))
     e2 = edges.select(F.col(p1).alias("b"), F.col(p2).alias("c"))
     e3 = edges.select(F.col(p1).alias("a"), F.col(p2).alias("c"))
@@ -274,17 +279,24 @@ def label_propagation(
     # r12 — LogicalRDD keeps the partitioning through localCheckpoint).
     # No explicit partition count: AQE sizes the exchange from the data.
     und = und.repartition(F.col("b")).localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .dropDuplicates(["node"])
-        .withColumn("label", F.col("node"))
-    )
+    labels = None
     for r in range(rounds):
-        counts = (
-            und.join(labels, und["b"] == labels["node"])
-            .groupBy(F.col("a"), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
+        if r == 0:
+            # round-1 shortcut (r13): the initial labeling is the identity
+            # (label(b) == b), so joining the edge frame against it is
+            # algebraically a rename — the first round's neighbor-label
+            # counts are just groupBy(a, b). Deletes the round-1 |E|⋈|V|
+            # join AND the identity-labels distinct; exact for ANY edge
+            # multiset (duplicate edges keep their multiplicities).
+            counts = und.groupBy(
+                F.col("a"), F.col("b").alias("label")
+            ).agg(F.count(F.lit(1)).alias("__c"))
+        else:
+            counts = (
+                und.join(labels, und["b"] == labels["node"])
+                .groupBy(F.col("a"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
         # min(struct(-count, label)) ≡ first row of ORDER BY count DESC,
         # label ASC: struct comparison is field-lexicographic and the count
         # is always numeric (negation is total), while the label stays in

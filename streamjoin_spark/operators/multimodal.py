@@ -897,7 +897,17 @@ def video_neardup_pairs(
     fps = video_fingerprints(
         df, payload_col, id_col, frame_bytes, n_frames, decode
     )
-    dp = fps.select("doc_id", "fphash").distinct()
+    # one hash(fphash) layout serves every consumer (r13, guide §2.4):
+    # hash(fphash) satisfies the (doc_id, fphash) dedup clustering, the
+    # hot-frame DF aggregate groups on fphash, and both legs of the
+    # candidate self-join key on fphash — so the single repartition
+    # exchange below is reused where the unpartitioned distinct paid a
+    # fresh exchange per consumer. AQE sizes the partition count.
+    dp = (
+        fps.select("doc_id", "fphash")
+        .repartition(F.col("fphash"))
+        .dropDuplicates(["doc_id", "fphash"])
+    )
     if max_fp_df is not None:
         dfreq = dp.groupBy("fphash").agg(F.count(F.lit(1)).alias("__df"))
         if max_fp_df <= 1:

@@ -77,10 +77,13 @@ def cosine_topk(
     stable across engines and runs. Output: query_id, neighbor_id, cosine_sim.
     """
     qid = query_id_col or id_col
-    qv = _as_double(F.col(vec_col))
+    # side-neutral expression (ADVICE r12): corpus and queries share
+    # vec_col today, but binding one name to both sides invites a silent
+    # bug if a separate query vector column is ever introduced
+    v = _as_double(F.col(vec_col))
     q = F.broadcast(
         queries.select(
-            F.col(qid).alias("query_id"), qv.alias("__qv"), norm(qv).alias("__qn")
+            F.col(qid).alias("query_id"), v.alias("__qv"), norm(v).alias("__qn")
         )
     )
     # scoring cost is |Q|·|C| cosines and must not inherit the corpus file
@@ -89,8 +92,8 @@ def cosine_topk(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par).select(
         F.col(id_col).alias("neighbor_id"),
-        qv.alias("__cv"),
-        norm(qv).alias("__cn"),
+        v.alias("__cv"),
+        norm(v).alias("__cn"),
     )
     sim = F.round(
         _cos_pre(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6

@@ -371,10 +371,17 @@ def bloom_prune(
     ``(1-e^{-kn/m})^k``). Callers own m; at true scale derive it from an
     upstream count/sketch of the build side.
 
-    r12: the probe side is spread_scan-guarded — the k md5 probe hashes
-    run in the scan stage (the broadcast semi-joins add no exchange),
-    so an under-split probe scan would hash the whole table on one
-    core; no-op on well-split inputs (guide §2.5).
+    r12: the probe side is spread_scan-guarded; r13: the membership
+    checks are broadcast left joins + not-null filters (the optimizer
+    rewrites them to broadcast INNER joins — row-preserving because
+    ``positions`` is distinct), NOT left-semi joins. Semi joins are
+    pushed below the spread repartition by ``PushDownLeftSemiAntiJoin``,
+    which put the k md5 probe hashes back into the (possibly one-task)
+    scan stage — exactly what the spread guard exists to prevent; inner
+    joins stay above the exchange, so the probe hashing parallelizes
+    (guide §2.5). Requires ``positions`` distinct on ``position`` (which
+    ``bloom_positions`` guarantees) — a duplicate position would
+    duplicate probe rows where the semi form did not.
     """
     from .spread import spread_scan
 
@@ -384,10 +391,15 @@ def bloom_prune(
         pos_i = hash64(
             F.concat(F.lit(f"bloom{i}"), F.col(key_col).cast("string"))
         ) % F.lit(m)
-        out = out.join(
-            F.broadcast(positions),
-            pos_i == positions["position"],
-            "left_semi",
+        hit = f"__bloom_hit{i}"
+        out = (
+            out.join(
+                F.broadcast(positions.select(F.col("position").alias(hit))),
+                pos_i == F.col(hit),
+                "left",
+            )
+            .where(F.col(hit).isNotNull())
+            .drop(hit)
         )
     return out
 

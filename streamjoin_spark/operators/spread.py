@@ -32,10 +32,34 @@ def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     fan-out stage, iff the plan would otherwise run in fewer than half
     that many tasks. Hash-partitions on ``key_cols`` when given (keep a
     downstream groupBy/join on the same key exchange-free), round-robin
-    otherwise. Pure layout change — never alters row content."""
+    otherwise. Pure layout change — never alters row content.
+
+    Cost note (ADVICE r12): the accurate split probe below
+    (``df.rdd.getNumPartitions()``) forces a full physical-plan compile
+    plus an RDD conversion on the driver, per call. To avoid paying that
+    at real scale — where the guard is a documented no-op — a cheap
+    analysis-only ``inputFiles()`` listing runs first: split packing puts
+    at most ~32 files in one split (``files.openCostInBytes`` charges 4 MB
+    per file against a 128 MB split), so ≥ 16·par files guarantees
+    > par/2 splits and the guard can never fire — return without
+    planning. Fewer files (every local/test shape, and any input actually
+    at risk) fall through to the accurate probe. Caveat kept from r12: on
+    non-scan-rooted inputs the RDD count reflects ``shuffle.partitions``,
+    not file splits, so the guard degrades to a no-op there — callers
+    apply it directly on scans."""
     try:
         sc = df.sparkSession.sparkContext
         par = sc.defaultParallelism
+    except Exception:
+        return df
+    try:
+        # analysis-only: walks the logical plan's file indexes, no
+        # physical planning. Empty for non-file sources → fall through.
+        if len(df.inputFiles()) >= 16 * par:
+            return df
+    except Exception:
+        pass
+    try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df

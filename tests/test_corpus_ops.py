@@ -1837,7 +1837,7 @@ def test_signature_cache_lifecycle(spark, monkeypatch):
 # ---------------------------------------------------------------- spread_scan
 
 
-def test_spread_scan_parallelizes_underspilt_input(spark):
+def test_spread_scan_parallelizes_undersplit_input(spark):
     """r12 input-skew guard: a single-partition input is repartitioned to
     defaultParallelism (hash layout on the key when given); an input
     already at >= par/2 partitions is returned UNCHANGED (same plan
@@ -1858,6 +1858,21 @@ def test_spread_scan_parallelizes_underspilt_input(spark):
 
     wide = spark.range(0, 1000, 1, par)
     assert spread_scan(wide, "id") is wide  # no-op, not even a new frame
+
+
+def test_spread_scan_many_file_scan_skips_planning(spark, tmp_path):
+    """r13 ADVICE fix: a scan already backed by >= 16*par files (the
+    sound bound under split packing) early-exits via the analysis-only
+    inputFiles() listing — same object back, no physical-plan compile."""
+    from streamjoin_spark.operators.spread import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    n_files = 16 * par
+    path = str(tmp_path / "many_files")
+    spark.range(0, n_files, 1, n_files).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert len(scan.inputFiles()) >= n_files
+    assert spread_scan(scan, "id") is scan
 
 
 def test_minhash_lsh_star_edges_connectivity_matches_pairs(spark):

@@ -267,12 +267,29 @@ def test_robust_outliers_stats_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
-def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
-    """The Bloom membership checks must be broadcast semi-joins on the
-    probe side — the probe is never shuffled for the prune."""
+def test_bloom_prune_broadcast_joins(spark, sf_dir):
+    """The Bloom membership checks must be broadcast joins on the probe
+    side — the probe is never shuffled for the prune. r13: they are
+    broadcast INNER joins (left join + not-null filter), NOT LeftSemi —
+    PushDownLeftSemiAntiJoin would push semis below the spread_scan
+    repartition and serialize the md5 probe hashing into the one-task
+    scan stage. The repartition must sit BELOW the first probe join."""
     p = plan_of(entry.q_bloom_prune(spark, sf_dir))
-    assert p.count("LeftSemi") >= 3
+    assert p.count(", Inner, BuildRight") >= 3
+    assert "LeftSemi" not in p
     assert "BroadcastExchange" in p
+    # single probe-side scan: the one-pass r13 shape
+    assert p.count("lineitem.parquet") == 1
+    # probe hashing parallelized: toString prints the tree top-down, so
+    # the spread repartition (child) must appear AFTER the probe joins
+    # (parents); a pushed-down join would print below the exchange
+    lines = p.splitlines()
+    exch_line = min(
+        i for i, ln in enumerate(lines) if "REPARTITION_BY_NUM" in ln
+    )
+    join_lines = [i for i, ln in enumerate(lines) if ", Inner, BuildRight" in ln]
+    assert len(join_lines) >= 3
+    assert max(join_lines[:3]) < exch_line
 
 
 def test_audio_features_arrow_batched_windows(spark, sf_dir):
