@@ -7,6 +7,7 @@ DuckDB oracle verifies the engine itself, not hand-written Spark.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +36,25 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+# Per-session READER memo (r13, guide §6 listing/metadata cost): every
+# `spark.read.parquet` pays a driver-side file listing + footer schema
+# inference (~0.1-0.15 s here; at real scale a full object-store listing),
+# re-paid on EVERY query construction — ~2-3 calls per query × 280 timed
+# constructions dominated the sub-second bench tail. The memo holds the
+# lazy DataFrame (an unexecuted PLAN — no rows, no results, nothing
+# persisted): every action still scans the parquet files, so this is
+# metadata reuse, not result caching. Keyed per SparkSession (weak — dies
+# with the session) × (sf_dir, table).
+_READERS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache = _READERS.setdefault(spark, {})
+    df = cache.get((sf_dir, name))
+    if df is not None:
+        return df
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
         # Spark's reader rejects without the legacy conf) and TIMESTAMP(µs);
@@ -49,8 +68,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # keep output schemas on TIMESTAMP (LTZ) as in the nanos path;
             # session tz is UTC so the instants are identical.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[(sf_dir, name)] = df
+    return df
 
 
 def _s(spark, sf_dir, name, pks, renames=None, seq=None) -> Stream:

@@ -1025,9 +1025,18 @@ def winnow_overlap_pairs(
     # persist the small (doc, fp) frame so it computes once (the ppjoin
     # shingle-frame precedent; ~2 selected fps per w+1 tokens, so this is
     # a fraction of the corpus text size)
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
-        F.col(id_col).alias("__id"), "fp"
-    ).distinct().persist()
+    # r13: cached ALREADY hash(fp)-partitioned — hash(fp) satisfies the
+    # (__id, fp) dedup clustering, and the DF-frequency aggregate plus
+    # BOTH self-join legs key on fp, so every post-cache consumer reads
+    # the one stored layout instead of re-exchanging (guide §2.4;
+    # InMemoryRelation keeps outputPartitioning). AQE sizes the exchange.
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select(F.col(id_col).alias("__id"), "fp")
+        .repartition(F.col("fp"))
+        .dropDuplicates(["__id", "fp"])
+        .persist()
+    )
     if max_fp_df is not None:
         dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
         if max_fp_df <= 1:
